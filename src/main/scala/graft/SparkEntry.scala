@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{CoreQueries, ExtQueries, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (and the §2.11 extensions) is
+  * registered here; oracle-backed entries hash-match DuckDB on the same
+  * parquet tables, the rest carry rows-only checks plus ScalaTest specs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val all: Seq[(String, QueryDef)] = CoreQueries.defs ++ ExtQueries.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exercises the whole spec→extract path: config-driven brand filter,
+    * date range, broadcast meta-dimension join, grouped metric aggregation.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.analyticExec(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (name, qd) => name -> qd.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (dynamic pivot, probabilistic sketches, stubbed decoders) → driver
+    * records a weaker rows-only check; those have ScalaTest specs instead.
+    */
+  def oracleSql: Map[String, String] =
+    all.collect { case (name, qd) if qd.oracle.isDefined => name -> qd.oracle.get }.toMap
 }

@@ -19,7 +19,9 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val cause = Option(e.getCause).map(c => s" caused by ${c}").getOrElse("")
+        System.err.println(s"[verify] $name failed: ${e}$cause")
+        e.getStackTrace.take(8).foreach(f => System.err.println(s"[verify]   at $f"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

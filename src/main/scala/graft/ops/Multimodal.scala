@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.11): image/audio/video as
+  * opaque `binary` columns with typed metadata alongside.
+  *
+  * The Spark-side machinery here is real — binary columns, typed
+  * `Dataset[T]` with case-class encoders, `mapPartitions` batch-shaped
+  * decode, frame sampling via array ops. The actual media *decode* is a
+  * clearly-marked deterministic fake (`FakeDecode`): the container has no
+  * image/audio libraries, so the stub derives "metadata" from the bytes in
+  * a reproducible way. Swapping `FakeDecode.decode` for a JNI/javacv call
+  * changes nothing else.
+  *
+  * Scale notes: binary payloads dominate row size → keep them out of
+  * shuffles (derive metadata early, project blobs away before wide ops);
+  * `mapPartitions` amortizes decoder init per partition, the same shape a
+  * Python `mapInPandas` batch UDF has.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, media: Array[Byte])
+  final case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      head_code: Int,
+      fake_width: Int,
+      fake_height: Int,
+      format_tag: String
+  )
+
+  /** STUB — deterministic fake decode standing in for a real image/audio
+    * decoder (none available in this environment). Metadata is a pure
+    * function of the payload bytes so tests and oracles are reproducible.
+    */
+  object FakeDecode {
+    def decode(bytes: Array[Byte]): (Int, Int, String) = {
+      val w = if (bytes.nonEmpty) ((bytes(0) & 0xff) % 64) + 1 else 0
+      val h = if (bytes.length > 1) ((bytes(1) & 0xff) % 64) + 1 else 0
+      val tag = if (bytes.length % 2 == 0) "imgA" else "imgB"
+      (w, h, tag)
+    }
+  }
+
+  /** Attach a binary media column. On the fixtures the document text bytes
+    * stand in for an image payload; in production this is the raw blob
+    * column of the table.
+    */
+  def withBinary(df: DataFrame, textCol: String, binCol: String = "media"): DataFrame =
+    df.withColumn(binCol, encode(col(textCol), "UTF-8"))
+
+  /** Batch decode: partition-at-a-time over a typed Dataset — decoder init
+    * happens once per partition (the mapInPandas batch shape).
+    */
+  def extractMeta(spark: SparkSession, records: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import spark.implicits._
+    records.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.map { r =>
+        val (w, h, tag) = FakeDecode.decode(r.media)
+        MediaMeta(
+          doc_id = r.doc_id,
+          n_bytes = r.media.length.toLong,
+          head_code = if (r.media.nonEmpty) r.media(0) & 0xff else -1,
+          fake_width = w,
+          fake_height = h,
+          format_tag = tag
+        )
+      }
+    }
+  }
+
+  /** Metadata via pure Catalyst expressions where possible (stays inside
+    * whole-stage codegen; preferred over mapPartitions for anything
+    * expressible). head_code = first byte as unsigned int.
+    */
+  def metaColumns(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(binCol)).as("n_bytes"),
+      when(length(col(binCol)) > 0, ascii(col(binCol).cast("string"))).otherwise(-1).as("head_code")
+    )
+
+  /** Frame sampling: every `stride`-th byte as a "frame" (index + payload
+    * sample) — the explode/posexplode plumbing a real video frame-sampler
+    * uses, with the frame decode stubbed to a byte read.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String, stride: Int): DataFrame = {
+    // floor division: Spark's `/` on ints yields double
+    val nFrames = floor((length(col(binCol)) + stride - 1) / lit(stride)).cast("int")
+    df.select(
+      col(idCol),
+      when(nFrames > 0, sequence(lit(0), nFrames - 1)).otherwise(array().cast("array<int>")).as("fidx")
+    )
+      .select(col(idCol), explode(col("fidx")).as("frame_idx"))
+      .withColumn("frame_offset", col("frame_idx") * stride)
+  }
+}

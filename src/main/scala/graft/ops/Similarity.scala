@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY.md §2.11).
+  *
+  * Arithmetic is done with Catalyst higher-order functions in strict
+  * left-to-right index order (`aggregate(zip_with(...))`), i.e. a
+  * sequential double fold — deterministic and bitwise-reproducible across
+  * partitionings, which makes results oracle-comparable.
+  *
+  * Scale design:
+  *  - brute-force top-k broadcasts the (small) query batch and streams the
+  *    corpus once — one scan, a partial top-k per partition via window;
+  *    cost O(|corpus| × |queries| × dim) flops but zero corpus shuffle.
+  *  - the LSH variant buckets by random-hyperplane signs so each query
+  *    only meets its bucket's candidates — the 100 TB path where the
+  *    corpus-side scan must not touch every vector per query.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors for a query subset, brute force.
+    * Pre-computes norms once per side; broadcasts the query batch.
+    */
+  def cosineTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      queryPred: Column
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(
+      col(idCol).as("cid"),
+      asDouble(col(vecCol)).as("v")
+    ).withColumn("nrm", l2norm(col("v")))
+    val queries = base
+      .filter(queryPred)
+      .select(col("cid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val joined = base
+      .join(broadcast(queries), col("cid") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("cid").as("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim")
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** All pairs with cosine ≥ threshold. Blocked self-join (id_a < id_b on a
+    * range-free cross) — exact; for 100 TB use `annLshTopK`-style bucketing
+    * as a prefilter and this as the verifier on candidates.
+    */
+  def nearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val base = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val a = base.select(col("cid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("cid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Deterministic pseudo-random Rademacher hyperplane component for
+    * (plane, dim): ±1 from a hash — no RNG state, identical on every
+    * executor.
+    */
+  private def planeSign(plane: Int, dim: Column): Column =
+    when(pmod(hash(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Random-hyperplane (SRP) LSH bucketing: `nPlanes` sign bits → bucket
+    * id. Cosine-similar vectors collide with probability
+    * (1 − θ/π)^nPlanes. Candidates are neighbors sharing the bucket —
+    * join on the bucket key, no full-corpus scan per query.
+    */
+  def srpBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x * planeSign(p, i)),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+      when(s > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN top-k via SRP buckets: exact cosine ranking within the bucket's
+    * candidate set. Trades recall for a corpus-partitioned join; the scale
+    * path for similarity search.
+    */
+  def annLshTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      queryPred: Column,
+      nPlanes: Int = 8
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("bucket", srpBucket(col("v"), nPlanes))
+    val queries = base
+      .filter(queryPred)
+      .select(col("cid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val joined = base
+      .join(queries, Seq("bucket"))
+      .filter(col("cid") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("cid").as("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim")
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (SURVEY.md §2.11). All pure Catalyst expressions — codegen-friendly,
+  * shuffle-free per-row maps that pipeline with the parquet scan; at 100 TB
+  * these run at scan speed with full column pruning.
+  */
+object TextOps {
+
+  /** Canonical normalization: lowercase, collapse non-alphanumerics to a
+    * single space, trim. Shared by fingerprinting and dedup so both sides
+    * of any comparison agree on the token stream.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokenization with empty-token removal (totality on empty
+    * and all-space strings).
+    */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles as a distinct array; empty when the document has
+    * fewer than n tokens. ANSI-safe: the sequence bound keeps element_at in
+    * range, and short docs short-circuit to an empty array (Spark's
+    * sequence(1,0) would otherwise count *down*).
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    val count = size(ts) - (n - 1)
+    when(
+      count > 0,
+      array_distinct(transform(sequence(lit(1), count), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*)))
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Token statistics per document: counts only (exact integers — oracle
+    * comparable with no FP drift).
+    */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_uniq_tokens"),
+      array_max(transform(t, x => length(x))).as("max_token_len")
+    )
+  }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  /** Quality signals as exact integer counts; a downstream consumer divides
+    * into ratios. Stopword density + digit density + short-token density are
+    * the classic cheap quality heuristics for pretraining corpora.
+    */
+  def qualityCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String] = defaultStopwords
+  ): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      size(t).as("n_tokens"),
+      size(filter(t, x => x.isin(stopwords.map(_.asInstanceOf[Any]): _*))).as("n_stop"),
+      size(filter(t, x => x.rlike("^[0-9]+$"))).as("n_digit_tokens"),
+      size(filter(t, x => length(x) <= 2)).as("n_short_tokens"),
+      length(col(textCol)).as("n_chars")
+    )
+  }
+
+  /** Document fingerprint: md5 of the normalized text (exact-dup key), plus
+    * the minimum shingle fingerprint (a 1-hash MinHash — stable under small
+    * edits, the building block of winnowing). Both deterministic hex
+    * strings, so oracle-comparable across engines.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String, shingleN: Int = 5): DataFrame =
+    df.select(
+      col(idCol),
+      substring(md5(normalize(col(textCol))), 1, 16).as("fp"),
+      array_min(transform(wordShingles(normalize(col(textCol)), shingleN), s => md5(s))).as("fp_min_shingle")
+    )
+
+  /** Language-ID n-gram/stopword heuristic: score each candidate language
+    * by its marker-token hit count, pick the argmax (ties → lexicographic).
+    * Markers are tiny driver-side lists → the whole thing folds into one
+    * codegen'd projection; no shuffle, no UDF.
+    */
+  val defaultLangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "por"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "que")
+  )
+
+  def langId(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      markers: Map[String, Seq[String]] = defaultLangMarkers
+  ): DataFrame = {
+    val t = tokens(normalize(col(textCol)))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(
+        size(filter(t, x => x.isin(ms.map(_.asInstanceOf[Any]): _*))).as("score"),
+        lit(lang).as("lang")
+      )
+    }
+    // array_max on struct(score, lang): max score, ties broken by the LAST
+    // lang lexicographically; invert via sort for deterministic first-wins.
+    val best = array_max(array(scored: _*))
+    df.select(
+      col(idCol),
+      best.getField("lang").as("pred_lang"),
+      best.getField("score").as("lang_score")
+    )
+  }
+}

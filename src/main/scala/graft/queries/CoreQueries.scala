@@ -1,0 +1,441 @@
+package graft.queries
+
+import graft.extract.QueryExec
+import graft.spec.ExportConfig
+import graft.transform.{TagPivot, Transforms}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Reference-parity operator inventory (SURVEY.md §2) as registered
+  * queries. Each maps a §2 line item to its Spark-first implementation and
+  * a DuckDB oracle.
+  */
+object CoreQueries {
+  import Tables.t
+
+  /** §3.2 end-to-end analytic query through the engine's spec→extract path:
+    * brand IN filter (P2) + date range (P3) + meta-dimension broadcast join
+    * (§2.3) + group-by metric aggregation (A1), driven by an ExportConfig.
+    */
+  private val analyticConfig = ExportConfig(
+    configId = "daily_demo",
+    datasetId = "dataset_content_demo",
+    metrics = ListMap("sum:value" -> "float64", "count:event_id" -> "int64"),
+    groupBy = ListMap("day" -> "datetime64[ns]", "event_type" -> "string"),
+    metaDimensions = ListMap("c_mktsegment" -> "string"),
+    brands = Seq(3L, 7L, 11L, 19L, 23L, 42L, 57L, 99L, 101L, 148L)
+  )
+
+  def analyticExec(s: SparkSession, dir: String): DataFrame = {
+    val facts = t(s, dir, "events").withColumn("day", date_trunc("day", col("ts")))
+    QueryExec
+      .run(
+        facts,
+        analyticConfig,
+        brandCol = "user_id",
+        dateCol = "day",
+        startDate = Some("2024-01-05"),
+        endDate = Some("2024-01-25"),
+        dims = Seq(QueryExec.DimJoin(t(s, dir, "customer"), "user_id", "c_custkey", Seq("c_mktsegment")))
+      )
+      .withColumn("sum_value", col("`sum:value`").cast("double"))
+      .withColumn("n_events", col("`count:event_id`"))
+      .drop("sum:value", "count:event_id")
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    // ---- flagship: the reference's whole query surface in one plan ----
+    "q_analytic_exec" -> QueryDef(
+      analyticExec,
+      Some("""SELECT date_trunc('day', e.ts) AS day, e.event_type, c.c_mktsegment,
+             |CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+             |COUNT(e.event_id) AS n_events
+             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+             |WHERE e.user_id IN (3,7,11,19,23,42,57,99,101,148)
+             |  AND date_trunc('day', e.ts) BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-25'
+             |GROUP BY 1, 2, 3""".stripMargin),
+      "ExportConfig-driven: P2+P3+dim join+A1"
+    ),
+
+    // ---- A1: daily metric rollup (§7.3 minimum slice) ----
+    "q_daily_rollup" -> QueryDef(
+      (s, d) =>
+        t(s, d, "events")
+          .filter(col("user_id").isin(2, 3, 5, 7, 11, 13))
+          .filter(col("ts") >= lit("2024-01-05").cast("timestamp") && col("ts") < lit("2024-01-20").cast("timestamp"))
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+            count(lit(1)).as("n_events")
+          ),
+      Some("""SELECT date_trunc('day', ts) AS day, event_type,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |COUNT(*) AS n_events
+             |FROM events
+             |WHERE user_id IN (2,3,5,7,11,13)
+             |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // ---- P1: projection + reorder ----
+    "q_project_reorder" -> QueryDef(
+      (s, d) =>
+        Transforms.projectColumns(
+          t(s, d, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        ),
+      Some("SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem")
+    ),
+
+    // ---- P2: IN-list predicate ----
+    "q_in_filter" -> QueryDef(
+      (s, d) =>
+        t(s, d, "customer")
+          .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+          .select("c_custkey", "c_name", "c_mktsegment"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING')""".stripMargin)
+    ),
+
+    // ---- P3: BETWEEN date predicate (pushed to the parquet scan) ----
+    "q_between_dates" -> QueryDef(
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(
+            col("l_shipdate").between(
+              lit("1998-01-01").cast("timestamp"),
+              lit("1998-12-31").cast("timestamp")
+            )
+          )
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty")
+          ),
+      Some("""SELECT l_returnflag, COUNT(*) AS n_items,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |WHERE l_shipdate BETWEEN TIMESTAMP '1998-01-01' AND TIMESTAMP '1998-12-31'
+             |GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- P4: lookback window from an (injected) anchor date ----
+    "q_lookback" -> QueryDef(
+      (s, d) =>
+        t(s, d, "events")
+          .filter(col("ts") >= expr("TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 14 DAYS"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events")),
+      Some("""SELECT event_type, COUNT(*) AS n_events FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-31' - INTERVAL 14 DAY
+             |GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- P5: any-column sentinel row filter ----
+    "q_drop_sentinel" -> QueryDef(
+      (s, d) =>
+        Transforms
+          .dropRowsContaining(t(s, d, "events"), sentinel = "error")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events")),
+      Some("""SELECT event_type, COUNT(*) AS n_events FROM events
+             |WHERE NOT (coalesce(CAST(event_id AS VARCHAR) = 'error', false)
+             |  OR coalesce(CAST(ts AS VARCHAR) = 'error', false)
+             |  OR coalesce(CAST(user_id AS VARCHAR) = 'error', false)
+             |  OR coalesce(CAST(event_type AS VARCHAR) = 'error', false)
+             |  OR coalesce(CAST(value AS VARCHAR) = 'error', false)
+             |  OR coalesce(CAST(props AS VARCHAR) = 'error', false))
+             |GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- F5: pandas-parity cast coercion ("3.5"→3, junk→0, null→0) ----
+    "q_cast_coercion" -> QueryDef(
+      (s, d) =>
+        t(s, d, "events").select(
+          col("event_id"),
+          Transforms.castColumn(get_json_object(col("props"), "$.k"), "int64").as("k_int"),
+          Transforms.castColumn(col("event_type"), "int64").as("junk_int"),
+          Transforms.castColumn(col("value"), "float64").as("value_f")
+        ),
+      Some("""SELECT event_id,
+             |CAST(trunc(coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), 0)) AS BIGINT) AS k_int,
+             |CAST(trunc(coalesce(TRY_CAST(event_type AS DOUBLE), 0)) AS BIGINT) AS junk_int,
+             |coalesce(TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE), 0) AS value_f
+             |FROM events""".stripMargin)
+    ),
+
+    // ---- F3: date-to-string formatting ----
+    "q_date_format" -> QueryDef(
+      (s, d) =>
+        t(s, d, "orders").select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_str")
+        ),
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+             |strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS ts_str FROM orders""".stripMargin)
+    ),
+
+    // ---- F4: column-name sanitizer ('.' → '&') ----
+    "q_sanitize_names" -> QueryDef(
+      (s, d) =>
+        Transforms.sanitizeColumnNames(
+          t(s, d, "lineitem").select(
+            col("l_orderkey").as("lfm.fact.orderkey"),
+            col("l_quantity").as("lfm.fact.quantity")
+          )
+        ),
+      Some("""SELECT l_orderkey AS "lfm&fact&orderkey", l_quantity AS "lfm&fact&quantity"
+             |FROM lineitem""".stripMargin)
+    ),
+
+    // ---- §2.3: meta-dimension attach = broadcast snowflake join ----
+    "q_dim_join" -> QueryDef(
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal")
+          )
+      },
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_customers,
+             |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // ---- large-large equi-join (shuffle join on the fact keys) ----
+    "q_join_large" -> QueryDef(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val l = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(
+              col("l_extendedprice").cast("decimal(18,2)") *
+                (lit(1).cast("decimal(8,2)") - col("l_discount").cast("decimal(8,2)"))
+            ).cast("double").as("revenue")
+          )
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |  (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- semi / anti joins ----
+    "q_semi_join" -> QueryDef(
+      (s, d) => {
+        val o = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+        t(s, d, "customer")
+          .join(o, col("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin)
+    ),
+    "q_anti_join" -> QueryDef(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        t(s, d, "customer")
+          .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin)
+    ),
+
+    // ---- window functions ----
+    "q_window_topk_group" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin)
+    ),
+    "q_window_lag" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, d, "orders").select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          lag("o_orderkey", 1).over(w).as("prev_orderkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price")
+        )
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |lag(o_orderkey) OVER w AS prev_orderkey,
+             |lag(o_totalprice) OVER w AS prev_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
+    ),
+    "q_window_rolling" -> QueryDef(
+      (s, d) => {
+        val w = Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(-2, 0)
+        t(s, d, "orders").select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("roll_sum")
+        )
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
+             |FROM orders""".stripMargin)
+    ),
+
+    // ---- global top-k (TakeOrderedAndProject, no full sort at scale) ----
+    "q_topk_global" -> QueryDef(
+      (s, d) =>
+        t(s, d, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+    ),
+
+    // ---- set operations (S2 page-union generalized) ----
+    "q_union_all" -> QueryDef(
+      (s, d) => {
+        val c = t(s, d, "customer")
+        c.filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select(col("c_custkey"), lit("auto").as("src"))
+          .unionByName(
+            c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"), lit("rich").as("src"))
+          )
+      },
+      Some("""SELECT c_custkey, 'auto' AS src FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+             |UNION ALL
+             |SELECT c_custkey, 'rich' AS src FROM customer WHERE c_acctbal > 5000""".stripMargin)
+    ),
+    "q_intersect" -> QueryDef(
+      (s, d) => {
+        val c = t(s, d, "customer")
+        c.filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select("c_custkey")
+          .intersect(c.filter(col("c_acctbal") > 0.0).select("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+             |INTERSECT
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 0""".stripMargin)
+    ),
+    "q_except" -> QueryDef(
+      (s, d) => {
+        val c = t(s, d, "customer")
+        c.filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select("c_custkey")
+          .except(c.filter(col("c_acctbal") > 0.0).select("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+             |EXCEPT
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 0""".stripMargin)
+    ),
+
+    // ---- distinct / grouping sets ----
+    "q_distinct" -> QueryDef(
+      (s, d) => t(s, d, "customer").select("c_mktsegment", "c_nationkey").distinct(),
+      Some("SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")
+    ),
+    "q_rollup" -> QueryDef(
+      (s, d) =>
+        t(s, d, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty")
+          ),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+    ),
+    "q_cube" -> QueryDef(
+      (s, d) =>
+        t(s, d, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price")
+          ),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)
+    ),
+    "q_count_distinct" -> QueryDef(
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            count(lit(1)).as("n_items")
+          ),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
+             |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- sketch aggregate: HLL (no exact oracle by construction) ----
+    "q_approx_count_distinct" -> QueryDef(
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
+      None,
+      "HLL sketch — value is approximate, driver records rows-only check"
+    ),
+
+    // ---- tumbling time window (batch shape of the streaming agg) ----
+    "q_tumbling_window" -> QueryDef(
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")
+          )
+          .select(col("w.start").as("ws"), col("event_type"), col("n_events"), col("sum_value")),
+      Some("""SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n_events,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // ---- F2+A2+§2.9: nested tag parse + dynamic pivot (golden-tested;
+    //      dynamic columns are not DuckDB-expressible — rows-only here) ----
+    "q_tag_pivot" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        val raw = Seq(
+          (1L, Seq("Campaign: holiday", "Campaign: retail", "Franchise: x", "untagged-note")),
+          (2L, Seq.empty[String]),
+          (3L, Seq("Key Name: v", "Campaign: spring"))
+        ).toDF("id", "lfm.content.tags")
+        Transforms.sanitizeColumnNames(TagPivot.pivotTags(raw, "lfm.content.tags"))
+      },
+      None,
+      "dynamic-column pivot; golden-file spec in TagPivotSpec"
+    )
+  )
+}

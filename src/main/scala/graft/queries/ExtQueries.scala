@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** North-star extension operators (SURVEY.md §2.11): the LLM-training-data
+  * pipeline surface over the `documents` / `embeddings` fixtures.
+  */
+object ExtQueries {
+  import Tables.t
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    // ---- exact dedup: hash-groupBy, one shuffle on the content hash ----
+    "dedup_exact" -> QueryDef(
+      (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text"),
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- n-gram Jaccard near-dup: inverted-index join, integer-exact ----
+    "dedup_ngram_jaccard" -> QueryDef(
+      (s, d) =>
+        Dedup.ngramJaccardPairs(
+          t(s, d, "documents"), "doc_id", "text",
+          n = 3, thresholdNum = 4, thresholdDen = 5
+        ),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+             |), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b
+             |FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4""".stripMargin),
+      "word-3gram Jaccard >= 0.8 via shared-shingle blocking"
+    ),
+
+    // ---- MinHash + LSH banding: the 100 TB candidate-generation path.
+    //      Probabilistic signatures — no SQL oracle; recall proven against
+    //      the exact Jaccard pairs in DedupSpec. ----
+    "dedup_minhash_lsh" -> QueryDef(
+      (s, d) =>
+        Dedup.lshCandidatePairs(
+          t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16
+        ),
+      None,
+      "LSH candidates; recall vs exact pairs asserted in DedupSpec"
+    ),
+
+    // ---- SimHash near-dup (banded Hamming-radius lookup) ----
+    "dedup_simhash" -> QueryDef(
+      (s, d) =>
+        Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 6, bands = 4),
+      None,
+      "64-bit SimHash, banded; spec-tested"
+    ),
+
+    // ---- embedding near-dup: cosine threshold pairs (sequential-fold
+    //      double math — bitwise equal to the DuckDB DOUBLE[] oracle) ----
+    "dedup_embedding_cosine" -> QueryDef(
+      (s, d) =>
+        Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.4),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin)
+    ),
+
+    // ---- similarity search: brute-force exact top-k (rank output only —
+    //      no floats in the compared result) ----
+    "ann_cosine_topk" -> QueryDef(
+      (s, d) =>
+        Similarity.cosineTopK(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 5, queryPred = col("cid") < 50
+        ).withColumn("rank", col("rank").cast("long")),
+      Some("""SELECT query_id, rank, neighbor_id FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    CAST(row_number() OVER (
+             |      PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+             |               c.vec_id) AS BIGINT) AS rank
+             |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 50
+             |) WHERE rank <= 5""".stripMargin)
+    ),
+
+    // ---- ANN scale path: SRP-LSH bucketed top-k (approximate — recall
+    //      vs brute force asserted in SimilaritySpec) ----
+    "ann_lsh_topk" -> QueryDef(
+      (s, d) =>
+        Similarity.annLshTopK(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 5, queryPred = col("cid") < 50, nPlanes = 6
+        ).withColumn("rank", col("rank").cast("long")),
+      None,
+      "bucketed ANN; recall spec-tested vs brute force"
+    ),
+
+    // ---- text analysis ----
+    "text_token_stats" -> QueryDef(
+      (s, d) => {
+        val r = TextOps.tokenStats(t(s, d, "documents"), "doc_id", "text")
+        r.select(
+          col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_uniq_tokens").cast("long").as("n_uniq_tokens"),
+          col("max_token_len").cast("long").as("max_token_len")
+        )
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             |CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |CAST(len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_uniq_tokens,
+             |CAST(list_max(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''), x -> length(x))) AS BIGINT) AS max_token_len
+             |FROM documents""".stripMargin)
+    ),
+    "text_quality" -> QueryDef(
+      (s, d) => {
+        val r = TextOps.qualityCounts(t(s, d, "documents"), "doc_id", "text")
+        r.select(
+          col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_stop").cast("long").as("n_stop"),
+          col("n_digit_tokens").cast("long").as("n_digit_tokens"),
+          col("n_short_tokens").cast("long").as("n_short_tokens"),
+          col("n_chars").cast("long").as("n_chars")
+        )
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, length(text) AS n_chars,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents)
+             |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             |CAST(len(list_filter(ts, x -> list_contains(['the','a','an','of','and','to','in','is','it','for'], x))) AS BIGINT) AS n_stop,
+             |CAST(len(list_filter(ts, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_digit_tokens,
+             |CAST(len(list_filter(ts, x -> length(x) <= 2)) AS BIGINT) AS n_short_tokens,
+             |CAST(n_chars AS BIGINT) AS n_chars
+             |FROM toks""".stripMargin)
+    ),
+    "text_fingerprint" -> QueryDef(
+      (s, d) => TextOps.fingerprints(t(s, d, "documents"), "doc_id", "text", shingleN = 5),
+      Some("""WITH norm AS (
+             |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt FROM documents
+             |), toks AS (
+             |  SELECT doc_id, nt, list_filter(regexp_split_to_array(trim(nt), '\s+'), x -> x <> '') AS ts FROM norm
+             |), sh AS (
+             |  SELECT doc_id, nt,
+             |    CASE WHEN len(ts) >= 5 THEN
+             |      list_distinct(list_transform(generate_series(1, len(ts) - 4),
+             |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]))
+             |    ELSE [] END AS shs
+             |  FROM toks)
+             |SELECT doc_id, substr(md5(nt), 1, 16) AS fp,
+             |       list_min(list_transform(shs, x -> md5(x))) AS fp_min_shingle
+             |FROM sh""".stripMargin)
+    ),
+    "text_langid" -> QueryDef(
+      (s, d) => TextOps.langId(t(s, d, "documents"), "doc_id", "text"),
+      None,
+      "marker-token language-ID heuristic; spec-tested"
+    ),
+
+    // ---- multimodal plumbing (decode stubbed deterministically) ----
+    "mm_binary_meta" -> QueryDef(
+      (s, d) => {
+        val withBin = Multimodal.withBinary(t(s, d, "documents"), "text")
+        Multimodal.metaColumns(withBin, "doc_id", "media")
+          .select(
+            col("doc_id"),
+            col("n_bytes").cast("long").as("n_bytes"),
+            col("head_code").cast("long").as("head_code")
+          )
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS BIGINT) AS head_code
+             |FROM documents""".stripMargin)
+    ),
+    "mm_frame_sample" -> QueryDef(
+      (s, d) => {
+        val withBin = Multimodal.withBinary(t(s, d, "documents"), "text")
+        Multimodal.sampleFrames(withBin, "doc_id", "media", stride = 64)
+      },
+      Some("""SELECT doc_id, CAST(g.i AS INT) AS frame_idx, CAST(g.i * 64 AS INT) AS frame_offset
+             |FROM documents, LATERAL (SELECT unnest(generate_series(0,
+             |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) - 1)) AS i) g
+             |WHERE octet_length(encode(text)) > 0""".stripMargin)
+    ),
+
+    // ---- typed-Dataset mapPartitions decode path (fake decoder —
+    //      deterministic, so rows-only plus spec coverage) ----
+    "mm_decode_meta" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val recs = Multimodal
+          .withBinary(t(s, d, "documents"), "text")
+          .select(col("doc_id"), col("media"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.extractMeta(s, recs).toDF()
+      },
+      None,
+      "mapPartitions batch decode with stubbed media decoder"
+    )
+  )
+}

@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered operator: the Spark implementation plus (where
+  * SQL-expressible) a DuckDB oracle that must hash-match it exactly.
+  *
+  * Determinism contract for oracle-backed queries (SURVEY.md §5):
+  *  - FP aggregates are decimal-cast on BOTH sides (exact, order-free);
+  *  - computed integer columns are cast to BIGINT on both sides;
+  *  - vector math is a sequential double fold on both sides (bitwise equal);
+  *  - every ranking has a total order (unique-key tie-breaks).
+  */
+final case class QueryDef(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    description: String = ""
+)
+
+object Tables {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.LongType
+
+  /** Fixture loader. The `events` table carries parquet TIMESTAMP(NANOS)
+    * which Spark rejects by default; read nanos as long and truncate to
+    * microseconds (same truncation DuckDB applies when it reads
+    * TIMESTAMP_NS into its µs timestamps, so oracles agree).
+    */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+}
