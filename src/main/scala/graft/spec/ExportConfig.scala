@@ -68,12 +68,18 @@ object ExportConfig {
     */
   def parseAll(json: String): Seq[ExportConfig] = {
     val root = mapper.readTree(json)
-    root.properties().asScala.toSeq.map { e =>
+    // properties() is a (linked) Set — map through an iterator, NOT the Set
+    // (a Set.map rehashes and destroys the JSON field order, which the
+    // output projection depends on, data_transform.py:31-32)
+    root.properties().iterator().asScala.toSeq.map { e =>
       val id = e.getKey
       val node = e.getValue
       def section(name: String): ListMap[String, String] =
         if (node.has(name))
-          ListMap.from(node.get(name).properties().asScala.map(kv => kv.getKey -> kv.getValue.asText()))
+          ListMap.from(
+            node.get(name).properties().iterator().asScala
+              .map(kv => kv.getKey -> kv.getValue.asText())
+          )
         else ListMap.empty
       val brands =
         if (node.has("brands")) node.get("brands").elements().asScala.map(_.asLong()).toSeq

@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Dedup operator behavior on synthetic corpora with known near-dup
+  * structure, plus LSH recall against the exact Jaccard pairs on the
+  * real `documents` fixture.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val df = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram Jaccard finds a one-word edit as near-dup, not unrelated text") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val edited = base.replace("lazy", "sleepy")
+    val other = "completely different words compose this second document about spark engines"
+    val df = docs(1L -> base, 2L -> edited, 3L -> other)
+    val pairs = Dedup
+      .ngramJaccardPairs(df, "doc_id", "text", n = 3, thresholdNum = 1, thresholdDen = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngram Jaccard: integer evidence columns are consistent") {
+    val df = docs(1L -> "a b c d e", 2L -> "a b c d e")
+    val row = Dedup
+      .ngramJaccardPairs(df, "doc_id", "text", 3, 9, 10)
+      .collect().head
+    assert(row.getAs[Long]("inter") == 3) // identical: 3 trigrams shared
+    assert(row.getAs[Long]("size_a") == 3 && row.getAs[Long]("size_b") == 3)
+  }
+
+  test("maxShingleFreq drops non-discriminative heavy shingles") {
+    // shingle "a b c" appears in every doc; capped at 2 it can't join
+    val df = docs(1L -> "a b c", 2L -> "a b c", 3L -> "a b c")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 1, 2, maxShingleFreq = Some(2))
+    assert(pairs.count() == 0)
+  }
+
+  test("LSH candidates achieve full recall on the fixture's planted near-dups") {
+    val df = graft.queries.Tables.t(spark, sf("sf0.001"), "documents")
+    val exact = Dedup
+      .ngramJaccardPairs(df, "doc_id", "text", 3, 4, 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cands = Dedup
+      .lshCandidatePairs(df, "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val recall = exact.intersect(cands).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash: identical docs share signature; near-dups within small hamming") {
+    val base = "spark catalyst optimizer rewrites logical plans into physical plans efficiently"
+    val near = base.replace("efficiently", "quickly")
+    val far = "unrelated text talking about cooking recipes and kitchen equipment entirely"
+    val sig = Dedup.simhash64(docs(1L -> base, 2L -> base, 3L -> near, 4L -> far), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
+  }
+
+  test("simhashNearDupPairs returns identical docs at hamming 0") {
+    val df = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "zz qq ww ee")
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("wordShingles: short docs yield empty array (no descending-sequence bug)") {
+    val out = docs(1L -> "one two", 2L -> "")
+      .select(TextOps.wordShingles(col("text"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(out.forall(_.isEmpty))
+  }
+}

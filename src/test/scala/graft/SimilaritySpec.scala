@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search behavior: exact math, top-k semantics, and LSH
+  * recall vs brute force on the embeddings fixture.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/cosine: hand-checked values") {
+    val df = Seq((Seq(1.0, 2.0), Seq(2.0, 3.0))).toDF("a", "b")
+    val (d, c) = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("b"))
+    ).as[(Double, Double)].collect().head
+    assert(d == 8.0)
+    assert(math.abs(c - 8.0 / (math.sqrt(5) * math.sqrt(13))) < 1e-12)
+  }
+
+  test("cosineTopK: identical vector ranks first, orthogonal last") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f)),   // same direction as 0
+      (2L, Seq(0.9f, 0.1f)),   // close
+      (3L, Seq(0.0f, 1.0f))    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .cosineTopK(df, "vec_id", "embedding", k = 3, queryPred = col("cid") === 0L)
+      .orderBy("rank").as[(Long, Int, Long)].collect()
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("cosineTopK excludes self") {
+    val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(df, "vec_id", "embedding", 5, col("cid") === 0L)
+      .select("neighbor_id").as[Long].collect()
+    assert(!out.contains(0L))
+  }
+
+  test("nearDupPairs threshold behavior") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.01f)),
+      (2L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("SRP bucketing is deterministic and ANN recall@5 is reasonable on fixture") {
+    val df = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
+    val brute = Similarity
+      .cosineTopK(df, "vec_id", "embedding", 5, col("cid") < 30)
+      .as[(Long, Int, Long)].collect().toSet
+    val ann = Similarity
+      .annLshTopK(df, "vec_id", "embedding", 5, col("cid") < 30, nPlanes = 2)
+      .as[(Long, Int, Long)].collect()
+    // determinism: rerun yields identical rows
+    val ann2 = Similarity
+      .annLshTopK(df, "vec_id", "embedding", 5, col("cid") < 30, nPlanes = 2)
+      .as[(Long, Int, Long)].collect()
+    assert(ann.toSet == ann2.toSet)
+    // recall of true top-5 neighbor IDs (ranks may shift within bucket)
+    val bruteIds = brute.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    val annIds = ann.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val hits = bruteIds.toSeq.flatMap { case (q, ids) =>
+      ids.toSeq.map(id => if (annIds.getOrElse(q, Set.empty).contains(id)) 1 else 0)
+    }
+    // Random 64-dim data has near-uniform angles, the worst case for SRP:
+    // P[same bucket] = (1-θ/π)^planes ≈ 0.25–0.45 for true neighbors at
+    // 2 planes. Anything well above the ~0.25 chance floor shows the
+    // bucketing correlates with cosine; real clustered embeddings do far
+    // better.
+    val recall = hits.sum.toDouble / hits.size
+    assert(recall > 0.25, s"ANN recall@5 = $recall (2 planes, random 64-dim data)")
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops.{Multimodal, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and multimodal-plumbing specs. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize: lowercases, collapses punctuation/whitespace, trims") {
+    val out = Seq("  Hello,  WORLD! 42 ").toDF("t")
+      .select(TextOps.normalize(col("t"))).as[String].collect().head
+    assert(out == "hello world 42")
+  }
+
+  test("tokens: empty and all-space strings yield zero tokens") {
+    val out = Seq("", "   ", "a  b").toDF("t")
+      .select(size(TextOps.tokens(col("t")))).as[Int].collect()
+    assert(out.toSeq == Seq(0, 0, 2))
+  }
+
+  test("tokenStats counts") {
+    val r = TextOps.tokenStats(Seq((1L, "a bb a ccc")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Int]("n_uniq_tokens") == 3)
+    assert(r.getAs[Int]("max_token_len") == 3)
+    assert(r.getAs[Int]("n_chars") == 10)
+  }
+
+  test("qualityCounts: stopword/digit/short-token tallies") {
+    val r = TextOps
+      .qualityCounts(Seq((1L, "the cat is 42 ok")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Int]("n_tokens") == 5)
+    assert(r.getAs[Int]("n_stop") == 2)         // the, is
+    assert(r.getAs[Int]("n_digit_tokens") == 1) // 42
+    assert(r.getAs[Int]("n_short_tokens") == 3) // is, 42, ok
+  }
+
+  test("fingerprints: identical normalized texts share fp; small edits share min-shingle sometimes but fp differs") {
+    val df = Seq(
+      (1L, "Hello, World! one two three four five six"),
+      (2L, "hello world one two three four five six"),
+      (3L, "completely different")
+    ).toDF("doc_id", "text")
+    val out = TextOps.fingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 == out(2L)._1) // normalization-invariant
+    assert(out(1L)._1 != out(3L)._1)
+    assert(out(3L)._2 == null) // < 5 tokens → no shingles
+  }
+
+  test("langId picks the language with most marker hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el perro y la casa de los gatos"),
+      (3L, "der hund und die katze ist nicht da")
+    ).toDF("doc_id", "text")
+    val out = TextOps.langId(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de")
+  }
+
+  test("multimodal: binary attach + expression metadata + fake decode agree") {
+    val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val withBin = Multimodal.withBinary(df, "text")
+    val meta = Multimodal.metaColumns(withBin, "doc_id", "media")
+      .collect().map(r => r.getLong(0) -> (r.getAs[Int]("n_bytes"), r.getAs[Int]("head_code"))).toMap
+    assert(meta(1L) == ((3, 97)))  // 'a' = 97
+    assert(meta(2L) == ((0, -1)))
+    val decoded = Multimodal
+      .extractMeta(spark, withBin.select(col("doc_id"), col("media")).as[Multimodal.MediaRecord])
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(decoded(1L).n_bytes == 3 && decoded(1L).head_code == 97)
+    assert(decoded(1L).fake_width == (97 % 64) + 1)
+    assert(decoded(2L).fake_width == 0)
+  }
+
+  test("frame sampling: ceil(n_bytes/stride) frames with right offsets") {
+    val df = Seq((1L, "x" * 130), (2L, "")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.withBinary(df, "text"), "doc_id", "media", 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(frames.count(_._1 == 1L) == 3) // 130 bytes / 64 → 3 frames
+    assert(frames.filter(_._1 == 1L).map(_._3).toSet == Set(0, 64, 128))
+    assert(!frames.exists(_._1 == 2L))
+  }
+}
