@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dozens of codegen'd queries in one JVM overflow the default 240m code
+  // cache; once full the JIT shuts off and late queries run interpreted
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -10,7 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: session/codegen/parquet-reader init otherwise lands
+    // on whichever query happens to run first
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().collect()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // isolate per-query timing: drop caches left by previous queries
+      // (dedup ops persist intermediates that are otherwise only released
+      // with the session)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Codegen'd dot product over two double arrays.
+  *
+  * The composable form — `aggregate(zip_with(a, b, _*_), 0d, _+_)` — is
+  * evaluated by the interpreted higher-order-function path and dominates
+  * wall time on pairwise similarity joins (millions of 64-element folds).
+  * This native expression emits a tight primitive loop inside whole-stage
+  * codegen instead: same strict left-to-right summation order, so results
+  * are bitwise identical to the fold (and to the DuckDB oracle).
+  *
+  * Preference order per the build brief: built-in composition first, a
+  * custom `Expression` with `doGenCode` only where the built-ins can't hit
+  * the required throughput — this is that case.
+  */
+case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}"
+      )
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_array_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
+object ArrayDot {
+  val name = "graft_array_dot"
+
+  /** Idempotent per-session registration so `call_function(name, …)`
+    * resolves. Kept out of SparkSessionExtensions so the expression works
+    * in harness-owned sessions too.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier(name)
+    if (!spark.sessionState.functionRegistry.functionExists(id)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[ArrayDot].getName, null, name),
+        (exprs: Seq[Expression]) => ArrayDot(exprs.head, exprs(1))
+      )
+    }
+  }
+}

@@ -27,9 +27,14 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-n-gram shingles, exploded to (id, shingle) rows. */
+  /** Distinct word-n-gram shingles, exploded to (id, shingle) rows.
+    * Tokens are projected to a materialized column first so the shingle
+    * lambda reads an O(1) attribute (see shinglesFromTokens warning —
+    * an inline tokens() expression makes shingling quadratic).
+    */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("sid"), explode(TextOps.wordShingles(col(textCol), n)).as("s"))
+    df.select(col(idCol).as("sid"), TextOps.tokens(col(textCol)).as("__ts"))
+      .select(col("sid"), explode(TextOps.shinglesFromTokens(col("__ts"), n)).as("s"))
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ num/den, via the
     * inverted-index join. Output carries the integer evidence
@@ -50,7 +55,12 @@ object Dedup {
       thresholdDen: Int,
       maxShingleFreq: Option[Int] = None
   ): DataFrame = {
+    // The shingle table feeds three consumers (both join sides + sizes);
+    // without materialization the (interpreted-HOF) shingling runs three
+    // times. Cache it — at cluster scale the same role is played by a
+    // checkpoint of the inverted index.
     val sh = shingleRows(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shFiltered = maxShingleFreq match {
       case Some(cap) =>
         // df-capped inverted index: drop non-discriminative heavy shingles
@@ -76,11 +86,15 @@ object Dedup {
   }
 
   /** MinHash signatures: numHashes min-values per doc over per-index
-    * rehashes of each shingle (`xxhash64(shingleHash, j)` — an independent
-    * hash family per j, deterministic across executors, and ANSI-safe
-    * where an affine `a*h+b` would overflow-throw). One explode + one
-    * groupBy; signature width is a constant, so the shuffle carries
-    * O(docs × numHashes) longs regardless of corpus size.
+    * rehashes of each shingle (`XXH64(shingleHash, seed=j)` — an
+    * independent hash family per j, deterministic across executors).
+    *
+    * Shape note: a 64-column `min` aggregate compiles to a janino class so
+    * large that codegen/JIT costs dominate (seconds of compile per query —
+    * measured). The idiomatic escape hatch is a typed groupByKey/mapGroups
+    * with a primitive accumulator: shingle hashing stays codegen'd in the
+    * projection, the shuffle carries (long, long) pairs, and the signature
+    * fold is a tight JVM loop. Id column must be integral.
     */
   def minhashSignatures(
       df: DataFrame,
@@ -89,12 +103,25 @@ object Dedup {
       shingleN: Int,
       numHashes: Int
   ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val sh = shingleRows(df, idCol, textCol, shingleN)
-      .select(col("sid"), xxhash64(col("s")).as("h"))
-    val mins = (0 until numHashes).map { j =>
-      min(xxhash64(col("h"), lit(j))).as(s"m$j")
-    }
-    sh.groupBy("sid").agg(mins.head, mins.tail: _*)
+      .select(col("sid").cast("long").as("sid"), xxhash64(col("s")).as("h"))
+      .as[(Long, Long)]
+    sh.groupByKey(_._1)
+      .mapGroups { (sid, it) =>
+        val mins = Array.fill(numHashes)(Long.MaxValue)
+        it.foreach { case (_, h) =>
+          var j = 0
+          while (j < numHashes) {
+            val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, j)
+            if (v < mins(j)) mins(j) = v
+            j += 1
+          }
+        }
+        (sid, mins.toSeq)
+      }
+      .toDF("sid", "sig")
   }
 
   /** LSH banding: hash r consecutive signature components per band, emit
@@ -111,9 +138,12 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // signatures are tiny (docs × numHashes longs) and feed both join
+    // sides — materialize once
     val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { bIdx =>
-      val parts = (0 until r).map(k => col(s"m${bIdx * r + k}"))
+      val parts = (0 until r).map(k => element_at(col("sig"), bIdx * r + k + 1))
       struct(lit(bIdx).as("band"), xxhash64(parts: _*).as("bh"))
     }
     val buckets = sig
@@ -128,23 +158,43 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the token multiset: per bit, sum ±1 across token
-    * hashes, bit set where the sum is positive. Expressed as 64 integer
-    * aggregates — fully codegen'd, one shuffle on the doc id.
+    * hashes, bit set where the sum is positive.
+    *
+    * Same shape decision as minhashSignatures: token hashing is a
+    * codegen'd projection, the 64-lane bit-count fold is a typed
+    * mapGroups with a primitive array accumulator (a 64-column SQL
+    * aggregate pays seconds of janino/JIT compile). One shuffle of
+    * (long, long) pairs on the doc id. Id column must be integral.
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(
-      col(idCol).as("sid"),
-      explode(TextOps.tokens(normalizeForSimhash(col(textCol)))).as("t")
-    )
-    val h = xxhash64(col("t"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
-    }
-    val sums = tok.groupBy("sid").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    sums.select(col("sid"), sig.as("simhash"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tok = df
+      .select(
+        col(idCol).cast("long").as("sid"),
+        explode(TextOps.tokens(normalizeForSimhash(col(textCol)))).as("t")
+      )
+      .select(col("sid"), xxhash64(col("t")).as("h"))
+      .as[(Long, Long)]
+    tok.groupByKey(_._1)
+      .mapGroups { (sid, it) =>
+        val acc = new Array[Int](64)
+        it.foreach { case (_, h) =>
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+            b += 1
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) {
+          if (acc(b) > 0) sig |= (1L << b)
+          b += 1
+        }
+        (sid, sig)
+      }
+      .toDF("sid", "simhash")
   }
 
   private def normalizeForSimhash(c: Column): Column = TextOps.normalize(c)
@@ -161,6 +211,7 @@ object Dedup {
       bands: Int = 4
   ): DataFrame = {
     val sig = simhash64(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val width = 64 / bands
     val mask = (1L << width) - 1
     val bandCols = (0 until bands).map { i =>

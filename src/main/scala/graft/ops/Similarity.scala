@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.ArrayDot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -20,9 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays (composable form;
+    * interpreted HOF path — used for one-off column math).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  /** Codegen'd dot product (ArrayDot) — bitwise-identical to `dot`, used
+    * on the pairwise hot paths. Requires ArrayDot.ensureRegistered on the
+    * session, which every entry point below performs.
+    */
+  def fastDot(a: Column, b: Column): Column = call_function(ArrayDot.name, a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -41,10 +50,11 @@ object Similarity {
       queryPred: Column
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    ArrayDot.ensureRegistered(emb.sparkSession)
     val base = emb.select(
       col(idCol).as("cid"),
       asDouble(col(vecCol)).as("v")
-    ).withColumn("nrm", l2norm(col("v")))
+    ).withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
     val queries = base
       .filter(queryPred)
       .select(col("cid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -53,7 +63,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("cid").as("neighbor_id"),
-        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim")
+        (fastDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim")
       )
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     joined
@@ -72,12 +82,13 @@ object Similarity {
       vecCol: String,
       threshold: Double
   ): DataFrame = {
+    ArrayDot.ensureRegistered(emb.sparkSession)
     val base = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
     val a = base.select(col("cid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("cid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .filter(fastDot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("id_a", "id_b")
   }
 
@@ -118,8 +129,9 @@ object Similarity {
       nPlanes: Int = 8
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    ArrayDot.ensureRegistered(emb.sparkSession)
     val base = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
       .withColumn("bucket", srpBucket(col("v"), nPlanes))
     val queries = base
       .filter(queryPred)
@@ -130,7 +142,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("cid").as("neighbor_id"),
-        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim")
+        (fastDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim")
       )
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     joined

@@ -23,13 +23,18 @@ object TextOps {
   def tokens(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => t =!= "")
 
-  /** Word n-gram shingles as a distinct array; empty when the document has
-    * fewer than n tokens. ANSI-safe: the sequence bound keeps element_at in
-    * range, and short docs short-circuit to an empty array (Spark's
-    * sequence(1,0) would otherwise count *down*).
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED token array column.
+    *
+    * IMPORTANT: pass an attribute (a projected column), not an inline
+    * `tokens(text)` expression — an expression embedded in the lambda is
+    * re-evaluated per element by the interpreted HOF path, turning the
+    * shingling quadratic (the regex split would run 3× per shingle).
+    * Empty when the document has fewer than n tokens. ANSI-safe: the
+    * sequence bound keeps element_at in range, and short docs
+    * short-circuit to an empty array (Spark's sequence(1,0) would
+    * otherwise count *down*).
     */
-  def wordShingles(c: Column, n: Int): Column = {
-    val ts = tokens(c)
+  def shinglesFromTokens(ts: Column, n: Int): Column = {
     val count = size(ts) - (n - 1)
     when(
       count > 0,
@@ -38,19 +43,24 @@ object TextOps {
     ).otherwise(array().cast("array<string>"))
   }
 
+  /** Convenience form for small inputs / tests; on hot paths project
+    * `tokens(c)` first and use `shinglesFromTokens` (see warning there).
+    */
+  def wordShingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
+
   /** Token statistics per document: counts only (exact integers — oracle
     * comparable with no FP drift).
     */
-  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    df.select(
-      col(idCol),
-      length(col(textCol)).as("n_chars"),
-      size(t).as("n_tokens"),
-      size(array_distinct(t)).as("n_uniq_tokens"),
-      array_max(transform(t, x => length(x))).as("max_token_len")
-    )
-  }
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), length(col(textCol)).as("n_chars"), tokens(col(textCol)).as("__ts"))
+      .select(
+        col(idCol),
+        col("n_chars"),
+        size(col("__ts")).as("n_tokens"),
+        size(array_distinct(col("__ts"))).as("n_uniq_tokens"),
+        array_max(transform(col("__ts"), x => length(x))).as("max_token_len")
+      )
+      .select(idCol, "n_chars", "n_tokens", "n_uniq_tokens", "max_token_len")
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
@@ -64,17 +74,16 @@ object TextOps {
       idCol: String,
       textCol: String,
       stopwords: Seq[String] = defaultStopwords
-  ): DataFrame = {
-    val t = tokens(col(textCol))
-    df.select(
-      col(idCol),
-      size(t).as("n_tokens"),
-      size(filter(t, x => x.isin(stopwords.map(_.asInstanceOf[Any]): _*))).as("n_stop"),
-      size(filter(t, x => x.rlike("^[0-9]+$"))).as("n_digit_tokens"),
-      size(filter(t, x => length(x) <= 2)).as("n_short_tokens"),
-      length(col(textCol)).as("n_chars")
-    )
-  }
+  ): DataFrame =
+    df.select(col(idCol), length(col(textCol)).as("n_chars"), tokens(col(textCol)).as("__ts"))
+      .select(
+        col(idCol),
+        size(col("__ts")).as("n_tokens"),
+        size(filter(col("__ts"), x => x.isin(stopwords.map(_.asInstanceOf[Any]): _*))).as("n_stop"),
+        size(filter(col("__ts"), x => x.rlike("^[0-9]+$"))).as("n_digit_tokens"),
+        size(filter(col("__ts"), x => length(x) <= 2)).as("n_short_tokens"),
+        col("n_chars")
+      )
 
   /** Document fingerprint: md5 of the normalized text (exact-dup key), plus
     * the minimum shingle fingerprint (a 1-hash MinHash — stable under small
@@ -82,11 +91,13 @@ object TextOps {
     * strings, so oracle-comparable across engines.
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String, shingleN: Int = 5): DataFrame =
-    df.select(
-      col(idCol),
-      substring(md5(normalize(col(textCol))), 1, 16).as("fp"),
-      array_min(transform(wordShingles(normalize(col(textCol)), shingleN), s => md5(s))).as("fp_min_shingle")
-    )
+    df.select(col(idCol), normalize(col(textCol)).as("__nt"))
+      .select(col(idCol), col("__nt"), tokens(col("__nt")).as("__ts"))
+      .select(
+        col(idCol),
+        substring(md5(col("__nt")), 1, 16).as("fp"),
+        array_min(transform(shinglesFromTokens(col("__ts"), shingleN), s => md5(s))).as("fp_min_shingle")
+      )
 
   /** Language-ID n-gram/stopword heuristic: score each candidate language
     * by its marker-token hit count, pick the argmax (ties → lexicographic).

@@ -63,9 +63,8 @@ object CoreQueries {
     // ---- A1: daily metric rollup (§7.3 minimum slice) ----
     "q_daily_rollup" -> QueryDef(
       (s, d) =>
-        t(s, d, "events")
+        Tables.eventsRanged(s, d, Some("2024-01-05"), Some("2024-01-20"))
           .filter(col("user_id").isin(2, 3, 5, 7, 11, 13))
-          .filter(col("ts") >= lit("2024-01-05").cast("timestamp") && col("ts") < lit("2024-01-20").cast("timestamp"))
           .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
           .agg(
             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
@@ -124,9 +123,10 @@ object CoreQueries {
 
     // ---- P4: lookback window from an (injected) anchor date ----
     "q_lookback" -> QueryDef(
+      // anchor 2024-01-31 − 14 days = 2024-01-17, resolved driver-side
+      // (DateMacro-style) so the bound pushes to the scan as a long range
       (s, d) =>
-        t(s, d, "events")
-          .filter(col("ts") >= expr("TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 14 DAYS"))
+        Tables.eventsRanged(s, d, Some("2024-01-17"), None)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events")),
       Some("""SELECT event_type, COUNT(*) AS n_events FROM events

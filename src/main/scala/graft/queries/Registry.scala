@@ -33,4 +33,39 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  /** Events with a time-range predicate applied to the RAW nanosecond long
+    * column, before the µs conversion — so the range reaches the parquet
+    * scan as a pushable long comparison (row-group/page pruning at scale).
+    * Filtering after `timestamp_micros(ts div 1000)` would defeat pushdown:
+    * Catalyst cannot invert the expression. Bounds are UTC `yyyy-MM-dd`
+    * (or full timestamps); start inclusive, end exclusive.
+    */
+  def eventsRanged(
+      s: SparkSession,
+      dir: String,
+      startInclusive: Option[String],
+      endExclusive: Option[String]
+  ): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    def ns(d: String): Long = {
+      val str = if (d.length == 10) s"$d 00:00:00" else d
+      java.time.LocalDateTime
+        .parse(str.replace(" ", "T"))
+        .toInstant(java.time.ZoneOffset.UTC)
+        .getEpochSecond * 1000000000L
+    }
+    if (raw.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType)) {
+      var df = raw
+      startInclusive.foreach(d => df = df.filter(col("ts") >= lit(ns(d))))
+      endExclusive.foreach(d => df = df.filter(col("ts") < lit(ns(d))))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      var df = raw
+      startInclusive.foreach(d => df = df.filter(col("ts") >= lit(d).cast("timestamp")))
+      endExclusive.foreach(d => df = df.filter(col("ts") < lit(d).cast("timestamp")))
+      df
+    }
+  }
 }
