@@ -157,6 +157,42 @@ object Dedup {
       .distinct()
   }
 
+  /** The composed 100 TB dedup recipe: LSH banding generates candidate
+    * pairs in O(docs × bands), then ONLY those pairs get the exact
+    * integer-Jaccard verification via the inverted index. Pair-space work
+    * collapses from Σ freq² to |candidates|; output schema matches
+    * ngramJaccardPairs so the verifier is a drop-in exact check.
+    */
+  def lshVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      thresholdNum: Int,
+      thresholdDen: Int
+  ): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands)
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("sid").as("id_a"), col("s"))
+    val b = sh.select(col("sid").as("id_b"), col("s"))
+    val inter = cands
+      .join(a, Seq("id_a"))
+      .join(b, Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("sid").as("id_a"), col("sz").as("size_a")), "id_a")
+      .join(sizes.select(col("sid").as("id_b"), col("sz").as("size_b")), "id_b")
+      .filter(
+        col("inter") * thresholdDen >= (col("size_a") + col("size_b") - col("inter")) * thresholdNum
+      )
+      .select("id_a", "id_b", "inter", "size_a", "size_b")
+  }
+
   /** 64-bit SimHash over the token multiset: per bit, sum ±1 across token
     * hashes, bit set where the sum is positive.
     *

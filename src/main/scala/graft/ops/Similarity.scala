@@ -92,6 +92,34 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
+  /** IVF coarse quantizer: nearest-centroid assignment by exact cosine
+    * against k fixed centroids (the first k vectors — deterministic; a
+    * production pipeline would feed k-means centroids in). Broadcast of k
+    * rows, one corpus scan, no shuffle: at 100 TB this is the partitioning
+    * step that co-locates each cluster before IVF search probes only the
+    * relevant clusters.
+    */
+  def clusterAssign(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ArrayDot.ensureRegistered(emb.sparkSession)
+    val base = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
+    val centroids = base
+      .filter(col("cid") < k)
+      .select(col("cid").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("cid").orderBy(col("sim").desc, col("centroid_id").asc)
+    base
+      .crossJoin(broadcast(centroids))
+      .select(
+        col("cid"),
+        col("centroid_id"),
+        (fastDot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("sim")
+      )
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid").as("vec_id"), col("centroid_id"))
+  }
+
   /** Deterministic pseudo-random Rademacher hyperplane component for
     * (plane, dim): ±1 from a hash — no RNG state, identical on every
     * executor.

@@ -439,3 +439,82 @@ object CoreQueries {
     )
   )
 }
+
+/** SQL-surface queries (`spark.sql` over registered views) — the engine's
+  * second query interface next to the DataFrame combinators. Same oracle
+  * discipline: decimal math inside, double/bigint at the boundary.
+  */
+object SqlQueries {
+  import Tables.t
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  private def withViews(s: SparkSession, d: String, names: String*)(sql: String): DataFrame = {
+    names.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    // TPC-H Q3 shape: segment-filtered revenue ranking (join-heavy SQL path)
+    "q_sql_revenue_topn" -> QueryDef(
+      (s, d) =>
+        withViews(s, d, "customer", "orders", "lineitem")(
+          """SELECT o_orderkey,
+            |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |  (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+            |FROM customer JOIN orders ON c_custkey = o_custkey
+            |JOIN lineitem ON l_orderkey = o_orderkey
+            |WHERE c_mktsegment = 'BUILDING'
+            |  AND o_orderdate < TIMESTAMP '1998-01-01'
+            |  AND l_shipdate > TIMESTAMP '1998-01-01'
+            |GROUP BY o_orderkey
+            |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+        ),
+      Some("""SELECT o_orderkey,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |  (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY o_orderkey
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+    ),
+    "q_sql_grouping_sets" -> QueryDef(
+      (s, d) =>
+        withViews(s, d, "lineitem")(
+          """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+            |FROM lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+        ),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    ),
+    // window-function suite: lead / dense_rank / ntile / running sum over
+    // one frame spec
+    "q_sql_window_suite" -> QueryDef(
+      (s, d) =>
+        withViews(s, d, "orders")(
+          """SELECT o_custkey, o_orderkey,
+            |  lead(o_orderkey) OVER w AS next_orderkey,
+            |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+            |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+            |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+            |FROM orders
+            |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+        ),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  lead(o_orderkey) OVER w AS next_orderkey,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
+    )
+  )
+}

@@ -210,3 +210,77 @@ object ExtQueries {
     )
   )
 }
+
+/** Second wave of extension operators: clustering-based ANN (IVF shape),
+  * corpus term statistics, and the composed LSH→exact-verify dedup that is
+  * the actual 100 TB dedup recipe.
+  */
+object Ext2Queries {
+  import Tables.t
+  import graft.ops.{Dedup, Similarity}
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    // IVF coarse quantizer: assign every vector to its nearest of K fixed
+    // centroids (exact cosine argmax — deterministic, oracle-checked).
+    // At scale this is the partitioning step: co-locate each cluster's
+    // vectors, then search only the probed clusters.
+    "emb_cluster_assign" -> QueryDef(
+      (s, d) =>
+        Similarity.clusterAssign(t(s, d, "embeddings"), "vec_id", "embedding", k = 8)
+          .withColumn("centroid_id", col("centroid_id").cast("long")),
+      Some("""SELECT vid AS vec_id, CAST(cid AS BIGINT) AS centroid_id FROM (
+             |  SELECT v.vec_id AS vid, c.vec_id AS cid,
+             |    row_number() OVER (PARTITION BY v.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+             |               c.vec_id) AS rn
+             |  FROM embeddings v, embeddings c WHERE c.vec_id < 8
+             |) WHERE rn = 1""".stripMargin)
+    ),
+
+    // corpus-level term statistics (the DF side of TF-IDF) — integer-exact
+    "text_term_stats" -> QueryDef(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("__ts"))
+          .select(col("doc_id"), explode(col("__ts")).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+        tf.join(dfreq, "token").select("doc_id", "token", "tf", "doc_freq")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents
+             |), tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1)
+             |SELECT doc_id, tf.token, tf, doc_freq FROM tf JOIN dfreq ON tf.token = dfreq.token""".stripMargin)
+    ),
+    "text_top_tokens" -> QueryDef(
+      (s, d) =>
+        t(s, d, "documents")
+          .select(graft.ops.TextOps.tokens(col("text")).as("__ts"))
+          .select(explode(col("__ts")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(20),
+      Some("""SELECT token, COUNT(*) AS n FROM (
+             |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents)
+             |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)
+    ),
+
+    // THE scalable dedup recipe: LSH candidates → exact Jaccard verify on
+    // candidates only. Probabilistic recall ⇒ rows-only here; DedupSpec
+    // asserts it equals the exact pair set on the fixture.
+    "dedup_minhash_verified" -> QueryDef(
+      (s, d) =>
+        Dedup.lshVerifiedPairs(
+          t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16,
+          thresholdNum = 4, thresholdDen = 5
+        ),
+      None,
+      "LSH candidate generation + exact integer-Jaccard verification"
+    )
+  )
+}

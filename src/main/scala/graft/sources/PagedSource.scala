@@ -1,0 +1,190 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 connector with the shape of the reference's LFM analytic
+  * source (`/root/reference/data_extract.py:44-92`, SURVEY.md §2.1 S1/S2):
+  * a *paged* remote analytics API whose server evaluates filters.
+  *
+  * - **Pages become InputPartitions** (S2): the reference's
+  *   `for page in client.async_analytic_query(...)` + `pd.concat` union is
+  *   exactly Spark's partition model — each page is read independently, in
+  *   parallel, and the union is implicit. At scale: one partition per page
+  *   token, no driver-side concat, no memory cliff.
+  * - **SupportsPushDownFilters** (the reference pushes its brand IN-list
+  *   and date range into the API query): pushed filters are evaluated
+  *   inside the partition reader — standing in for the server-side
+  *   evaluation — and reported back so Catalyst drops the residual Filter
+  *   node.
+  * - **SupportsPushDownRequiredColumns**: column pruning reaches the
+  *   source (the reference requests exactly metrics ∪ dims, P1).
+  *
+  * The backing "server" here is a deterministic in-memory generator
+  * (offline env — zero egress); a production build points the same
+  * connector at the HTTP API. Usage:
+  *
+  * {{{
+  * spark.read.format("graft.sources.PagedSource")
+  *   .option("rows", "10000").option("pageSize", "1000")
+  *   .load().filter($"brand_id".isin(1, 2)).select("brand_id", "metric")
+  * }}}
+  */
+class PagedSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = PagedSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]
+  ): Table = new PagedTable(properties.asScala.toMap)
+}
+
+object PagedSource {
+  /** LFM-fact-shaped schema: brand key, daily date string, one metric. */
+  val schema: StructType = StructType(Seq(
+    StructField("brand_id", LongType, nullable = false),
+    StructField("date_str", StringType, nullable = false),
+    StructField("metric", DoubleType, nullable = false)
+  ))
+
+  /** Deterministic row for global index i — the fake "server". */
+  def row(i: Long): (Long, String, Double) = {
+    val brand = i % 97
+    val day = (i / 97) % 28 + 1
+    val metric = (i % 1000) / 10.0
+    (brand, f"2024-01-$day%02d", metric)
+  }
+}
+
+final class PagedTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = "graft_paged_source"
+  override def schema(): StructType = PagedSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = props ++ options.asScala
+    new PagedScanBuilder(
+      totalRows = merged.getOrElse("rows", "10000").toLong,
+      pageSize = merged.getOrElse("pageSize", "1000").toInt
+    )
+  }
+}
+
+final class PagedScanBuilder(totalRows: Long, pageSize: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = PagedSource.schema
+
+  /** Accept the filter shapes the LFM query language supports (IN on the
+    * brand key, comparisons on the date string — P2/P3); anything else is
+    * left for Spark to evaluate as a residual.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition {
+      case _: In | _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+          _: LessThan | _: LessThanOrEqual | _: IsNotNull => true
+      case _ => false
+    }
+    pushed = supported
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new PagedScan(totalRows, pageSize, pushed, required)
+}
+
+final class PagedScan(totalRows: Long, pageSize: Int, filters: Array[Filter], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft_paged_source PushedFilters: [${filters.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  /** One InputPartition per page — the S2 pagination model. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val nPages = ((totalRows + pageSize - 1) / pageSize).toInt
+    (0 until nPages).map(p => PagePartition(p, pageSize, totalRows): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(filters, required)
+}
+
+final case class PagePartition(page: Int, pageSize: Int, totalRows: Long) extends InputPartition
+
+final class PagedReaderFactory(filters: Array[Filter], required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagePartition]
+    new PagedReader(p, filters, required)
+  }
+}
+
+/** Reads one page, applying the pushed filters "server-side" (here: while
+  * generating) and projecting only the pruned columns.
+  */
+final class PagedReader(p: PagePartition, filters: Array[Filter], required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val start = p.page.toLong * p.pageSize
+  private val end = math.min(start + p.pageSize, p.totalRows)
+  private var i = start - 1
+  private var current: (Long, String, Double) = _
+
+  private def accept(r: (Long, String, Double)): Boolean = filters.forall {
+    case In("brand_id", vs)                  => vs.exists(v => v.asInstanceOf[Number].longValue == r._1)
+    case EqualTo("brand_id", v)              => v.asInstanceOf[Number].longValue == r._1
+    case GreaterThan("brand_id", v)          => r._1 > v.asInstanceOf[Number].longValue
+    case GreaterThanOrEqual("brand_id", v)   => r._1 >= v.asInstanceOf[Number].longValue
+    case LessThan("brand_id", v)             => r._1 < v.asInstanceOf[Number].longValue
+    case LessThanOrEqual("brand_id", v)      => r._1 <= v.asInstanceOf[Number].longValue
+    case EqualTo("date_str", v)              => r._2 == v.toString
+    case GreaterThan("date_str", v)          => r._2 > v.toString
+    case GreaterThanOrEqual("date_str", v)   => r._2 >= v.toString
+    case LessThan("date_str", v)             => r._2 < v.toString
+    case LessThanOrEqual("date_str", v)      => r._2 <= v.toString
+    case In("date_str", vs)                  => vs.exists(_.toString == r._2)
+    case IsNotNull(_)                        => true
+    case _                                   => true
+  }
+
+  override def next(): Boolean = {
+    while (i + 1 < end) {
+      i += 1
+      val r = PagedSource.row(i)
+      if (accept(r)) { current = r; return true }
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val vals = required.fields.map(_.name match {
+      case "brand_id" => current._1.asInstanceOf[Any]
+      case "date_str" => UTF8String.fromString(current._2)
+      case "metric"   => current._3.asInstanceOf[Any]
+    })
+    InternalRow.fromSeq(vals.toSeq)
+  }
+
+  override def close(): Unit = ()
+}

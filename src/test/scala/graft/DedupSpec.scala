@@ -59,6 +59,18 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"LSH recall $recall over ${exact.size} true pairs")
   }
 
+  test("LSH+verify composed dedup equals the exact Jaccard pair set on the fixture") {
+    val df = graft.queries.Tables.t(spark, sf("sf0.001"), "documents")
+    val exact = Dedup
+      .ngramJaccardPairs(df, "doc_id", "text", 3, 4, 5)
+      .select("id_a", "id_b", "inter", "size_a", "size_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val verified = Dedup
+      .lshVerifiedPairs(df, "doc_id", "text", 3, 64, 16, 4, 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(verified == exact, "on a corpus where LSH recall is 1.0 the composed op is exact")
+  }
+
   test("simhash: identical docs share signature; near-dups within small hamming") {
     val base = "spark catalyst optimizer rewrites logical plans into physical plans efficiently"
     val near = base.replace("efficiently", "quickly")
