@@ -269,6 +269,30 @@ object Ext2Queries {
              |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)
     ),
 
+    // as-of (temporal) join — an operator Spark lacks natively, composed
+    // as union + carry-forward window: one shuffle of |L|+|R| on the key,
+    // no point-in-time join explosion. Oracle = DuckDB's native ASOF JOIN.
+    "q_asof_join" -> QueryDef(
+      (s, d) => {
+        val events = t(s, d, "events").select("event_id", "user_id", "ts")
+        val lastOrders = t(s, d, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max("o_orderkey").as("last_order_key"))
+        graft.ops.AsofJoin.asofJoin(
+          events, lastOrders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("last_order_key")
+        ).select("event_id", "user_id", "ts", "last_order_key")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_order_key
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, e.ts, o.last_order_key
+             |FROM events e ASOF LEFT JOIN o
+             |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin)
+    ),
+
     // THE scalable dedup recipe: LSH candidates → exact Jaccard verify on
     // candidates only. Probabilistic recall ⇒ rows-only here; DedupSpec
     // asserts it equals the exact pair set on the fixture.
