@@ -91,6 +91,7 @@ object QueryExec {
     if (groupCols.nonEmpty && metricCols.nonEmpty)
       df.groupBy(groupCols: _*).agg(metricCols.head, metricCols.tail: _*)
     else if (metricCols.nonEmpty) df.agg(metricCols.head, metricCols.tail: _*)
+    else if (groupCols.nonEmpty) df.select(groupCols: _*).distinct()
     else df
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
   *
   *   1. tag both sides and UNION them on (key, time);
   *   2. one window per key ordered by (time, side-tag) carries the last
-  *      non-null right-side payload forward (`last(..., ignoreNulls)`);
+  *      right-side payload forward;
   *   3. keep only left rows.
+  *
+  * The payload is carried as ONE struct so the attached columns always
+  * come from the same right row — carrying columns independently with
+  * ignoreNulls would resurrect older rows' values through nulls and could
+  * stitch together a row that never existed.
   *
   * Cost: ONE shuffle of |L|+|R| rows on the key (same as a sort-merge
   * join) and no point-in-time self-join explosion — at 100 TB this beats
@@ -34,36 +39,36 @@ object AsofJoin {
       rightTime: String,
       payload: Seq[String]
   ): DataFrame = {
-    val lCols = left.columns
-    val l = left
-      .withColumn("__k", col(leftKey))
-      .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
-    // right side: only key, time, payload; left-only columns null
-    val rBase = right.select((rightKey +: rightTime +: payload).distinct.map(col): _*)
-    val r = lCols.foldLeft(
-      rBase
-        .withColumn("__k", col(rightKey))
-        .withColumn("__t", col(rightTime))
-        .withColumn("__side", lit(0))
-    )((df, c) => if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
-    val lAll = payload.foldLeft(l)((df, c) =>
-      if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    payload.foreach(p =>
+      require(!left.columns.contains(p),
+        s"payload column '$p' already exists on the left side"))
 
-    val unioned = lAll
-      .select(("__k" +: "__t" +: "__side" +: (lCols.filterNot(Set("__k", "__t", "__side")) ++ payload).distinct.toSeq).map(col): _*)
-      .unionByName(
-        r.select(("__k" +: "__t" +: "__side" +: (lCols.filterNot(Set("__k", "__t", "__side")) ++ payload).distinct.toSeq).map(col): _*)
-      )
-
+    val lCols = left.columns.toSeq
+    val l = left.select(
+      col(leftKey).as("__k") +:
+        col(leftTime).as("__t") +:
+        lit(1).as("__side") +:
+        lit(null).cast(structType(right, payload)).as("__payload") +:
+        lCols.map(col): _*
+    )
+    val r = right.select(
+      col(rightKey).as("__k") +:
+        col(rightTime).as("__t") +:
+        lit(0).as("__side") +:
+        struct(payload.map(col): _*).as("__payload") +:
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*
+    )
     val w = Window
       .partitionBy("__k")
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    carried
+    l.unionByName(r)
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__k", "__t", "__side")
+      .select(lCols.map(col) ++ payload.map(p => col(s"__carried.`$p`").as(p)): _*)
   }
+
+  private def structType(right: DataFrame, payload: Seq[String]) =
+    org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p)))
 }

@@ -68,7 +68,10 @@ object Dedup {
         sh.join(broadcast(freq.select("s")), "s")
       case None => sh
     }
-    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("sz"))
+    // sizes MUST come from the same (possibly capped) shingle set as the
+    // intersections — mixing capped inter with uncapped sizes would
+    // systematically underestimate Jaccard and drop all-heavy-shingle pairs
+    val sizes = shFiltered.groupBy("sid").agg(count(lit(1)).as("sz"))
     val a = shFiltered.select(col("sid").as("id_a"), col("s"))
     val b = shFiltered.select(col("sid").as("id_b"), col("s"))
     val inter = a
@@ -246,6 +249,8 @@ object Dedup {
       maxHamming: Int = 3,
       bands: Int = 4
   ): DataFrame = {
+    require(maxHamming < bands,
+      s"banding is only complete for hamming < bands (got maxHamming=$maxHamming, bands=$bands)")
     val sig = simhash64(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val width = 64 / bands

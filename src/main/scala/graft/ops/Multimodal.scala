@@ -80,7 +80,13 @@ object Multimodal {
     df.select(
       col(idCol),
       length(col(binCol)).as("n_bytes"),
-      when(length(col(binCol)) > 0, ascii(col(binCol).cast("string"))).otherwise(-1).as("head_code")
+      // true first BYTE as unsigned int (hex of the 1-byte slice) —
+      // casting binary to string and taking ascii() would decode UTF-8
+      // and disagree with FakeDecode's bytes(0) & 0xff on non-ASCII
+      when(
+        length(col(binCol)) > 0,
+        conv(hex(substring(col(binCol), 1, 1)), 16, 10).cast("int")
+      ).otherwise(-1).as("head_code")
     )
 
   /** Frame sampling: every `stride`-th byte as a "frame" (index + payload

@@ -118,14 +118,17 @@ object TextOps {
       markers: Map[String, Seq[String]] = defaultLangMarkers
   ): DataFrame = {
     val t = tokens(normalize(col(textCol)))
-    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+    val ordered = markers.toSeq.sortBy(_._1)
+    val n = ordered.size
+    val scored = ordered.zipWithIndex.map { case ((lang, ms), idx) =>
       struct(
         size(filter(t, x => x.isin(ms.map(_.asInstanceOf[Any]): _*))).as("score"),
+        // descending index as second sort key: among equal scores,
+        // array_max picks the lexicographically FIRST language
+        lit(n - idx).as("inv_rank"),
         lit(lang).as("lang")
       )
     }
-    // array_max on struct(score, lang): max score, ties broken by the LAST
-    // lang lexicographically; invert via sort for deterministic first-wins.
     val best = array_max(array(scored: _*))
     df.select(
       col(idCol),

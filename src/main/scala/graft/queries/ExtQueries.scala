@@ -57,8 +57,10 @@ object ExtQueries {
 
     // ---- SimHash near-dup (banded Hamming-radius lookup) ----
     "dedup_simhash" -> QueryDef(
+      // maxHamming must stay < bands for pigeonhole completeness (8 bands
+      // of 8 bits find every pair within hamming 7)
       (s, d) =>
-        Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 6, bands = 4),
+        Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 6, bands = 8),
       None,
       "64-bit SimHash, banded; spec-tested"
     ),

@@ -91,12 +91,21 @@ final class PagedScanBuilder(totalRows: Long, pageSize: Int)
 
   /** Accept the filter shapes the LFM query language supports (IN on the
     * brand key, comparisons on the date string — P2/P3); anything else is
-    * left for Spark to evaluate as a residual.
+    * left for Spark to evaluate as a residual. Claiming a filter the
+    * reader does not evaluate would silently return wrong results, so the
+    * column allow-list must match PagedReader.accept exactly.
     */
+  private val pushableColumns = Set("brand_id", "date_str")
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, residual) = filters.partition {
-      case _: In | _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-          _: LessThan | _: LessThanOrEqual | _: IsNotNull => true
+      case In(c, _) => pushableColumns(c)
+      case EqualTo(c, _) => pushableColumns(c)
+      case GreaterThan(c, _) => pushableColumns(c)
+      case GreaterThanOrEqual(c, _) => pushableColumns(c)
+      case LessThan(c, _) => pushableColumns(c)
+      case LessThanOrEqual(c, _) => pushableColumns(c)
+      case _: IsNotNull => true
       case _ => false
     }
     pushed = supported

@@ -67,6 +67,8 @@ object EventStream {
       events: org.apache.spark.sql.Dataset[(Long, Long, Double)],
       gapMs: Long
   ): org.apache.spark.sql.Dataset[UserSession] = {
+    // event times are unix MICROseconds; the gap parameter is milliseconds
+    val gapUs = gapMs * 1000L
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events
@@ -79,7 +81,7 @@ object EventStream {
           val closed = Seq.newBuilder[UserSession]
           evs.foreach { case (_, ts, v) =>
             cur match {
-              case Some(s) if ts - s.lastUs <= gapMs =>
+              case Some(s) if ts - s.lastUs <= gapUs =>
                 cur = Some(s.copy(lastUs = ts, nEvents = s.nEvents + 1, total = s.total + v))
               case Some(s) =>
                 closed += UserSession(user, new java.sql.Timestamp(s.startUs / 1000),

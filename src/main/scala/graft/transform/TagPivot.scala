@@ -62,7 +62,10 @@ object TagPivot {
       maxKeys: Int = 1000
   ): DataFrame = {
     val mapCol = "__tags_map"
+    // the parsed map feeds BOTH the key-collection job and the final
+    // projection; persist so the HOF parse+fold runs once, not twice
     val withMap = df.withColumn(mapCol, tagsToMap(col(s"`$tagsCol`"), tagsCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Driver pass 1: distinct tag keys (column-pruned scan + partial agg).
     val keys = withMap
       .select(explode(map_keys(col(mapCol))).as("k"))

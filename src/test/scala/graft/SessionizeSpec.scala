@@ -17,7 +17,7 @@ class SessionizeSpec extends SparkSpec {
       (1L, us(30), 4.0), (1L, us(35), 5.0),                 // session 2 (closed by nothing → stays open)
       (2L, us(1), 10.0)                                     // user 2, single open session
     ).toDS()
-    val closed = EventStream.sessionize(events, gapMs * 1000 /* µs gap */).collect()
+    val closed = EventStream.sessionize(events, gapMs).collect()
     // only user 1's first session closes (a later event arrived past the gap)
     assert(closed.length == 1)
     val s = closed.head
