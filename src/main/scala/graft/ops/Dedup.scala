@@ -160,6 +160,45 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-duplicate pair graph (the final
+    * step of fuzzy dedup: pairs → clusters → keep one doc per cluster,
+    * SURVEY.md §2.11 "MinHash → LSH → connected components").
+    *
+    * Bounded min-label propagation: every node starts labeled with its own
+    * id; each iteration every node takes the min label over itself and its
+    * neighbors. Converges in ≤ diameter iterations — near-dup clusters are
+    * short-diameter by construction (they are quasi-cliques), so a small
+    * fixed bound is exact in practice and keeps the computation a
+    * deterministic chain of `iterations` self-joins (each a key-partitioned
+    * shuffle; at scale this is the standard large-graph CC loop, checkpoint
+    * every few rounds).
+    *
+    * Returns (doc_id, component) for every node appearing in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, iterations: Int = 4): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    (1 to iterations).foreach { _ =>
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(edges("src").as("node2"))
+        .agg(min(col("label")).as("nlabel"))
+      labels = labels
+        .join(neighborMin, labels("node") === neighborMin("node2"), "left")
+        .select(
+          col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")
+        )
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
   /** The composed 100 TB dedup recipe: LSH banding generates candidate
     * pairs in O(docs × bands), then ONLY those pairs get the exact
     * integer-Jaccard verification via the inverted index. Pair-space work

@@ -295,6 +295,74 @@ object Ext2Queries {
              |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin)
     ),
 
+    // connected components over the near-dup graph — dedup cluster
+    // formation (bounded min-label propagation, exact for short-diameter
+    // near-dup clusters; deterministic integer labels on both engines)
+    "dedup_components" -> QueryDef(
+      (s, d) =>
+        Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 4, 5)
+            .select("id_a", "id_b"),
+          iterations = 4
+        ),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+             |), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), pairs AS (
+             |  SELECT id_a, id_b FROM pr
+             |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |  WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4
+             |), e AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+             |l1 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l0 l LEFT JOIN e ON e.src = l.node LEFT JOIN l0 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l2 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l1 l LEFT JOIN e ON e.src = l.node LEFT JOIN l1 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l3 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l2 l LEFT JOIN e ON e.src = l.node LEFT JOIN l2 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l4 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l3 l LEFT JOIN e ON e.src = l.node LEFT JOIN l3 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label)
+             |SELECT node AS doc_id, label AS component FROM l4""".stripMargin)
+    ),
+
+    // scalar string-function suite (F-ops generalized): case, slice,
+    // reverse, length, edit distance, concat — all exact
+    "q_string_funcs" -> QueryDef(
+      (s, d) =>
+        t(s, d, "customer").select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          reverse(col("c_name")).as("rname"),
+          substring(col("c_name"), 1, 5).as("prefix5"),
+          length(col("c_name")).cast("long").as("name_len"),
+          levenshtein(col("c_name"), lit("Customer#1")).cast("long").as("edit_dist"),
+          concat_ws("-", col("c_mktsegment"), col("c_name")).as("seg_name")
+        ),
+      Some("""SELECT c_custkey, upper(c_name) AS uname, reverse(c_name) AS rname,
+             |substr(c_name, 1, 5) AS prefix5, CAST(length(c_name) AS BIGINT) AS name_len,
+             |CAST(levenshtein(c_name, 'Customer#1') AS BIGINT) AS edit_dist,
+             |concat_ws('-', c_mktsegment, c_name) AS seg_name
+             |FROM customer""".stripMargin)
+    ),
+
     // THE scalable dedup recipe: LSH candidates → exact Jaccard verify on
     // candidates only. Probabilistic recall ⇒ rows-only here; DedupSpec
     // asserts it equals the exact pair set on the fixture.

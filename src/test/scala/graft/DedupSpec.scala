@@ -71,6 +71,14 @@ class DedupSpec extends SparkSpec {
     assert(verified == exact, "on a corpus where LSH recall is 1.0 the composed op is exact")
   }
 
+  test("connectedComponents: chains and singleton pairs get min-id labels") {
+    // graph: 1-2, 2-3, 3-4 (chain, diameter 3) and 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash: identical docs share signature; near-dups within small hamming") {
     val base = "spark catalyst optimizer rewrites logical plans into physical plans efficiently"
     val near = base.replace("efficiently", "quickly")
