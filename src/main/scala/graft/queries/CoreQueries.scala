@@ -515,6 +515,53 @@ object SqlQueries {
              |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
+    ),
+    // JSON struct parse (from_json typed extraction — the engine-native
+    // form of the reference's driver-side json.loads)
+    "q_json_parse" -> QueryDef(
+      (s, d) =>
+        Tables.t(s, d, "events").select(
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.from_json(
+            org.apache.spark.sql.functions.col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")
+          ).getField("k").cast("long").as("k_val")
+        ),
+      Some("""SELECT event_id, CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT) AS BIGINT) AS k_val
+             |FROM events""".stripMargin)
+    ),
+    // static pivot (RelationalGroupedDataset.pivot with a fixed value
+    // list — the one-pass variant of the dynamic tag pivot)
+    "q_static_pivot" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Tables.t(s, d, "customer")
+          .groupBy("c_nationkey")
+          .pivot("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "MACHINERY"))
+          .agg(count(lit(1)))
+          .select(
+            col("c_nationkey"),
+            coalesce(col("AUTOMOBILE"), lit(0L)).as("n_auto"),
+            coalesce(col("BUILDING"), lit(0L)).as("n_build"),
+            coalesce(col("MACHINERY"), lit(0L)).as("n_mach")
+          )
+      },
+      Some("""SELECT c_nationkey,
+             |CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS BIGINT) AS n_auto,
+             |CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS n_build,
+             |CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS BIGINT) AS n_mach
+             |FROM customer GROUP BY 1""".stripMargin)
+    ),
+    // deterministic collection aggregate: sorted list per group
+    "q_collect_sorted" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Tables.t(s, d, "customer")
+          .groupBy("c_nationkey")
+          .agg(sort_array(collect_list(col("c_custkey"))).as("custkeys"))
+      },
+      Some("""SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys
+             |FROM customer GROUP BY 1""".stripMargin)
     )
   )
 }
