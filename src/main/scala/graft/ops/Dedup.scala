@@ -36,6 +36,24 @@ object Dedup {
     df.select(col(idCol).as("sid"), TextOps.tokens(col(textCol)).as("__ts"))
       .select(col("sid"), explode(TextOps.shinglesFromTokens(col("__ts"), n)).as("s"))
 
+  /** Join integer intersection counts with per-doc set sizes and keep
+    * pairs with Jaccard ≥ num/den (integer arithmetic — no FP). Shared by
+    * the exact path and the LSH-verified path.
+    */
+  private def jaccardThreshold(
+      inter: DataFrame,
+      sizes: DataFrame,
+      thresholdNum: Int,
+      thresholdDen: Int
+  ): DataFrame =
+    inter
+      .join(sizes.select(col("sid").as("id_a"), col("sz").as("size_a")), "id_a")
+      .join(sizes.select(col("sid").as("id_b"), col("sz").as("size_b")), "id_b")
+      .filter(
+        col("inter") * thresholdDen >= (col("size_a") + col("size_b") - col("inter")) * thresholdNum
+      )
+      .select("id_a", "id_b", "inter", "size_a", "size_b")
+
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ num/den, via the
     * inverted-index join. Output carries the integer evidence
     * (intersection + set sizes) — bitwise reproducible, no FP.
@@ -79,13 +97,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("sid").as("id_a"), col("sz").as("size_a")), "id_a")
-      .join(sizes.select(col("sid").as("id_b"), col("sz").as("size_b")), "id_b")
-      .filter(
-        col("inter") * thresholdDen >= (col("size_a") + col("size_b") - col("inter")) * thresholdNum
-      )
-      .select("id_a", "id_b", "inter", "size_a", "size_b")
+    jaccardThreshold(inter, sizes, thresholdNum, thresholdDen)
   }
 
   /** MinHash signatures: numHashes min-values per doc over per-index
@@ -105,10 +117,13 @@ object Dedup {
       textCol: String,
       shingleN: Int,
       numHashes: Int
-  ): DataFrame = {
-    val spark = df.sparkSession
+  ): DataFrame =
+    signaturesFromShingles(shingleRows(df, idCol, textCol, shingleN), numHashes)
+
+  private def signaturesFromShingles(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val spark = shingles.sparkSession
     import spark.implicits._
-    val sh = shingleRows(df, idCol, textCol, shingleN)
+    val sh = shingles
       .select(col("sid").cast("long").as("sid"), xxhash64(col("s")).as("h"))
       .as[(Long, Long)]
     sh.groupByKey(_._1)
@@ -140,10 +155,14 @@ object Dedup {
       bands: Int = 16
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    candidatesFromShingles(shingleRows(df, idCol, textCol, shingleN), numHashes, bands)
+  }
+
+  private def candidatesFromShingles(shingles: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
     // signatures are tiny (docs × numHashes longs) and feed both join
     // sides — materialize once
-    val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    val sig = signaturesFromShingles(shingles, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { bIdx =>
       val parts = (0 until r).map(k => element_at(col("sig"), bIdx * r + k + 1))
@@ -215,9 +234,12 @@ object Dedup {
       thresholdNum: Int,
       thresholdDen: Int
   ): DataFrame = {
-    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands)
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // ONE shingle materialization feeds both candidate generation (via
+    // signatures) and exact verification
     val sh = shingleRows(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatesFromShingles(sh, numHashes, bands)
     val sizes = sh.groupBy("sid").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("sid").as("id_a"), col("s"))
     val b = sh.select(col("sid").as("id_b"), col("s"))
@@ -226,13 +248,7 @@ object Dedup {
       .join(b, Seq("id_b", "s"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("sid").as("id_a"), col("sz").as("size_a")), "id_a")
-      .join(sizes.select(col("sid").as("id_b"), col("sz").as("size_b")), "id_b")
-      .filter(
-        col("inter") * thresholdDen >= (col("size_a") + col("size_b") - col("inter")) * thresholdNum
-      )
-      .select("id_a", "id_b", "inter", "size_a", "size_b")
+    jaccardThreshold(inter, sizes, thresholdNum, thresholdDen)
   }
 
   /** 64-bit SimHash over the token multiset: per bit, sum ±1 across token
@@ -250,7 +266,7 @@ object Dedup {
     val tok = df
       .select(
         col(idCol).cast("long").as("sid"),
-        explode(TextOps.tokens(normalizeForSimhash(col(textCol)))).as("t")
+        explode(TextOps.tokens(TextOps.normalize(col(textCol)))).as("t")
       )
       .select(col("sid"), xxhash64(col("t")).as("h"))
       .as[(Long, Long)]
@@ -275,7 +291,6 @@ object Dedup {
       .toDF("sid", "simhash")
   }
 
-  private def normalizeForSimhash(c: Column): Column = TextOps.normalize(c)
 
   /** SimHash near-dup pairs within a Hamming radius, banded so candidate
     * generation is a hash-join on 16-bit sub-keys (no pair enumeration).

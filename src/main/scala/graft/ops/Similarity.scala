@@ -39,6 +39,27 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** (cid, v, nrm) projection shared by every entry point; registers the
+    * codegen dot expression on the session.
+    */
+  private def prepBase(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    ArrayDot.ensureRegistered(emb.sparkSession)
+    emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
+  }
+
+  /** row_number top-k per query with the standard (sim desc, neighbor asc)
+    * total order.
+    */
+  private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Exact top-k cosine neighbors for a query subset, brute force.
     * Pre-computes norms once per side; broadcasts the query batch.
     */
@@ -49,12 +70,7 @@ object Similarity {
       k: Int,
       queryPred: Column
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    ArrayDot.ensureRegistered(emb.sparkSession)
-    val base = emb.select(
-      col(idCol).as("cid"),
-      asDouble(col(vecCol)).as("v")
-    ).withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
+    val base = prepBase(emb, idCol, vecCol)
     val queries = base
       .filter(queryPred)
       .select(col("cid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -65,11 +81,7 @@ object Similarity {
         col("cid").as("neighbor_id"),
         (fastDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim")
       )
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
+    rankTopK(joined, k)
   }
 
   /** All pairs with cosine ≥ threshold. Blocked self-join (id_a < id_b on a
@@ -82,9 +94,7 @@ object Similarity {
       vecCol: String,
       threshold: Double
   ): DataFrame = {
-    ArrayDot.ensureRegistered(emb.sparkSession)
-    val base = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
+    val base = prepBase(emb, idCol, vecCol)
     val a = base.select(col("cid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("cid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -101,9 +111,7 @@ object Similarity {
     */
   def clusterAssign(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    ArrayDot.ensureRegistered(emb.sparkSession)
-    val base = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
+    val base = prepBase(emb, idCol, vecCol)
     val centroids = base
       .filter(col("cid") < k)
       .select(col("cid").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -156,10 +164,7 @@ object Similarity {
       queryPred: Column,
       nPlanes: Int = 8
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    ArrayDot.ensureRegistered(emb.sparkSession)
-    val base = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
+    val base = prepBase(emb, idCol, vecCol)
       .withColumn("bucket", srpBucket(col("v"), nPlanes))
     val queries = base
       .filter(queryPred)
@@ -172,10 +177,6 @@ object Similarity {
         col("cid").as("neighbor_id"),
         (fastDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim")
       )
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
+    rankTopK(joined, k)
   }
 }

@@ -60,7 +60,6 @@ object TextOps {
         size(array_distinct(col("__ts"))).as("n_uniq_tokens"),
         array_max(transform(col("__ts"), x => length(x))).as("max_token_len")
       )
-      .select(idCol, "n_chars", "n_tokens", "n_uniq_tokens", "max_token_len")
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
