@@ -40,14 +40,22 @@ object Pipeline {
       case None    => configs
     }
     val results = selected.map { cfg =>
+      graft.util.JsonLog.info(s"Processing configuration ${cfg.configId}")
       try {
         val rows = process(cfg)
-        if (rows == 0L) Skipped(cfg.configId, "no data extracted")
-        else Processed(cfg.configId, rows)
+        if (rows == 0L) {
+          graft.util.JsonLog.warning(s"No data extracted for ${cfg.configId}")
+          Skipped(cfg.configId, "no data extracted")
+        } else Processed(cfg.configId, rows)
       } catch {
-        case NonFatal(e) => Failed(cfg.configId, e)
+        case NonFatal(e) =>
+          // E1: log ERROR, continue with the next config
+          graft.util.JsonLog.error(s"Failed processing ${cfg.configId}: ${e.getMessage}")
+          Failed(cfg.configId, e)
       }
     }
-    RunSummary(results)
+    val summary = RunSummary(results)
+    graft.util.JsonLog.info(summary.message)
+    summary
   }
 }

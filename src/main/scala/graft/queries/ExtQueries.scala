@@ -363,6 +363,21 @@ object Ext2Queries {
              |FROM customer""".stripMargin)
     ),
 
+    // event-time sessionization (custom per-key state; batch mode of the
+    // flatMapGroupsWithState streaming operator). No SQL oracle — gaps
+    // over per-user event-time sequences need the stateful fold.
+    "q_sessionize" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val src = t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+          .as[(Long, Long, Double)]
+        graft.streaming.EventStream.sessionize(src, gapMs = 30 * 60 * 1000L).toDF()
+      },
+      None,
+      "flatMapGroupsWithState sessionization; batch/stream equivalence spec-tested"
+    ),
+
     // THE scalable dedup recipe: LSH candidates → exact Jaccard verify on
     // candidates only. Probabilistic recall ⇒ rows-only here; DedupSpec
     // asserts it equals the exact pair set on the fixture.
