@@ -516,6 +516,63 @@ object SqlQueries {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
     ),
+    // date arithmetic family (datediff / date_add / calendar extraction)
+    "q_date_arith" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Tables.t(s, d, "orders").select(
+          col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1997-01-01").cast("timestamp")).cast("long").as("days_since"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("due_date"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end")
+        )
+      },
+      Some("""SELECT o_orderkey,
+             |CAST(date_diff('day', DATE '1997-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+             |strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+             |CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |CAST(day(o_orderdate) AS BIGINT) AS dom,
+             |strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+             |FROM orders""".stripMargin)
+    ),
+    // conditional aggregation (count_if / filtered sums)
+    "q_conditional_agg" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Tables.t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count_if(col("l_quantity") > 25).as("n_bulk"),
+            count_if(col("l_discount") === 0.0).as("n_nodisc"),
+            sum(when(col("l_tax") > 0.05, col("l_quantity").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("taxed_qty")
+          )
+      },
+      Some("""SELECT l_returnflag,
+             |COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+             |COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+             |CAST(SUM(CASE WHEN l_tax > 0.05 THEN CAST(l_quantity AS DECIMAL(18,2))
+             |  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS taxed_qty
+             |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+    // regexp extraction (group capture)
+    "q_regexp_extract" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Tables.t(s, d, "customer").select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+          regexp_extract(col("c_mktsegment"), "^([A-Z]+)", 1).as("seg_word")
+        )
+      },
+      Some("""SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+             |regexp_extract(c_mktsegment, '^([A-Z]+)', 1) AS seg_word
+             |FROM customer""".stripMargin)
+    ),
     // JSON struct parse (from_json typed extraction — the engine-native
     // form of the reference's driver-side json.loads)
     "q_json_parse" -> QueryDef(
