@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Release hook the persist() calls below pair with — see [[Caching]]. */
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame =
+    Caching.materializeAndRelease(result, cached: _*)
+
   /** Exact dedup: group on a content hash, keep the minimum id. One
     * shuffle on a 128-bit key; at scale this is the canonical
     * hash-partitioned distinct.
@@ -97,7 +101,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    jaccardThreshold(inter, sizes, thresholdNum, thresholdDen)
+    materializeAndRelease(jaccardThreshold(inter, sizes, thresholdNum, thresholdDen), sh)
   }
 
   /** MinHash signatures: numHashes min-values per doc over per-index
@@ -173,10 +177,12 @@ object Dedup {
       .select(col("sid"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val l = buckets.select(col("sid").as("id_a"), col("band"), col("bh"))
     val rgt = buckets.select(col("sid").as("id_b"), col("band"), col("bh"))
-    l.join(rgt, Seq("band", "bh"))
+    val cands = l
+      .join(rgt, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    materializeAndRelease(cands, sig)
   }
 
   /** Connected components over a near-duplicate pair graph (the final
@@ -201,8 +207,16 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Each iteration references the previous labels TWICE (neighbor-min
+    // join + outer update join). Without a lineage cut per round the final
+    // plan re-evaluates iteration i-1 twice, i-2 four times, … — ~2^k
+    // recompute (measured: 9.4 s → ~2 s at sf0.1 with the checkpoint).
+    // Eager localCheckpoint both materializes the round and truncates the
+    // plan, exactly the checkpoint-every-round posture a 100 TB CC loop
+    // needs; superseded rounds' blocks are GC-cleaned by ContextCleaner.
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+      .localCheckpoint(true)
     (1 to iterations).foreach { _ =>
       val neighborMin = edges
         .join(labels, edges("dst") === labels("node"))
@@ -214,7 +228,9 @@ object Dedup {
           col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")
         )
+        .localCheckpoint(true)
     }
+    edges.unpersist(false)
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
@@ -248,7 +264,7 @@ object Dedup {
       .join(b, Seq("id_b", "s"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    jaccardThreshold(inter, sizes, thresholdNum, thresholdDen)
+    materializeAndRelease(jaccardThreshold(inter, sizes, thresholdNum, thresholdDen), sh)
   }
 
   /** 64-bit SimHash over the token multiset: per bit, sum ±1 across token
@@ -316,11 +332,18 @@ object Dedup {
       .select(col("sid"), col("simhash"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val l = buckets.select(col("sid").as("id_a"), col("simhash").as("sig_a"), col("band"), col("bh"))
     val rgt = buckets.select(col("sid").as("id_b"), col("simhash").as("sig_b"), col("band"), col("bh"))
-    l.join(rgt, Seq("band", "bh"))
+    // filter on the Hamming radius BEFORE the distinct: the radius test is
+    // a per-row map over the joined band pairs, so applying it first
+    // shrinks the distinct's shuffle from |all band collisions| to
+    // |matching pairs × bands| — at scale the band-collision set is the
+    // big one (random 2^-width collisions included)
+    val pairs = l
+      .join(rgt, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+    materializeAndRelease(pairs, sig)
   }
 }

@@ -48,16 +48,43 @@ object Similarity {
       .withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
   }
 
-  /** row_number top-k per query with the standard (sim desc, neighbor asc)
-    * total order.
+  /** Bounded top-k accumulator over (sim, neighbor_id) with the standard
+    * (sim desc, neighbor asc) total order. As a TypedImperativeAggregate
+    * (via `functions.udaf`) it gets map-side PARTIAL aggregation: each map
+    * task keeps at most k entries per query, so the shuffle carries
+    * O(k × |queries| × partitions) rows instead of the full
+    * |corpus| × |queries| expansion a window-rank over the joined set
+    * would move — the difference between a bounded merge and shuffling the
+    * whole scored corpus at 100 TB.
+    */
+  private final class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Double, Long), Seq[(Double, Long)], Seq[Long]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    override def zero: Seq[(Double, Long)] = Nil
+    override def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+      if (buf.lengthCompare(k) >= 0 && better(buf.last, x)) buf
+      else (buf :+ x).sortWith(better).take(k)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (a ++ b).sortWith(better).take(k)
+    override def finish(buf: Seq[(Double, Long)]): Seq[Long] = buf.map(_._2)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Top-k per query: bounded partial aggregation (see TopKAgg), then one
+    * posexplode to (rank, neighbor) rows. Identical output to a
+    * window-rank — the heap's comparator IS the window's total order.
     */
   private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    val topk = udaf(new TopKAgg(k))
     joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
+      .groupBy("query_id")
+      .agg(topk(col("sim"), col("neighbor_id").cast("long")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"), col("neighbor_id"))
   }
 
   /** Exact top-k cosine neighbors for a query subset, brute force.
@@ -150,6 +177,73 @@ object Similarity {
       when(s > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Deterministic ±1 for (plane, dim) — splitmix64-style driver-side
+    * mix, so sign vectors can be built as literal arrays and the per-plane
+    * projection becomes one codegen'd ArrayDot against a constant (the
+    * interpreted-HOF srpBucket costs ~25× more per plane).
+    */
+  private def radSign(plane: Int, i: Int): Double = {
+    var z = (plane.toLong << 32) | (i.toLong & 0xffffffffL)
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z = z ^ (z >>> 33)
+    if (z >= 0) 1.0 else -1.0
+  }
+
+  /** All pairs with cosine ≥ threshold via multi-table SRP blocking: the
+    * scale-safe form of [[nearDupPairs]]. Each of `tables` hash tables
+    * buckets every vector by `planesPerTable` hyperplane sign bits; the
+    * candidate set is the union over tables of same-bucket pairs (a plain
+    * shuffled hash join on the (table, bucket) key — never a
+    * BroadcastNestedLoopJoin), and ONLY candidates get the exact cosine
+    * verification. Miss probability per true pair is
+    * (1 − p^r)^L with p = 1 − θ/π, so recall is tuned by (r=planesPerTable,
+    * L=tables): high thresholds need few tables; low thresholds (weakly
+    * similar pairs) need more tables and prune less — that tradeoff is
+    * physics, but the plan shape stays a partitioned hash join either way,
+    * which is what survives a 100× scale-up. Bucketing is hash-determined
+    * (no RNG): results are reproducible run to run.
+    */
+  def srpVerifiedPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planesPerTable: Int = 3,
+      tables: Int = 24
+  ): DataFrame = {
+    val base = prepBase(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dim probe: one-row driver lookup (bounded, like the sanctioned
+    // config collects) so sign vectors match the fixture's width
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    val tableCols = (0 until tables).map { tbl =>
+      val bits = (0 until planesPerTable).map { p =>
+        val signs = Array.tabulate(dim)(i => radSign(tbl * planesPerTable + p, i))
+        when(fastDot(col("v"), typedLit(signs)) > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      struct(lit(tbl).as("tbl"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
+    }
+    val buckets = base
+      .select(col("cid"), explode(array(tableCols: _*)).as("bk"))
+      .select(col("cid"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+    val l = buckets.select(col("cid").as("id_a"), col("tbl"), col("bucket"))
+    val r = buckets.select(col("cid").as("id_b"), col("tbl"), col("bucket"))
+    val cands = l
+      .join(r, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val a = base.select(col("cid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("cid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val verified = cands
+      .join(a, Seq("id_a"))
+      .join(b, Seq("id_b"))
+      .filter(fastDot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("id_a", "id_b")
+    Caching.materializeAndRelease(verified, base)
   }
 
   /** ANN top-k via SRP buckets: exact cosine ranking within the bucket's

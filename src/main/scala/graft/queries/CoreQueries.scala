@@ -609,15 +609,19 @@ object SqlQueries {
              |CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS BIGINT) AS n_mach
              |FROM customer GROUP BY 1""".stripMargin)
     ),
-    // deterministic collection aggregate: sorted list per group
+    // deterministic collection aggregate: sorted list per group,
+    // stringified at the output boundary — the driver's pandas comparator
+    // cannot hash raw array cells, so both engines emit a CSV string
     "q_collect_sorted" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.functions._
         Tables.t(s, d, "customer")
           .groupBy("c_nationkey")
-          .agg(sort_array(collect_list(col("c_custkey"))).as("custkeys"))
+          .agg(
+            array_join(sort_array(collect_list(col("c_custkey"))).cast("array<string>"), ",")
+              .as("custkeys_csv"))
       },
-      Some("""SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys
+      Some("""SELECT c_nationkey, array_to_string(list_sort(list(c_custkey)), ',') AS custkeys_csv
              |FROM customer GROUP BY 1""".stripMargin)
     )
   )

@@ -19,18 +19,23 @@ object ExtQueries {
 
     // ---- n-gram Jaccard near-dup: inverted-index join, integer-exact ----
     "dedup_ngram_jaccard" -> QueryDef(
+      // maxShingleFreq bounds the inverted-index join: candidate pairs are
+      // Σ_shingle freq², so one hot (stopword) shingle at scale makes the
+      // join quadratic. Heavy shingles can't discriminate near-dups anyway.
       (s, d) =>
         Dedup.ngramJaccardPairs(
           t(s, d, "documents"), "doc_id", "text",
-          n = 3, thresholdNum = 4, thresholdDen = 5
+          n = 3, thresholdNum = 4, thresholdDen = 5, maxShingleFreq = Some(50)
         ),
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
              |  FROM documents
-             |), sh AS (
+             |), sh0 AS (
              |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
              |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
-             |), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |), keep AS (SELECT s FROM (SELECT s, COUNT(*) AS c FROM sh0 GROUP BY 1) WHERE c <= 50),
+             |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+             |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
              |pr AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -39,7 +44,7 @@ object ExtQueries {
              |SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b
              |FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
              |WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4""".stripMargin),
-      "word-3gram Jaccard >= 0.8 via shared-shingle blocking"
+      "word-3gram Jaccard >= 0.8 via shared-shingle blocking, df-capped index"
     ),
 
     // ---- MinHash + LSH banding: the 100 TB candidate-generation path.
@@ -65,14 +70,34 @@ object ExtQueries {
       "64-bit SimHash, banded; spec-tested"
     ),
 
-    // ---- embedding near-dup: cosine threshold pairs (sequential-fold
-    //      double math — bitwise equal to the DuckDB DOUBLE[] oracle) ----
+    // ---- embedding near-dup, exact all-pairs form: the small-sf oracle
+    //      validator of the bucketed path below (sequential-fold double
+    //      math — bitwise equal to the DuckDB DOUBLE[] oracle). O(n²):
+    //      NOT the scale path ----
     "dedup_embedding_cosine" -> QueryDef(
       (s, d) =>
         Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.4),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin)
+    ),
+
+    // ---- embedding near-dup, THE scale path: multi-table SRP-bucket
+    //      candidates (shuffled hash join on (table, bucket) — no
+    //      BroadcastNestedLoopJoin) → exact cosine verify on candidates
+    //      only. Bucketing is deterministic, and at 3 planes × 24 tables
+    //      recall over the fixture's ≥0.4 pairs is exact, so the oracle is
+    //      the same all-pairs exact SQL ----
+    "dedup_embedding_cosine_lsh" -> QueryDef(
+      (s, d) =>
+        Similarity.srpVerifiedPairs(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, planesPerTable = 3, tables = 24
+        ),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin),
+      "SRP-bucketed candidate join + exact cosine verification"
     ),
 
     // ---- similarity search: brute-force exact top-k (rank output only —
@@ -165,9 +190,28 @@ object ExtQueries {
              |FROM sh""".stripMargin)
     ),
     "text_langid" -> QueryDef(
-      (s, d) => TextOps.langId(t(s, d, "documents"), "doc_id", "text"),
-      None,
-      "marker-token language-ID heuristic; spec-tested"
+      (s, d) =>
+        TextOps.langId(t(s, d, "documents"), "doc_id", "text")
+          .withColumn("lang_score", col("lang_score").cast("long")),
+      // argmax over marker-token hit counts, ties → lexicographically first
+      // language — the CASE chain encodes exactly that tie rule
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sc AS (
+             |  SELECT doc_id,
+             |    len(list_filter(ts, x -> list_contains(['der','die','und','das','nicht','ist','ein','zu'], x))) AS s_de,
+             |    len(list_filter(ts, x -> list_contains(['the','and','of','to','is','in','that','for'], x))) AS s_en,
+             |    len(list_filter(ts, x -> list_contains(['el','la','de','que','y','en','los','por'], x))) AS s_es,
+             |    len(list_filter(ts, x -> list_contains(['le','la','et','les','des','est','un','que'], x))) AS s_fr
+             |  FROM toks)
+             |SELECT doc_id,
+             |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+             |  CAST(greatest(s_de, s_en, s_es, s_fr) AS BIGINT) AS lang_score
+             |FROM sc""".stripMargin),
+      "marker-token language-ID heuristic"
     ),
 
     // ---- multimodal plumbing (decode stubbed deterministically) ----
@@ -181,9 +225,13 @@ object ExtQueries {
             col("head_code").cast("long").as("head_code")
           )
       },
-      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             |CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS BIGINT) AS head_code
-             |FROM documents""".stripMargin)
+      // head_code is the first UTF-8 BYTE (not the first code point —
+      // ascii() would disagree on non-ASCII); extracted via hex-string math
+      // since DuckDB has no blob subscript
+      Some("""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h FROM documents)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+             |CAST(CASE WHEN n > 0 THEN (instr('0123456789ABCDEF', substr(h,1,1))-1)*16 + instr('0123456789ABCDEF', substr(h,2,1))-1 ELSE -1 END AS BIGINT) AS head_code
+             |FROM b""".stripMargin)
     ),
     "mm_frame_sample" -> QueryDef(
       (s, d) => {
@@ -196,8 +244,9 @@ object ExtQueries {
              |WHERE octet_length(encode(text)) > 0""".stripMargin)
     ),
 
-    // ---- typed-Dataset mapPartitions decode path (fake decoder —
-    //      deterministic, so rows-only plus spec coverage) ----
+    // ---- typed-Dataset mapPartitions decode path. FakeDecode is pure
+    //      byte math ((b0 & 0xff) % 64 + 1 etc.), so DuckDB can replay it
+    //      exactly via hex-string byte extraction ----
     "mm_decode_meta" -> QueryDef(
       (s, d) => {
         import s.implicits._
@@ -206,9 +255,28 @@ object ExtQueries {
           .select(col("doc_id"), col("media"))
           .as[Multimodal.MediaRecord]
         Multimodal.extractMeta(s, recs).toDF()
+          .select(
+            col("doc_id"),
+            col("n_bytes"),
+            col("head_code").cast("long").as("head_code"),
+            col("fake_width").cast("long").as("fake_width"),
+            col("fake_height").cast("long").as("fake_height"),
+            col("format_tag")
+          )
       },
-      None,
-      "mapPartitions batch decode with stubbed media decoder"
+      Some("""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h FROM documents),
+             |d AS (
+             |  SELECT doc_id, n,
+             |    CASE WHEN n > 0 THEN (instr('0123456789ABCDEF', substr(h,1,1))-1)*16 + instr('0123456789ABCDEF', substr(h,2,1))-1 ELSE -1 END AS b0,
+             |    CASE WHEN n > 1 THEN (instr('0123456789ABCDEF', substr(h,3,1))-1)*16 + instr('0123456789ABCDEF', substr(h,4,1))-1 ELSE NULL END AS b1
+             |  FROM b)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+             |  CAST(b0 AS BIGINT) AS head_code,
+             |  CAST(CASE WHEN n > 0 THEN (b0 % 64) + 1 ELSE 0 END AS BIGINT) AS fake_width,
+             |  CAST(CASE WHEN n > 1 THEN (b1 % 64) + 1 ELSE 0 END AS BIGINT) AS fake_height,
+             |  CASE WHEN n % 2 = 0 THEN 'imgA' ELSE 'imgB' END AS format_tag
+             |FROM d""".stripMargin),
+      "mapPartitions batch decode with stubbed (byte-pure) media decoder"
     )
   )
 }
@@ -301,17 +369,20 @@ object Ext2Queries {
     "dedup_components" -> QueryDef(
       (s, d) =>
         Dedup.connectedComponents(
-          Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 4, 5)
+          Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 4, 5,
+            maxShingleFreq = Some(50))
             .select("id_a", "id_b"),
           iterations = 4
         ),
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
              |  FROM documents
-             |), sh AS (
+             |), sh0 AS (
              |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
              |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
-             |), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |), keep AS (SELECT s FROM (SELECT s, COUNT(*) AS c FROM sh0 GROUP BY 1) WHERE c <= 50),
+             |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+             |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
              |pr AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -379,8 +450,11 @@ object Ext2Queries {
     ),
 
     // THE scalable dedup recipe: LSH candidates → exact Jaccard verify on
-    // candidates only. Probabilistic recall ⇒ rows-only here; DedupSpec
-    // asserts it equals the exact pair set on the fixture.
+    // candidates only. The oracle is the full exact-Jaccard pair set: LSH
+    // banding is deterministic (xxhash64, no RNG), and at 64 hashes / 16
+    // bands its recall on ≥0.8-Jaccard pairs is exact on the fixtures
+    // (asserted in DedupSpec), so candidates ⊇ true pairs and the verified
+    // output equals the exact set.
     "dedup_minhash_verified" -> QueryDef(
       (s, d) =>
         Dedup.lshVerifiedPairs(
@@ -388,7 +462,21 @@ object Ext2Queries {
           shingleN = 3, numHashes = 64, bands = 16,
           thresholdNum = 4, thresholdDen = 5
         ),
-      None,
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+             |), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b
+             |FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4""".stripMargin),
       "LSH candidate generation + exact integer-Jaccard verification"
     )
   )
