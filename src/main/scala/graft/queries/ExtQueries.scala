@@ -434,19 +434,43 @@ object Ext2Queries {
              |FROM customer""".stripMargin)
     ),
 
-    // event-time sessionization (custom per-key state; batch mode of the
-    // flatMapGroupsWithState streaming operator). No SQL oracle — gaps
-    // over per-user event-time sequences need the stateful fold.
+    // event-time sessionization, batch-native bounded-memory form (one
+    // user-key shuffle + sort-within-partitions + O(1)-state linear scan).
+    // Values are integerized (round(value*100)) so per-session sums are
+    // exact in ANY fold order — double addition of integer-valued terms is
+    // associative below 2^53, which makes the aggregate oracle-safe.
+    // Oracle: lag-gap break flags → cumulative session ids; a user's
+    // trailing (unclosed) session is excluded on both sides.
     "q_sessionize" -> QueryDef(
       (s, d) => {
         import s.implicits._
         val src = t(s, d, "events")
-          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+          .select(
+            col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            round(col("value") * 100).as("value"))
           .as[(Long, Long, Double)]
-        graft.streaming.EventStream.sessionize(src, gapMs = 30 * 60 * 1000L).toDF()
+        graft.streaming.EventStream.sessionizeBatch(src, gapMs = 30 * 60 * 1000L).toDF()
       },
-      None,
-      "flatMapGroupsWithState sessionization; batch/stream equivalence spec-tested"
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, round(value*100) AS v FROM events
+             |), g AS (
+             |  SELECT user_id, ts, v,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+             |              > 1800000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e
+             |), s AS (
+             |  SELECT user_id, ts, v,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM g
+             |), agg AS (
+             |  SELECT user_id, sess, min(ts) AS session_start, max(ts) AS session_end,
+             |    CAST(COUNT(*) AS BIGINT) AS n_events, SUM(v) AS sum_value
+             |  FROM s GROUP BY 1, 2
+             |), mx AS (SELECT user_id, max(sess) AS m FROM agg GROUP BY 1)
+             |SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.sum_value
+             |FROM agg a JOIN mx ON mx.user_id = a.user_id AND a.sess < mx.m""".stripMargin),
+      "bounded-memory gap sessionization (shuffle + secondary sort + linear scan)"
     ),
 
     // THE scalable dedup recipe: LSH candidates → exact Jaccard verify on

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
@@ -43,30 +43,55 @@ final case class SessionState(
 
 object EventStream {
 
-  /** Event-time windowed counts over a streaming source. */
+  /** µs-precision java.sql.Timestamp from unix microseconds (the
+    * constructor alone truncates to ms; setNanos restores the full
+    * sub-second fraction so session bounds round-trip exactly against
+    * µs-precision engines).
+    */
+  private def tsFromUs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def closedSession(user: Long, s: SessionState): UserSession =
+    UserSession(user, tsFromUs(s.startUs), tsFromUs(s.lastUs), s.nEvents, s.total)
+
+  /** Event-time windowed counts over a streaming source. `watermark = None`
+    * skips withWatermark — correct for complete-mode harness runs where a
+    * watermark would be inert anyway (state is fully retained by the mode,
+    * so claiming bounded state would be false).
+    */
   def windowedCounts(
       stream: DataFrame,
       tsCol: String,
       keyCol: String,
-      watermark: String,
+      watermark: Option[String],
       windowLen: String
-  ): DataFrame =
-    stream
-      .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+  ): DataFrame = {
+    val in = watermark.fold(stream)(w => stream.withWatermark(tsCol, w))
+    in.groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col(keyCol), col("n"))
+  }
 
-  /** Event-time sessionization with custom state:
-    * `flatMapGroupsWithState` keyed by user, closing a session after
-    * `gapMs` of event-time silence or on state timeout. State per key is
-    * O(1) (four numbers), so the state store stays bounded by active
-    * users regardless of history length — the 100 TB streaming posture.
+  /** Event-time sessionization with custom state
+    * (`flatMapGroupsWithState` keyed by user): a session closes when a
+    * later event arrives more than `gapMs` of event time after it.
+    *
+    * Batch-compatible form (NoTimeout): each user's TRAILING session stays
+    * open and is never emitted — there is no watermark in a batch
+    * invocation to prove it over. For a live stream where trailing
+    * sessions must eventually close, use [[sessionizeStream]] (event-time
+    * timeout). State per key is O(1) (four numbers). The per-invocation
+    * sort buffers one group's slice of the CURRENT micro-batch (bounded by
+    * batch size, not history); for unbounded batch inputs use
+    * [[sessionizeBatch]], which never buffers a group.
     */
   def sessionize(
-      events: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      events: Dataset[(Long, Long, Double)],
       gapMs: Long
-  ): org.apache.spark.sql.Dataset[UserSession] = {
+  ): Dataset[UserSession] = {
     // event times are unix MICROseconds; the gap parameter is milliseconds
     val gapUs = gapMs * 1000L
     import events.sparkSession.implicits._
@@ -84,8 +109,7 @@ object EventStream {
               case Some(s) if ts - s.lastUs <= gapUs =>
                 cur = Some(s.copy(lastUs = ts, nEvents = s.nEvents + 1, total = s.total + v))
               case Some(s) =>
-                closed += UserSession(user, new java.sql.Timestamp(s.startUs / 1000),
-                  new java.sql.Timestamp(s.lastUs / 1000), s.nEvents, s.total)
+                closed += closedSession(user, s)
                 cur = Some(SessionState(ts, ts, 1, v))
               case None =>
                 cur = Some(SessionState(ts, ts, 1, v))
@@ -100,16 +124,135 @@ object EventStream {
       )
   }
 
+  /** Batch-native sessionization with BOUNDED memory: one shuffle on the
+    * user key, a sort within partitions, then a single linear scan that
+    * carries O(1) state — no per-user materialization, so a hot key with
+    * a billion events streams through instead of buffering (the scale fix
+    * for the groupByKey sort in [[sessionize]]). Emits exactly the
+    * sessions [[sessionize]] emits in batch mode: a user's trailing
+    * session stays open and is not reported.
+    */
+  def sessionizeBatch(
+      events: Dataset[(Long, Long, Double)],
+      gapMs: Long
+  ): Dataset[UserSession] = {
+    val gapUs = gapMs * 1000L
+    import events.sparkSession.implicits._
+    events
+      .toDF("user_id", "ts_us", "value")
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        var curUser = 0L
+        var hasUser = false
+        var st: SessionState = null
+        it.flatMap { case (u, ts, v) =>
+          var out: Option[UserSession] = None
+          if (!hasUser || u != curUser) {
+            // previous user's trailing session stays open: dropped, same
+            // contract as the stateful form in batch mode
+            curUser = u; hasUser = true; st = null
+          }
+          if (st == null) st = SessionState(ts, ts, 1, v)
+          else if (ts - st.lastUs <= gapUs)
+            st = st.copy(lastUs = ts, nEvents = st.nEvents + 1, total = st.total + v)
+          else {
+            out = Some(closedSession(u, st))
+            st = SessionState(ts, ts, 1, v)
+          }
+          out
+        }
+      }
+  }
+
+  /** Streaming sessionization that also CLOSES trailing sessions: when the
+    * event-time watermark passes `last event + gap`, the open session is
+    * emitted via state timeout and its state removed — so state is bounded
+    * by ACTIVE users, and every session is eventually reported exactly
+    * once. Input must carry (user_id long, ts timestamp, value double)
+    * with a watermark already applied to `ts` (EventTimeTimeout requires
+    * one).
+    */
+  def sessionizeStream(events: DataFrame, gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionState]) => {
+          val gapUs = gapMs * 1000L
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: close and emit
+            val s = state.get
+            state.remove()
+            Iterator.single(closedSession(user, s))
+          } else {
+            val evs = it.map { case (_, ts, v) =>
+              (ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L, v)
+            }.toSeq.sortBy(_._1)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            evs.foreach { case (ts, v) =>
+              cur match {
+                case Some(s) if ts - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = ts, nEvents = s.nEvents + 1, total = s.total + v))
+                case Some(s) =>
+                  closed += closedSession(user, s)
+                  cur = Some(SessionState(ts, ts, 1, v))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapMs)
+            }
+            closed.result().iterator
+          }
+        }
+      )
+  }
+
   /** Drain a parquet directory as a stream with Trigger.AvailableNow into
     * an in-memory table and return the result — the batch-equivalence
-    * harness used by StreamingSpec.
+    * harness used by StreamingSpec. Complete output mode (every window is
+    * in the final table) with NO watermark: in complete mode a watermark
+    * would not prune state anyway, so this path makes no bounded-state
+    * claim. For the watermark/append semantics, see [[runOnceAppend]].
     */
   def runOnce(
       spark: SparkSession,
       srcDir: String,
       schema: StructType,
+      windowLen: String
+  ): DataFrame =
+    runStream(spark, srcDir, schema, watermark = None, windowLen, "complete")
+
+  /** Same drain in APPEND mode with a real watermark: only windows the
+    * final watermark has passed are emitted (trailing windows stay
+    * pending, exactly the semantics a production append sink sees —
+    * spec-asserted as a prefix-subset of the complete-mode result).
+    */
+  def runOnceAppend(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
       watermark: String,
       windowLen: String
+  ): DataFrame =
+    runStream(spark, srcDir, schema, Some(watermark), windowLen, "append")
+
+  private def runStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      watermark: Option[String],
+      windowLen: String,
+      mode: String
   ): DataFrame = {
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val agg = windowedCounts(stream, "ts", "event_type", watermark, windowLen)
@@ -117,10 +260,14 @@ object EventStream {
     val q = agg.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // a timed-out drain would silently return a partial table — fail loud
+    if (!q.awaitTermination(120000)) {
+      q.stop()
+      throw new IllegalStateException(s"stream drain of $srcDir did not finish within 120 s")
+    }
     spark.table(name)
   }
 }

@@ -25,6 +25,31 @@ class SessionizeSpec extends SparkSpec {
     assert(s.session_end.getTime - s.session_start.getTime == 8 * 60 * 1000)
   }
 
+  test("sessionizeBatch (bounded-memory scan) equals the stateful fold on real data") {
+    val src = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)]
+    def key(u: graft.streaming.UserSession) =
+      (u.user_id, u.session_start.getTime, u.session_end.getTime, u.n_events)
+    val gap = 30 * 60 * 1000L
+    val scan = EventStream.sessionizeBatch(src, gap).collect().map(key).toSet
+    val fold = EventStream.sessionize(src, gap).collect().map(key).toSet
+    assert(scan == fold)
+    assert(scan.nonEmpty)
+  }
+
+  test("sessionizeBatch preserves microsecond precision in session bounds") {
+    val gapMs = 1000L
+    val events = Seq(
+      (7L, 1000001L, 1.0), (7L, 1500001L, 2.0), // closes at 1.500001 s
+      (7L, 900000000L, 9.0)                     // far later: opens trailing session
+    ).toDS()
+    val closed = EventStream.sessionizeBatch(events, gapMs).collect()
+    assert(closed.length == 1)
+    assert(closed.head.session_start.getNanos == 1000)      // 1 µs kept
+    assert(closed.head.session_end.getNanos == 500001000)   // 0.500001 s kept
+  }
+
   test("saltedSum equals plain groupBy sum on a skewed key distribution") {
     val df = (1 to 10000).map(i => (if (i % 10 == 0) "cold" + (i % 7) else "HOT", i.toLong, i * 0.5))
       .toDF("k", "rid", "v")

@@ -1,15 +1,20 @@
 package graft
 
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, UserSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
 
 /** Structured Streaming capability (SURVEY.md §2.8: absent from the
   * reference; provided as the engine's incremental path). Verifies the
-  * streaming tumbling-window aggregation agrees with its batch shape.
+  * streaming tumbling-window aggregation agrees with its batch shape, the
+  * append/watermark path emits exactly the watermark-passed prefix, and
+  * event-time-timeout sessionization closes trailing sessions.
   */
 class StreamingSpec extends SparkSpec {
+
+  private def windowTriples(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
 
   test("file-stream tumbling window agg matches batch groupBy on the same data") {
     val src = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
@@ -17,17 +22,68 @@ class StreamingSpec extends SparkSpec {
     val dir = Files.createTempDirectory("stream-src").toString
     src.coalesce(1).write.mode("overwrite").parquet(dir)
 
-    val batch = src
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("ws"), col("event_type"), col("n"))
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = windowTriples(
+      src
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n")))
 
-    val streamed = EventStream
-      .runOnce(spark, dir, src.schema, watermark = "2 hours", windowLen = "1 hour")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = windowTriples(
+      EventStream.runOnce(spark, dir, src.schema, windowLen = "1 hour"))
 
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("append mode with watermark emits exactly the watermark-passed windows") {
+    val src = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
+      .select("ts", "event_type", "value")
+    val dir = Files.createTempDirectory("stream-src-append").toString
+    src.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val complete = windowTriples(
+      EventStream.runOnce(spark, dir, src.schema, windowLen = "1 hour"))
+    val appended = windowTriples(
+      EventStream.runOnceAppend(spark, dir, src.schema, watermark = "2 hours", windowLen = "1 hour"))
+
+    // append = the subset of complete whose window end the final watermark
+    // passed; trailing windows stay pending by design
+    assert(appended.subsetOf(complete))
+    assert(appended.nonEmpty && appended.size < complete.size)
+    val cutoff = appended.map(_._1.getTime).max
+    // every non-emitted window is strictly later than every emitted one
+    assert((complete -- appended).forall(_._1.getTime > cutoff))
+  }
+
+  test("sessionizeStream closes a trailing session via event-time timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("user_id", "ts", "value").withWatermark("ts", "0 seconds")
+    val name = s"sess_out_${System.nanoTime()}"
+    val q = EventStream.sessionizeStream(src, gapMs = 60000)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // start past the epoch: the initial watermark is epoch 0 and a
+      // stateful op drops events at-or-before it
+      mem.addData((1L, ts(1000), 1.0), (1L, ts(1030), 2.0))
+      q.processAllAvailable() // watermark after this batch: 1030 s
+      mem.addData((2L, ts(9000), 5.0))
+      q.processAllAvailable() // watermark advances to 9000 s
+      mem.addData((2L, ts(9010), 5.0))
+      q.processAllAvailable() // user 1's timeout (1030 s + gap < watermark) fires
+
+      val sessions = spark.table(name).as[UserSession].collect()
+      // user 1's trailing session was closed by timeout, exactly once
+      val u1 = sessions.filter(_.user_id == 1L)
+      assert(u1.length == 1)
+      assert(u1.head.n_events == 2 && u1.head.sum_value == 3.0)
+      assert(u1.head.session_end.getTime == 1030000L)
+      // user 2's session is still live (events 10 s apart, watermark not past gap)
+      assert(!sessions.exists(_.user_id == 2L))
+    } finally q.stop()
   }
 }
