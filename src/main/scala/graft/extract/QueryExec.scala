@@ -1,6 +1,6 @@
 package graft.extract
 
-import graft.spec.ExportConfig
+import graft.spec.{DateMacro, ExportConfig}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -57,6 +57,38 @@ object QueryExec {
       case Array(fn, c) if registry.contains(fn) => registry(fn)(c).as(metric)
       case _                                     => registry("sum")(metric).as(metric)
     }
+
+  /** The reference's one piece of conditional query-building logic, as a
+    * single path (`/root/reference/data_extract.py:60-73`): when the
+    * dataset id contains `"content"`, (a) a `BETWEEN` on the fact date
+    * narrows to the REQUESTED range (macros resolved through `format_date`,
+    * F1), and (b) the query's own `start_date` is overridden to the
+    * `{{nDaysAgo 365}}` lookback — so the effective window is
+    * `[max(requestStart, today−365), requestEnd]`. Unresolvable request
+    * dates throw (the reference raises; E1 catches per config upstream).
+    */
+  def runContent(
+      facts: DataFrame,
+      config: ExportConfig,
+      brandCol: String,
+      dateStrCol: String,
+      requestStart: String,
+      requestEnd: String,
+      today: java.time.LocalDate,
+      dims: Seq[DimJoin] = Seq.empty,
+      registry: MetricRegistry = defaultMetrics
+  ): DataFrame = {
+    require(config.isContentDataset, s"${config.datasetId} is not a content dataset")
+    def resolved(which: String, v: String): String =
+      DateMacro.resolve(v, today)
+        .getOrElse(throw new IllegalArgumentException(s"unresolvable $which: $v"))
+    val narrowStart = resolved("start_date", requestStart)
+    val narrowEnd = resolved("end_date", requestEnd)
+    val narrowed =
+      facts.filter(col(s"`$dateStrCol`").between(lit(narrowStart), lit(narrowEnd)))
+    val lookbackStart = today.minusDays(365).format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE)
+    run(narrowed, config, brandCol, dateStrCol, Some(lookbackStart), Some(narrowEnd), dims, registry)
+  }
 
   def run(
       facts: DataFrame,

@@ -60,6 +60,47 @@ object CoreQueries {
       "ExportConfig-driven: P2+P3+dim join+A1"
     ),
 
+    // ---- content-dataset date rewrite as ONE reference-semantic path
+    //      (data_extract.py:60-73): request range resolved via nDaysAgo
+    //      macros → BETWEEN on the fact date string, plus the 365-day
+    //      lookback override; driven end-to-end by a content ExportConfig.
+    //      `today` is injected (2024-02-20) for determinism, so
+    //      {{nDaysAgo 45}}..{{nDaysAgo 10}} = 2024-01-06..2024-02-10 and
+    //      the lookback floor is 2023-02-20 ----
+    "q_content_rewrite" -> QueryDef(
+      (s, d) => {
+        val facts = t(s, d, "events")
+          .withColumn("lfm.fact.date_str", date_format(col("ts"), "yyyy-MM-dd"))
+        val cfg = ExportConfig(
+          configId = "content_demo",
+          datasetId = "brand_content_daily",
+          metrics = ListMap("sum:value" -> "float64", "count:event_id" -> "int64"),
+          groupBy = ListMap("lfm.fact.date_str" -> "string"),
+          metaDimensions = ListMap.empty,
+          brands = Seq(2L, 3L, 5L, 7L, 11L, 13L)
+        )
+        QueryExec
+          .runContent(
+            facts, cfg,
+            brandCol = "user_id", dateStrCol = "lfm.fact.date_str",
+            requestStart = "{{nDaysAgo 45}}", requestEnd = "{{nDaysAgo 10}}",
+            today = java.time.LocalDate.parse("2024-02-20"))
+          .select(
+            col("`lfm.fact.date_str`").as("date_str"),
+            col("`sum:value`").cast("double").as("sum_value"),
+            col("`count:event_id`").as("n_events"))
+      },
+      Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date_str,
+             |CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+             |COUNT(event_id) AS n_events
+             |FROM events
+             |WHERE user_id IN (2,3,5,7,11,13)
+             |  AND strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') BETWEEN '2024-01-06' AND '2024-02-10'
+             |  AND strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') >= '2023-02-20'
+             |GROUP BY 1""".stripMargin),
+      "content-dataset BETWEEN + 365-day lookback rewrite (P3/P4 composed)"
+    ),
+
     // ---- A1: daily metric rollup (§7.3 minimum slice) ----
     "q_daily_rollup" -> QueryDef(
       (s, d) =>

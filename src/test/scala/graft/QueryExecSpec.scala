@@ -59,6 +59,37 @@ class QueryExecSpec extends SparkSpec {
     assert(r.getAs[Long]("count_distinct:brand") == 3L)
   }
 
+  test("content-dataset rewrite: request BETWEEN + 365-day lookback, one path") {
+    // today = 2024-01-10: {{nDaysAgo 9}}..{{nDaysAgo 8}} = 01-01..01-02,
+    // lookback floor 2023-01-10 (inert here — proves composition not harm)
+    val cfg = ExportConfig("t", "brand_content_x",
+      ListMap("sum:v" -> "float64"), ListMap("k" -> "string"), ListMap.empty, Seq.empty)
+    val out = QueryExec.runContent(
+      facts, cfg,
+      brandCol = "brand", dateStrCol = "d",
+      requestStart = "{{nDaysAgo 9}}", requestEnd = "{{nDaysAgo 8}}",
+      today = java.time.LocalDate.parse("2024-01-10"))
+    val rows = out.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[java.math.BigDecimal]("sum:v").doubleValue())
+      .toMap
+    // 01-09 row excluded by the request range despite being inside lookback
+    assert(rows == Map("a" -> 30.0, "b" -> 30.0))
+  }
+
+  test("content-dataset rewrite: non-content config or bad macro throws (E1 path)") {
+    val content = ExportConfig("t", "brand_content_x",
+      ListMap("sum:v" -> "float64"), ListMap("k" -> "string"), ListMap.empty, Seq.empty)
+    val notContent = content.copy(datasetId = "brand_daily")
+    intercept[IllegalArgumentException] {
+      QueryExec.runContent(facts, notContent, "brand", "d",
+        "{{nDaysAgo 1}}", "{{nDaysAgo 0}}", java.time.LocalDate.parse("2024-01-10"))
+    }
+    intercept[IllegalArgumentException] {
+      QueryExec.runContent(facts, content, "brand", "d",
+        "not-a-macro", "{{nDaysAgo 0}}", java.time.LocalDate.parse("2024-01-10"))
+    }
+  }
+
   test("broadcast dim join plan actually broadcasts") {
     val cfg = ExportConfig("t", "ds", ListMap("sum:v" -> "float64"),
       ListMap("k" -> "string"), ListMap("name" -> "string"), Seq.empty)
