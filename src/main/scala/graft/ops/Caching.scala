@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 /** Shared persist/release discipline for operators that cache
   * intermediates feeding multiple plan consumers.
   */
-private[ops] object Caching {
+private[graft] object Caching {
 
   /** Materialize `result` once (eager localCheckpoint — truncates lineage
     * so downstream consumers scan the computed partitions) and release the

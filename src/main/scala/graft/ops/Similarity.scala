@@ -214,6 +214,23 @@ object Similarity {
       planesPerTable: Int = 3,
       tables: Int = 24
   ): DataFrame = {
+    val (verified, base) = srpVerifiedPlan(emb, idCol, vecCol, threshold, planesPerTable, tables)
+    Caching.materializeAndRelease(verified, base)
+  }
+
+  /** The lazy plan behind [[srpVerifiedPairs]] plus its cached base —
+    * package-visible so specs can assert the join SHAPE (hash join on the
+    * bucket key, no BroadcastNestedLoopJoin) before the eager
+    * materialization hides it behind a checkpoint scan.
+    */
+  private[graft] def srpVerifiedPlan(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planesPerTable: Int,
+      tables: Int
+  ): (DataFrame, DataFrame) = {
     val base = prepBase(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // dim probe: one-row driver lookup (bounded, like the sanctioned
@@ -243,7 +260,7 @@ object Similarity {
       .join(b, Seq("id_b"))
       .filter(fastDot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("id_a", "id_b")
-    Caching.materializeAndRelease(verified, base)
+    (verified, base)
   }
 
   /** ANN top-k via SRP buckets: exact cosine ranking within the bucket's

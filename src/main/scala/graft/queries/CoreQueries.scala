@@ -69,7 +69,11 @@ object CoreQueries {
     //      the lookback floor is 2023-02-20 ----
     "q_content_rewrite" -> QueryDef(
       (s, d) => {
-        val facts = t(s, d, "events")
+        // redundant raw-ts range over the same window ([start, end+1d) in
+        // UTC): the string BETWEEN below carries the exact semantics but
+        // can't push through date_format, while this long-column range
+        // reaches the parquet scan for row-group pruning
+        val facts = Tables.eventsRanged(s, d, Some("2024-01-06"), Some("2024-02-11"))
           .withColumn("lfm.fact.date_str", date_format(col("ts"), "yyyy-MM-dd"))
         val cfg = ExportConfig(
           configId = "content_demo",

@@ -81,6 +81,10 @@ object TagPivot {
       if (overflowed)
         Seq(map_filter(col(mapCol), (k, _) => !k.isin(kept.map(lit(_)): _*)).as(s"$tagsCol.overflow"))
       else Seq.empty
-    withMap.select((keep ++ tagCols ++ overflow).toSeq: _*)
+    // materialize once and release the parsed-map cache (the pivot output
+    // is terminal — it feeds the sink); see Caching for the discipline
+    graft.ops.Caching.materializeAndRelease(
+      withMap.select((keep ++ tagCols ++ overflow).toSeq: _*),
+      withMap)
   }
 }

@@ -56,6 +56,29 @@ class PipelineSpec extends SparkSpec {
     assert(merged.filter(col("extra").isNull).count() == 1)
   }
 
+  test("sink: write-side evolution null-fills the union and verifies on-disk schema") {
+    val dir = Files.createTempDirectory("sink-evolve-w").toString + "/out"
+    val u1 = Sink.writeParquetEvolving(spark, Seq((1, "a")).toDF("k", "v"), dir, Sink.WriteAppend)
+    assert(u1.fieldNames.toSeq == Seq("k", "v"))
+    // second run adds `extra` and DROPS `v`: union keeps both, v null-filled
+    val u2 = Sink.writeParquetEvolving(
+      spark, Seq((2, 9.5)).toDF("k", "extra"), dir, Sink.WriteAppend)
+    assert(u2.fieldNames.toSeq == Seq("k", "v", "extra"))
+    val merged = Sink.readMerged(spark, dir)
+    assert(merged.count() == 2)
+    // the run-2 file itself carries the full union (write-side, not just
+    // read-side merge): reading it alone shows all three columns
+    assert(merged.filter(col("v").isNull).select("k").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("sink: write-side evolution rejects a type change on an existing column") {
+    val dir = Files.createTempDirectory("sink-evolve-t").toString + "/out"
+    Sink.writeParquetEvolving(spark, Seq((1, "a")).toDF("k", "v"), dir, Sink.WriteAppend)
+    intercept[Sink.SchemaEvolutionException] {
+      Sink.writeParquetEvolving(spark, Seq((2, 3.5)).toDF("k", "v"), dir, Sink.WriteAppend)
+    }
+  }
+
   test("sink: empty input raises (K2)") {
     val dir = Files.createTempDirectory("sink-empty").toString + "/out"
     val empty = Seq.empty[(Int, String)].toDF("k", "v")
