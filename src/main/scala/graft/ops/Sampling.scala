@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling & splitting for training-data pipelines
+  * (SURVEY.md §2.11 extension family).
+  *
+  * All assignment is pure md5 math over a salted key — no RNG state — so
+  * (a) assignments are stable across runs, partitionings, and engines: a
+  * document keeps its split forever, the property a training pipeline
+  * needs for leak-free held-out sets (`TABLESAMPLE`/`rand()` give
+  * neither); (b) split/sample are per-row projections that pipeline with
+  * the parquet scan at 100 TB — zero shuffle. Only the per-group quota
+  * ranks within groups (one shuffle on the group key, the irreducible
+  * cost of a per-group guarantee).
+  */
+object Sampling {
+
+  /** Stable pseudo-random bucket in [0, buckets): the first 8 hex chars of
+    * `md5(salt:key)` as an integer, mod buckets. Identical in any engine
+    * with md5 (the DuckDB oracle replays it verbatim).
+    */
+  def hashBucket(key: Column, salt: String, buckets: Int): Column =
+    conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Train/valid/test assignment over a 100-bucket hash: bucket < trainPct
+    * → "train", < trainPct+validPct → "valid", else "test". Changing the
+    * salt re-rolls every assignment; changing percentages only MOVES the
+    * boundary (monotone growth of train — documents never swap between
+    * valid and train when train expands into valid's range is NOT
+    * guaranteed, but train⊂train' when trainPct grows is).
+    */
+  def hashSplit(
+      df: DataFrame,
+      key: Column,
+      salt: String,
+      trainPct: Int,
+      validPct: Int
+  ): DataFrame = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"percentages must partition [0,100]: train=$trainPct valid=$validPct")
+    val b = hashBucket(key, salt, 100)
+    df.withColumn(
+      "split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + validPct, "valid")
+        .otherwise("test"))
+  }
+
+  /** Deterministic Bernoulli sample: keep rows whose bucket falls below
+    * keepPct of 100. Same row set every run — resumable sampling jobs
+    * re-derive identical subsets.
+    */
+  def bernoulliKeep(df: DataFrame, key: Column, salt: String, keepPct: Int): DataFrame =
+    df.filter(hashBucket(key, salt, 100) < keepPct)
+
+  /** Per-group quota: at most k rows per group, picked by stable hash
+    * order (md5 hex of the salted key, key as tie-break) — a deterministic
+    * "random k per domain/source", the standard cap against one domain
+    * dominating a pretraining mix. One shuffle on the group key.
+    */
+  def groupCap(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      k: Int,
+      salt: String
+  ): DataFrame = {
+    val h = md5(concat_ws(":", lit(salt), col(s"`$keyCol`").cast("string")))
+    val w = Window.partitionBy(col(s"`$groupCol`")).orderBy(h.asc, col(s"`$keyCol`").asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

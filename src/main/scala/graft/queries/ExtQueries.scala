@@ -131,6 +131,41 @@ object ExtQueries {
       "bucketed ANN; recall spec-tested vs brute force"
     ),
 
+    // ---- deterministic sampling / splitting (training-data pipeline):
+    //      pure md5 math, stable across runs and engines, scan-speed ----
+    "q_hash_split" -> QueryDef(
+      (s, d) =>
+        graft.ops.Sampling.hashSplit(t(s, d, "documents"), col("doc_id"), "graft", 80, 10)
+          .groupBy("split")
+          .agg(count(lit(1)).as("n")),
+      Some("""WITH b AS (
+             |  SELECT CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS pb
+             |  FROM documents)
+             |SELECT CASE WHEN pb < 80 THEN 'train' WHEN pb < 90 THEN 'valid' ELSE 'test' END AS split,
+             |       COUNT(*) AS n
+             |FROM b GROUP BY 1""".stripMargin),
+      "stable md5 train/valid/test split (leak-free held-out sets)"
+    ),
+    "q_sample_bernoulli" -> QueryDef(
+      (s, d) =>
+        graft.ops.Sampling.bernoulliKeep(t(s, d, "documents"), col("doc_id"), "graft", 10)
+          .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10""".stripMargin),
+      "deterministic ~10% Bernoulli sample by hash bucket"
+    ),
+    "q_group_cap" -> QueryDef(
+      (s, d) =>
+        graft.ops.Sampling.groupCap(t(s, d, "documents"), "source", "doc_id", 20, "cap")
+          .select("doc_id", "source"),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents) WHERE rn <= 20""".stripMargin),
+      "per-source quota: stable pseudo-random k docs per group"
+    ),
+
     // ---- text analysis ----
     "text_token_stats" -> QueryDef(
       (s, d) => {

@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting invariants: stability across runs,
+  * partition-count independence, split monotonicity, quota bounds.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.queries.Tables.t(spark, sf("sf0.001"), "documents")
+
+  test("hashSplit is stable across runs and repartitioning, covers all rows") {
+    val a = Sampling.hashSplit(docs, col("doc_id"), "s1", 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val b = Sampling.hashSplit(docs.repartition(7), col("doc_id"), "s1", 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(a == b)
+    assert(a.size == docs.count())
+    assert(a.map(_._2).subsetOf(Set("train", "valid", "test")))
+  }
+
+  test("growing trainPct only adds to train (monotone boundary)") {
+    def train(p: Int) = Sampling.hashSplit(docs, col("doc_id"), "s1", p, 5)
+      .filter(col("split") === "train").select("doc_id").as[Long].collect().toSet
+    val t60 = train(60)
+    val t80 = train(80)
+    assert(t60.subsetOf(t80))
+    assert(t60.size < t80.size)
+  }
+
+  test("bernoulliKeep is a subset keyed only by bucket; different salts differ") {
+    val keep10 = Sampling.bernoulliKeep(docs, col("doc_id"), "s1", 10)
+      .select("doc_id").as[Long].collect().toSet
+    val keep30 = Sampling.bernoulliKeep(docs, col("doc_id"), "s1", 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keep10.subsetOf(keep30))
+    val other = Sampling.bernoulliKeep(docs, col("doc_id"), "s2", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(other != keep10)
+    // ~10% of 50 docs at sf0.001, loose bounds for the hash's variance
+    assert(keep10.size < keep30.size && keep30.size < docs.count())
+  }
+
+  test("groupCap keeps at most k per group and is deterministic") {
+    val capped = Sampling.groupCap(docs, "source", "doc_id", 3, "cap")
+    val sizes = capped.groupBy("source").count().as[(String, Long)].collect()
+    assert(sizes.forall(_._2 <= 3))
+    val again = Sampling.groupCap(docs, "source", "doc_id", 3, "cap")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == capped.select("doc_id").as[Long].collect().toSet)
+  }
+}
