@@ -508,6 +508,69 @@ object Ext2Queries {
       "bounded-memory gap sessionization (shuffle + secondary sort + linear scan)"
     ),
 
+    // exact discrete quantiles via sort + rank (no FP interpolation —
+    // integer indexing makes the pick engine-independent; at scale this is
+    // one shuffle on the group key, same as any grouped sort statistic)
+    "q_quantile_disc" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        val wn = Window.partitionBy("l_returnflag")
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("l_returnflag")
+          .agg(
+            max(when(col("rn") === greatest(lit(1L), ceil(lit(0.5) * col("n"))),
+              col("l_quantity").cast("double"))).as("median_qty"),
+            max(when(col("rn") === greatest(lit(1L), ceil(lit(0.9) * col("n"))),
+              col("l_quantity").cast("double"))).as("p90_qty"))
+      },
+      Some("""SELECT l_returnflag,
+             |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.5*n) AS BIGINT)) THEN CAST(l_quantity AS DOUBLE) END) AS median_qty,
+             |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.9*n) AS BIGINT)) THEN CAST(l_quantity AS DOUBLE) END) AS p90_qty
+             |FROM (
+             |  SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+             |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM lineitem)
+             |GROUP BY 1""".stripMargin),
+      "exact discrete median/p90 per group via sort+rank"
+    ),
+
+    // arg-max / arg-min with a composite bigint order key (price cents ×
+    // 1e9 + orderkey×10 + linenumber) so the pick is total-ordered and
+    // tie-free on both engines
+    "q_minmax_by" -> QueryDef(
+      (s, d) => {
+        val ord = (col("l_extendedprice") * 100).cast("long") * 1000000000L +
+          col("l_orderkey") * 10 + col("l_linenumber")
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            max_by(col("l_orderkey"), ord).as("priciest_order"),
+            min_by(col("l_orderkey"), ord).as("cheapest_order"))
+      },
+      Some("""SELECT l_returnflag,
+             |  arg_max(l_orderkey, CAST(l_extendedprice*100 AS BIGINT)*1000000000 + l_orderkey*10 + l_linenumber) AS priciest_order,
+             |  arg_min(l_orderkey, CAST(l_extendedprice*100 AS BIGINT)*1000000000 + l_orderkey*10 + l_linenumber) AS cheapest_order
+             |FROM lineitem GROUP BY 1""".stripMargin),
+      "max_by/min_by with tie-free composite ordering"
+    ),
+
+    // hot-key mitigation IN the correctness gate: the two-phase salted sum
+    // must equal the plain grouped sum exactly (decimal partials)
+    "q_salted_sum" -> QueryDef(
+      (s, d) =>
+        graft.ops.Skew.saltedSum(
+          t(s, d, "events"), "event_type", Seq("value"), col("event_id"), salts = 16),
+      Some("""SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin),
+      "two-phase salted aggregation equals the plain grouped sum"
+    ),
+
     // THE scalable dedup recipe: LSH candidates → exact Jaccard verify on
     // candidates only. The oracle is the full exact-Jaccard pair set: LSH
     // banding is deterministic (xxhash64, no RNG), and at 64 hashes / 16
