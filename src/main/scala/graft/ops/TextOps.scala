@@ -61,6 +61,15 @@ object TextOps {
         array_max(transform(col("__ts"), x => length(x))).as("max_token_len")
       )
 
+  /** BPE-ish subword segmentation by regex — letter runs, digit runs, and
+    * punctuation runs each count as one token, the cheap engine-agnostic
+    * approximation of a real tokenizer's pre-tokenization pass. The char
+    * classes are ASCII-explicit so every regex engine agrees (Unicode
+    * classes differ between engines).
+    */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"), lit(0))
+
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
 

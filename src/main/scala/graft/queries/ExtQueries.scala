@@ -249,6 +249,69 @@ object ExtQueries {
       "marker-token language-ID heuristic"
     ),
 
+    // BPE-ish subword counting next to whitespace counting (the brief's
+    // "token counting: whitespace + a BPE-ish regex")
+    "text_token_bpe" -> QueryDef(
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          size(TextOps.bpeishTokens(col("text"))).cast("long").as("n_subword_tokens")),
+      Some("""SELECT doc_id,
+             |CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+             |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_subword_tokens
+             |FROM documents""".stripMargin),
+      "whitespace vs BPE-ish regex token counts"
+    ),
+
+    // ---- embedding maintenance: normalization + int8 quantization.
+    //      Array cells are not driver-comparable, so the registered
+    //      queries emit scalar digests (norms, inner products, integer
+    //      sums) that pin every element ----
+    "emb_normalize" -> QueryDef(
+      (s, d) => {
+        graft.functions.ArrayDot.ensureRegistered(s)
+        graft.ops.Embeddings.l2Normalize(t(s, d, "embeddings"), "vec_id", "embedding")
+          .select(
+            col("vec_id"),
+            col("nrm"),
+            call_function(graft.functions.ArrayDot.name, col("unit"), col("unit")).as("unit_ip"))
+      },
+      Some("""WITH b AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+             |  FROM embeddings)
+             |SELECT vec_id, nrm,
+             |  list_inner_product(list_transform(v, x -> x / nrm), list_transform(v, x -> x / nrm)) AS unit_ip
+             |FROM b""".stripMargin),
+      "unit-L2 normalization; digest = norm + unit self-inner-product"
+    ),
+    "emb_quantize_int8" -> QueryDef(
+      (s, d) =>
+        graft.ops.Embeddings.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+          .select(
+            col("vec_id"),
+            col("scale"),
+            aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+            array_min(col("q")).cast("long").as("q_min"),
+            array_max(col("q")).cast("long").as("q_max")),
+      Some("""WITH b AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id,
+             |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale,
+             |    list_transform(v, x -> round(x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END))) AS qq
+             |  FROM b)
+             |SELECT vec_id, scale,
+             |  CAST(list_sum(qq) AS BIGINT) AS q_sum,
+             |  CAST(list_min(qq) AS BIGINT) AS q_min,
+             |  CAST(list_max(qq) AS BIGINT) AS q_max
+             |FROM q""".stripMargin),
+      "symmetric int8 quantization; integer digests pin every element"
+    ),
+
     // ---- multimodal plumbing (decode stubbed deterministically) ----
     "mm_binary_meta" -> QueryDef(
       (s, d) => {
