@@ -179,6 +179,72 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF (inverted-file) top-k: the cluster-probe ANN that complements
+    * [[annLshTopK]]. Three stages, each in its 100 TB shape:
+    *
+    *  1. ASSIGN — every corpus vector goes to its nearest of `nClusters`
+    *     fixed centroids. Centroids are collected to the driver (k rows —
+    *     IVF's premise is that the coarse codebook is tiny) and folded
+    *     into ONE nested-CASE projection of codegen'd dots: assignment is
+    *     a pure per-row map, zero shuffle, zero joins.
+    *  2. PROBE — each query ranks the same centroids and keeps `nProbe`;
+    *     the query set is small by construction.
+    *  3. SEARCH — candidates = corpus ⋈ probes hash-joined on the cluster
+    *     id (the one irreducible shuffle), exact cosine, bounded top-k.
+    *
+    * Deterministic end to end (fixed centroids = first k vectors, total
+    * orders everywhere), so the DuckDB oracle replays it exactly. Recall
+    * vs brute force is governed by nProbe — the standard IVF tradeoff.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      queryPred: Column,
+      nClusters: Int = 8,
+      nProbe: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = prepBase(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = base
+      .filter(col("cid") < nClusters)
+      .select(col("cid").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // driver-side codebook (bounded: nClusters rows), ascending cid so the
+    // strict-improvement fold keeps the SMALLEST cid on sim ties
+    val codebook = centroids
+      .select(col("centroid_id"), col("cv"), col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val init = struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("c"))
+    val best = codebook.foldLeft(init) { case (acc, (ccid, cv, cn)) =>
+      val s = fastDot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))
+      when(s > acc.getField("s"), struct(s.as("s"), lit(ccid).as("c"))).otherwise(acc)
+    }
+    val assigned = base.withColumn("centroid_id", best.getField("c"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("psim").desc, col("centroid_id").asc)
+    val probes = base
+      .filter(queryPred)
+      .select(col("cid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .select(
+        col("query_id"), col("qv"), col("qn"), col("centroid_id"),
+        (fastDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("psim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    val joined = assigned
+      .join(probes, Seq("centroid_id"))
+      .filter(col("cid") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("cid").as("neighbor_id"),
+        (fastDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim"))
+    Caching.materializeAndRelease(rankTopK(joined, k), base)
+  }
+
   /** Deterministic ±1 for (plane, dim) — splitmix64-style driver-side
     * mix, so sign vectors can be built as literal arrays and the per-plane
     * projection becomes one codegen'd ArrayDot against a constant (the

@@ -119,6 +119,44 @@ object ExtQueries {
              |) WHERE rank <= 5""".stripMargin)
     ),
 
+    // ---- ANN scale path #2: IVF cluster-probe search. Fully
+    //      deterministic (fixed codebook, total orders), so the oracle
+    //      replays the exact IVF pipeline: assign → probe 2 of 8 clusters
+    //      → exact rank within candidates ----
+    "ann_ivf_topk" -> QueryDef(
+      (s, d) =>
+        Similarity.ivfTopK(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 5, queryPred = col("cid") < 50, nClusters = 8, nProbe = 2
+        ).withColumn("rank", col("rank").cast("long")),
+      Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8),
+             |assign AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT b.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY b.vec_id
+             |        ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid) AS rn
+             |    FROM base b CROSS JOIN cent c) WHERE rn = 1),
+             |probes AS (
+             |  SELECT query_id, cid FROM (
+             |    SELECT q.vec_id AS query_id, c.cid,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid) AS rn
+             |    FROM base q CROSS JOIN cent c WHERE q.vec_id < 50) WHERE rn <= 2),
+             |cand AS (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    list_cosine_similarity(qb.v, nb.v) AS sim
+             |  FROM probes p
+             |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+             |  JOIN base qb ON qb.vec_id = p.query_id
+             |  JOIN base nb ON nb.vec_id = a.vec_id)
+             |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM cand) WHERE rank <= 5""".stripMargin),
+      "IVF probe search: shuffle-free assignment, cluster-id hash join"
+    ),
+
     // ---- ANN scale path: SRP-LSH bucketed top-k (approximate — recall
     //      vs brute force asserted in SimilaritySpec) ----
     "ann_lsh_topk" -> QueryDef(

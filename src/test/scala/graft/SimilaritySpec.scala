@@ -68,6 +68,23 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
   }
 
+  test("ivfTopK with nProbe = nClusters degenerates to exact brute-force top-k") {
+    val df = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
+    val brute = Similarity.cosineTopK(df, "vec_id", "embedding", 5, col("cid") < 30)
+      .as[(Long, Int, Long)].collect().toSet
+    val ivfAll = Similarity.ivfTopK(df, "vec_id", "embedding", 5, col("cid") < 30,
+      nClusters = 8, nProbe = 8)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(ivfAll == brute)
+    // partial probing returns a subset-ranked result, deterministically
+    val ivf2a = Similarity.ivfTopK(df, "vec_id", "embedding", 5, col("cid") < 30,
+      nClusters = 8, nProbe = 2).as[(Long, Int, Long)].collect().toSet
+    val ivf2b = Similarity.ivfTopK(df, "vec_id", "embedding", 5, col("cid") < 30,
+      nClusters = 8, nProbe = 2).as[(Long, Int, Long)].collect().toSet
+    assert(ivf2a == ivf2b)
+    assert(ivf2a.nonEmpty)
+  }
+
   test("SRP bucketing is deterministic and ANN recall@5 is reasonable on fixture") {
     val df = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
     val brute = Similarity
