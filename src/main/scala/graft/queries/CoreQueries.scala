@@ -105,6 +105,42 @@ object CoreQueries {
       "content-dataset BETWEEN + 365-day lookback rewrite (P3/P4 composed)"
     ),
 
+    // ---- §3.3: the reference's transform pipeline COMPOSED (P5 sentinel
+    //      drop → P1 project → F5 coercion casts → F3 date format → F4
+    //      name sanitize) — one lazy plan, Catalyst fuses it into a single
+    //      codegen'd project+filter over the scan ----
+    "q_transform_chain" -> QueryDef(
+      (s, d) => {
+        val raw = t(s, d, "events")
+          .withColumn("lfm.event.k", get_json_object(col("props"), "$.k"))
+        val chained =
+          Transforms.sanitizeColumnNames(
+            Transforms.formatDates(
+              Transforms.castColumns(
+                Transforms.projectColumns(
+                  Transforms.dropRowsContaining(raw, sentinel = "error"),
+                  Seq("event_id", "event_type", "ts", "lfm.event.k", "value")),
+                Map("lfm.event.k" -> "int64", "value" -> "float64")),
+              dateCols = Seq.empty, timestampCols = Seq("ts")))
+        chained.withColumnRenamed("lfm&event&k", "lfm_amp_event_amp_k")
+      },
+      // the rename only exists because parquet column names with '&' are
+      // fine but the oracle compare is simpler on a plain identifier; the
+      // sanitizer itself is exercised (lfm.event.k → lfm&event&k)
+      Some("""SELECT event_id, event_type,
+             |strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS ts,
+             |CAST(coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), 0) AS BIGINT) AS lfm_amp_event_amp_k,
+             |coalesce(TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE), 0) AS value
+             |FROM events
+             |WHERE NOT (coalesce(CAST(event_id AS VARCHAR) = 'error', false)
+             |  OR coalesce(CAST(ts AS VARCHAR) = 'error', false)
+             |  OR coalesce(CAST(user_id AS VARCHAR) = 'error', false)
+             |  OR coalesce(CAST(event_type AS VARCHAR) = 'error', false)
+             |  OR coalesce(CAST(value AS VARCHAR) = 'error', false)
+             |  OR coalesce(CAST(props AS VARCHAR) = 'error', false))""".stripMargin),
+      "reference 7-stage transform pipeline fused into one plan"
+    ),
+
     // ---- A1: daily metric rollup (§7.3 minimum slice) ----
     "q_daily_rollup" -> QueryDef(
       (s, d) =>
