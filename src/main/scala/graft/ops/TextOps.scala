@@ -107,6 +107,48 @@ object TextOps {
         array_min(transform(shinglesFromTokens(col("__ts"), shingleN), s => md5(s))).as("fp_min_shingle")
       )
 
+  /** Winnowing fingerprints (the rolling-hash document signature of
+    * Schleimer et al. / MOSS): hash every character k-gram of the
+    * normalized text, slide a window of `w` consecutive hashes, keep each
+    * window's minimum, dedupe. Matching documents share selected hashes
+    * even after local edits — the plagiarism/near-dup signature that is
+    * robust where whole-document hashes are brittle.
+    *
+    * Pure Catalyst HOFs over a materialized normalized column (attribute
+    * access inside the lambdas — the quadratic-HOF trap does not apply),
+    * O(len × w) per document, shuffle-free scan-speed. Hashes are the
+    * first 8 hex chars of md5 as integers, so any md5-bearing engine
+    * reproduces them bit-for-bit.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4
+  ): DataFrame = {
+    val emptyLongs = array().cast("array<bigint>")
+    df.select(col(idCol), normalize(col(textCol)).as("__nt"))
+      .withColumn(
+        "__hs",
+        when(
+          length(col("__nt")) >= k,
+          transform(
+            sequence(lit(1), length(col("__nt")) - (k - 1)),
+            i => conv(substring(md5(col("__nt").substr(i, lit(k))), 1, 8), 16, 10).cast("long"))
+        ).otherwise(emptyLongs))
+      .withColumn(
+        "fps",
+        array_distinct(
+          when(
+            size(col("__hs")) >= w,
+            transform(
+              sequence(lit(1), size(col("__hs")) - (w - 1)),
+              j => array_min(slice(col("__hs"), j, lit(w))))
+          ).otherwise(emptyLongs)))
+      .select(col(idCol), col("fps"))
+  }
+
   /** Language-ID n-gram/stopword heuristic: score each candidate language
     * by its marker-token hit count, pick the argmax (ties → lexicographic).
     * Markers are tiny driver-side lists → the whole thing folds into one

@@ -287,6 +287,41 @@ object ExtQueries {
       "marker-token language-ID heuristic"
     ),
 
+    // winnowing (rolling-hash) fingerprints; array cells aren't
+    // driver-comparable, so the query emits integer digests that pin the
+    // selected-hash set exactly
+    "text_winnow_fingerprint" -> QueryDef(
+      (s, d) =>
+        TextOps.winnowFingerprints(t(s, d, "documents"), "doc_id", "text", k = 8, w = 4)
+          .select(
+            col("doc_id"),
+            size(col("fps")).cast("long").as("n_fp"),
+            coalesce(aggregate(col("fps"), lit(0L), (a, x) => a + x), lit(0L)).as("fp_sum"),
+            array_min(col("fps")).as("fp_min"),
+            array_max(col("fps")).as("fp_max")),
+      Some("""WITH norm AS (
+             |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt FROM documents
+             |), h AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(nt) >= 8 THEN
+             |      list_transform(generate_series(1, length(nt)-7),
+             |        i -> CAST(('0x' || substr(md5(substr(nt, i, 8)), 1, 8)) AS BIGINT))
+             |    ELSE [] END AS hs
+             |  FROM norm
+             |), wv AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(hs) >= 4 THEN
+             |      list_distinct(list_transform(generate_series(1, len(hs)-3), j -> list_min(hs[j:j+3])))
+             |    ELSE [] END AS fps
+             |  FROM h)
+             |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+             |  CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum,
+             |  CAST(list_min(fps) AS BIGINT) AS fp_min,
+             |  CAST(list_max(fps) AS BIGINT) AS fp_max
+             |FROM wv""".stripMargin),
+      "winnowing min-hash-per-window signature (rolling hash)"
+    ),
+
     // BPE-ish subword counting next to whitespace counting (the brief's
     // "token counting: whitespace + a BPE-ish regex")
     "text_token_bpe" -> QueryDef(

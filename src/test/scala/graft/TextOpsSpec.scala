@@ -51,6 +51,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L)._2 == null) // < 5 tokens → no shingles
   }
 
+  test("winnowing: local edits keep most fingerprints; disjoint texts share none") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox leaps over the lazy dog again and again today" // one word edited
+    val c = "completely unrelated content about spark catalyst physical planning"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val fps = graft.ops.TextOps.winnowFingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("fps").toSet).toMap
+    val overlapAB = fps(1L).intersect(fps(2L)).size.toDouble / fps(1L).size
+    assert(overlapAB > 0.5, s"edit-robustness overlap $overlapAB")
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+    // short documents (< k chars) fingerprint to the empty set, not an error
+    val short = Seq((9L, "tiny")).toDF("doc_id", "text")
+    val s0 = graft.ops.TextOps.winnowFingerprints(short, "doc_id", "text")
+      .collect().head.getAs[scala.collection.Seq[Long]]("fps")
+    assert(s0.isEmpty)
+  }
+
   test("langId picks the language with most marker hits") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
