@@ -515,7 +515,34 @@ object CoreQueries {
         ).toDF("id", "lfm.content.tags")
         Transforms.sanitizeColumnNames(TagPivot.pivotTags(raw, "lfm.content.tags"))
       },
-      None,
+      // the input is an inline literal (the fixtures carry no tag arrays),
+      // so the oracle replays the full parse semantics over the same
+      // VALUES: first-colon split, spaces→underscores in keys, colon-less
+      // items → untitled, duplicate keys //-joined in list order
+      Some("""WITH raw AS (
+             |  SELECT * FROM (VALUES
+             |    (CAST(1 AS BIGINT), ['Campaign: holiday', 'Campaign: retail', 'Franchise: x', 'untagged-note']),
+             |    (CAST(2 AS BIGINT), CAST([] AS VARCHAR[])),
+             |    (CAST(3 AS BIGINT), ['Key Name: v', 'Campaign: spring'])) AS t(id, tags)
+             |), kv AS (
+             |  SELECT id, g.i AS i,
+             |    CASE WHEN instr(tags[g.i], ':') > 0
+             |      THEN replace(trim(split_part(tags[g.i], ':', 1)), ' ', '_')
+             |      ELSE 'untitled' END AS k,
+             |    CASE WHEN instr(tags[g.i], ':') > 0
+             |      THEN trim(substr(tags[g.i], instr(tags[g.i], ':') + 1))
+             |      ELSE trim(tags[g.i]) END AS v
+             |  FROM raw, LATERAL (SELECT unnest(generate_series(1, len(tags))) AS i) g
+             |), agg AS (
+             |  SELECT id, k, string_agg(v, '//' ORDER BY i) AS vv FROM kv GROUP BY 1, 2
+             |)
+             |SELECT r.id,
+             |  max(CASE WHEN k = 'Campaign' THEN vv END) AS "lfm&content&tags&Campaign",
+             |  max(CASE WHEN k = 'Franchise' THEN vv END) AS "lfm&content&tags&Franchise",
+             |  max(CASE WHEN k = 'Key_Name' THEN vv END) AS "lfm&content&tags&Key_Name",
+             |  max(CASE WHEN k = 'untitled' THEN vv END) AS "lfm&content&tags&untitled"
+             |FROM raw r LEFT JOIN agg a ON a.id = r.id
+             |GROUP BY r.id""".stripMargin),
       "dynamic-column pivot; golden-file spec in TagPivotSpec"
     )
   )
