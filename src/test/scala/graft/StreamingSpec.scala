@@ -55,6 +55,37 @@ class StreamingSpec extends SparkSpec {
     assert((complete -- appended).forall(_._1.getTime > cutoff))
   }
 
+  test("checkpointed restart processes each file exactly once (append sink)") {
+    val src = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
+      .select("ts", "event_type", "value")
+    val srcDir = Files.createTempDirectory("eo-src").toString
+    val outDir = Files.createTempDirectory("eo-out").toString + "/sink"
+    val ckpt = Files.createTempDirectory("eo-ckpt").toString
+    val half = src.count() / 2
+    src.limit(half.toInt).coalesce(1).write.mode("append").parquet(srcDir)
+
+    def drain(): Unit = {
+      val q = spark.readStream.schema(src.schema).parquet(srcDir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+
+    drain()
+    val n1 = spark.read.parquet(outDir).count()
+    assert(n1 == half)
+    // restart with NO new input: the checkpoint prevents any re-append
+    drain()
+    assert(spark.read.parquet(outDir).count() == n1)
+    // add a second file: only the delta is appended — the exactly-once
+    // re-invocation the reference approximates with WRITE_APPEND
+    src.exceptAll(src.limit(half.toInt)).coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+    assert(spark.read.parquet(outDir).count() == src.count())
+  }
+
   test("sessionizeStream closes a trailing session via event-time timeout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
