@@ -314,11 +314,17 @@ object Similarity {
       .select(col("cid"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
     val l = buckets.select(col("cid").as("id_a"), col("tbl"), col("bucket"))
     val r = buckets.select(col("cid").as("id_b"), col("tbl"), col("bucket"))
+    // Candidates are NOT pre-deduplicated: a pair colliding in several
+    // tables is verified several times and deduped AFTER the threshold
+    // filter, when only true pairs remain. The pre-verify distinct would
+    // shuffle the full candidate stream (the big set); re-verification is
+    // a handful of codegen'd dots per duplicate — measured cheaper. If the
+    // vector-attach joins ever stop being broadcast-able (so duplicates
+    // would multiply a shuffle instead), reintroduce the pre-distinct.
     val cands = l
       .join(r, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
     val a = base.select(col("cid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("cid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     val verified = cands
@@ -326,6 +332,7 @@ object Similarity {
       .join(b, Seq("id_b"))
       .filter(fastDot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("id_a", "id_b")
+      .distinct()
     (verified, base)
   }
 
