@@ -211,19 +211,27 @@ object Similarity {
     val centroids = base
       .filter(col("cid") < nClusters)
       .select(col("cid").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
-    // driver-side codebook (bounded: nClusters rows), ascending cid so the
-    // strict-improvement fold keeps the SMALLEST cid on sim ties
+    // driver-side codebook (bounded: nClusters rows), ascending cid. The
+    // per-row argmax is computed over a MATERIALIZED sims array —
+    // array_max + array_position (first hit ⇒ smallest cid wins ties) —
+    // so each centroid dot is evaluated exactly once per row. (A nested
+    // conditional fold would duplicate the accumulator expression per
+    // level: 2^k expression blowup, seconds of janino compile — measured.)
     val codebook = centroids
       .select(col("centroid_id"), col("cv"), col("cn"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
-    val init = struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("c"))
-    val best = codebook.foldLeft(init) { case (acc, (ccid, cv, cn)) =>
-      val s = fastDot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))
-      when(s > acc.getField("s"), struct(s.as("s"), lit(ccid).as("c"))).otherwise(acc)
-    }
-    val assigned = base.withColumn("centroid_id", best.getField("c"))
+    val simsCol = array(codebook.map { case (_, cv, cn) =>
+      fastDot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))
+    }: _*)
+    val cidsLit = typedLit(codebook.map(_._1))
+    val assigned = base
+      .withColumn("__sims", simsCol)
+      .withColumn(
+        "centroid_id",
+        element_at(cidsLit, array_position(col("__sims"), array_max(col("__sims"))).cast("int")))
+      .drop("__sims")
     val wProbe = Window.partitionBy("query_id").orderBy(col("psim").desc, col("centroid_id").asc)
     val probes = base
       .filter(queryPred)
