@@ -84,10 +84,23 @@ final class PagedTable(props: Map[String, String]) extends Table with SupportsRe
 final class PagedScanBuilder(totalRows: Long, pageSize: Int)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedSource.schema
+  private var limit: Option[Int] = None
+
+  /** Limit pushdown = the paged API's early termination: stop requesting
+    * pages once enough rows exist. Partially pushed (the default), so
+    * Spark keeps its global Limit — this only bounds what the source
+    * fetches: each partition emits ≤ limit rows, and with no pushed
+    * filters only ⌈limit/pageSize⌉ pages are planned at all.
+    */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    true
+  }
 
   /** Accept the filter shapes the LFM query language supports (IN on the
     * brand key, comparisons on the date string — P2/P3); anything else is
@@ -117,47 +130,67 @@ final class PagedScanBuilder(totalRows: Long, pageSize: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PagedScan(totalRows, pageSize, pushed, required)
+  override def build(): Scan = new PagedScan(totalRows, pageSize, pushed, required, limit)
 }
 
-final class PagedScan(totalRows: Long, pageSize: Int, filters: Array[Filter], required: StructType)
-    extends Scan with Batch {
+final class PagedScan(
+    totalRows: Long,
+    pageSize: Int,
+    filters: Array[Filter],
+    required: StructType,
+    limit: Option[Int]
+) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def description(): String =
     s"graft_paged_source PushedFilters: [${filters.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      s"ReadSchema: ${required.catalogString}" +
+      limit.fold("")(l => s", PushedLimit: $l")
 
-  /** One InputPartition per page — the S2 pagination model. */
+  /** One InputPartition per page — the S2 pagination model. A pushed limit
+    * with no pushed filters needs only the first ⌈limit/pageSize⌉ pages
+    * (with filters, any page may contribute, so all stay planned and the
+    * per-reader row cap does the bounding).
+    */
   override def planInputPartitions(): Array[InputPartition] = {
     val nPages = ((totalRows + pageSize - 1) / pageSize).toInt
-    (0 until nPages).map(p => PagePartition(p, pageSize, totalRows): InputPartition).toArray
+    val planned = limit match {
+      case Some(l) if filters.isEmpty =>
+        math.min(nPages.toLong, (l.toLong + pageSize - 1) / pageSize).toInt
+      case _ => nPages
+    }
+    (0 until planned).map(p => PagePartition(p, pageSize, totalRows): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(filters, required)
+    new PagedReaderFactory(filters, required, limit)
 }
 
 final case class PagePartition(page: Int, pageSize: Int, totalRows: Long) extends InputPartition
 
-final class PagedReaderFactory(filters: Array[Filter], required: StructType)
+final class PagedReaderFactory(filters: Array[Filter], required: StructType, limit: Option[Int])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
-    new PagedReader(p, filters, required)
+    new PagedReader(p, filters, required, limit)
   }
 }
 
 /** Reads one page, applying the pushed filters "server-side" (here: while
   * generating) and projecting only the pruned columns.
   */
-final class PagedReader(p: PagePartition, filters: Array[Filter], required: StructType)
-    extends PartitionReader[InternalRow] {
+final class PagedReader(
+    p: PagePartition,
+    filters: Array[Filter],
+    required: StructType,
+    limit: Option[Int]
+) extends PartitionReader[InternalRow] {
 
   private val start = p.page.toLong * p.pageSize
   private val end = math.min(start + p.pageSize, p.totalRows)
   private var i = start - 1
+  private var emitted = 0
   private var current: (Long, String, Double) = _
 
   private def accept(r: (Long, String, Double)): Boolean = filters.forall {
@@ -178,10 +211,13 @@ final class PagedReader(p: PagePartition, filters: Array[Filter], required: Stru
   }
 
   override def next(): Boolean = {
+    // a partition never needs more than `limit` matching rows for a
+    // global limit — stop generating early (the paged API stops fetching)
+    if (limit.exists(emitted >= _)) return false
     while (i + 1 < end) {
       i += 1
       val r = PagedSource.row(i)
-      if (accept(r)) { current = r; return true }
+      if (accept(r)) { current = r; emitted += 1; return true }
     }
     false
   }

@@ -51,6 +51,24 @@ class PagedSourceSpec extends SparkSpec {
     assert(math.abs(agg - expected) < 1e-6)
   }
 
+  test("limit pushdown: only the needed pages are planned; rows still exact") {
+    val limited = src(rows = 10000, pageSize = 1000).limit(1500)
+    assert(limited.count() == 1500)
+    // unfiltered limit plans ceil(1500/1000) = 2 pages, not all 10
+    val scanned = limited.queryExecution.executedPlan.collectLeaves()
+      .head.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+    assert(scanned.inputPartitions.length == 2)
+    assert(scanned.scan.description().contains("PushedLimit: 1500"))
+    // with a pushed filter every page stays planned (any page may match),
+    // but readers cap their output and the result is still exact
+    val filteredLimit = src(rows = 10000, pageSize = 1000)
+      .filter(col("brand_id") === 5L).limit(7)
+    assert(filteredLimit.count() == 7)
+    val fl = filteredLimit.queryExecution.executedPlan.collectLeaves()
+      .head.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+    assert(fl.inputPartitions.length == 10)
+  }
+
   test("full analytic-query shape over the source: filter + groupBy agg") {
     val out = src()
       .filter(col("brand_id").isin(5L, 7L))
