@@ -2,7 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -81,15 +82,73 @@ final class PagedTable(props: Map[String, String]) extends Table with SupportsRe
   }
 }
 
+/** Pushed-aggregation spec: group columns + per-page partial aggregates.
+  * This is the reference's actual execution model — the LFM server
+  * evaluates the group-by/metric aggregation and pages back PRE-AGGREGATED
+  * rows (`/root/reference/data_extract.py:45-55`); Spark then runs the
+  * final merge (sum of sums, min of mins, …) because the pushdown is
+  * declared partial, which keeps cross-page groups correct.
+  */
+final case class PushedAgg(groupCols: Seq[String], aggs: Seq[AggregateFunc]) {
+  def outputSchema: StructType = {
+    val groupFields = groupCols.map(c => PagedSource.schema(c))
+    val aggFields = aggs.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_: Count, i)     => StructField(s"agg_$i", LongType, nullable = false)
+      case (_: Sum, i)       => StructField(s"agg_$i", DoubleType, nullable = true)
+      case (_: Min, i)       => StructField(s"agg_$i", DoubleType, nullable = true)
+      case (_: Max, i)       => StructField(s"agg_$i", DoubleType, nullable = true)
+      case (f, _)            => throw new IllegalStateException(s"unsupported pushed agg $f")
+    }
+    StructType(groupFields ++ aggFields)
+  }
+}
+
 final class PagedScanBuilder(totalRows: Long, pageSize: Int)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedSource.schema
   private var limit: Option[Int] = None
+  private var agg: Option[PushedAgg] = None
+
+  private def refName(r: NamedReference): Option[String] =
+    r.fieldNames match {
+      case Array(one) => Some(one)
+      case _          => None
+    }
+
+  /** Accept group-bys on the dimension columns and SUM/MIN/MAX on the
+    * metric plus COUNT/COUNT(*) — the aggregate vocabulary of the
+    * reference's analytic query (A1). Anything else returns false and
+    * Spark aggregates the raw rows itself.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val groups = aggregation.groupByExpressions().toSeq.map {
+      case r: NamedReference => refName(r).filter(Set("brand_id", "date_str"))
+      case _                 => None
+    }
+    def metricRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case r: NamedReference => refName(r).contains("metric")
+      case _                 => false
+    }
+    val aggsOk = aggregation.aggregateExpressions().toSeq.forall {
+      case _: CountStar => true
+      case c: Count     => !c.isDistinct && metricRef(c.column())
+      case s: Sum       => !s.isDistinct && metricRef(s.column())
+      case m: Min       => metricRef(m.column())
+      case m: Max       => metricRef(m.column())
+      case _            => false
+    }
+    if (groups.forall(_.isDefined) && aggsOk && aggregation.aggregateExpressions().nonEmpty) {
+      agg = Some(PushedAgg(groups.flatten, aggregation.aggregateExpressions().toSeq))
+      true
+    } else false
+  }
 
   /** Limit pushdown = the paged API's early termination: stop requesting
     * pages once enough rows exist. Partially pushed (the default), so
@@ -130,7 +189,7 @@ final class PagedScanBuilder(totalRows: Long, pageSize: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PagedScan(totalRows, pageSize, pushed, required, limit)
+  override def build(): Scan = new PagedScan(totalRows, pageSize, pushed, required, limit, agg)
 }
 
 final class PagedScan(
@@ -138,25 +197,29 @@ final class PagedScan(
     pageSize: Int,
     filters: Array[Filter],
     required: StructType,
-    limit: Option[Int]
+    limit: Option[Int],
+    agg: Option[PushedAgg]
 ) extends Scan with Batch {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg.fold(required)(_.outputSchema)
   override def toBatch: Batch = this
 
   override def description(): String =
     s"graft_paged_source PushedFilters: [${filters.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}" +
-      limit.fold("")(l => s", PushedLimit: $l")
+      s"ReadSchema: ${readSchema().catalogString}" +
+      limit.fold("")(l => s", PushedLimit: $l") +
+      agg.fold("")(a =>
+        s", PushedAggregation: [groupBy=${a.groupCols.mkString(",")}; ${a.aggs.mkString(", ")}]")
 
   /** One InputPartition per page — the S2 pagination model. A pushed limit
-    * with no pushed filters needs only the first ⌈limit/pageSize⌉ pages
-    * (with filters, any page may contribute, so all stay planned and the
-    * per-reader row cap does the bounding).
+    * with no pushed filters or aggregation needs only the first
+    * ⌈limit/pageSize⌉ pages (with filters or an aggregation, any page may
+    * contribute, so all stay planned and the per-reader row cap does the
+    * bounding).
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val nPages = ((totalRows + pageSize - 1) / pageSize).toInt
     val planned = limit match {
-      case Some(l) if filters.isEmpty =>
+      case Some(l) if filters.isEmpty && agg.isEmpty =>
         math.min(nPages.toLong, (l.toLong + pageSize - 1) / pageSize).toInt
       case _ => nPages
     }
@@ -164,17 +227,80 @@ final class PagedScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(filters, required, limit)
+    new PagedReaderFactory(filters, required, limit, agg)
 }
 
 final case class PagePartition(page: Int, pageSize: Int, totalRows: Long) extends InputPartition
 
-final class PagedReaderFactory(filters: Array[Filter], required: StructType, limit: Option[Int])
-    extends PartitionReaderFactory {
+final class PagedReaderFactory(
+    filters: Array[Filter],
+    required: StructType,
+    limit: Option[Int],
+    agg: Option[PushedAgg]
+) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
-    new PagedReader(p, filters, required, limit)
+    agg match {
+      case Some(a) => new PagedAggReader(p, filters, a)
+      case None    => new PagedReader(p, filters, required, limit)
+    }
   }
+}
+
+/** Per-page partial aggregation — the "server" computes the group-by and
+  * pages back aggregated rows; Spark's final aggregate merges across
+  * pages. Group state per page is bounded by the page's distinct groups.
+  */
+final class PagedAggReader(p: PagePartition, filters: Array[Filter], agg: PushedAgg)
+    extends PartitionReader[InternalRow] {
+
+  private val it: Iterator[InternalRow] = {
+    val start = p.page.toLong * p.pageSize
+    val end = math.min(start + p.pageSize, p.totalRows)
+    val raw = new PagedReader(p, filters, PagedSource.schema, None)
+    // (count, sum, min, max) per agg slot, keyed by the group tuple
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[(Long, Double, Double, Double)]]
+    var i = start - 1
+    while (i + 1 < end) {
+      i += 1
+      val r = PagedSource.row(i)
+      if (raw.acceptRow(r)) {
+        val key: Seq[Any] = agg.groupCols.map {
+          case "brand_id" => r._1
+          case "date_str" => r._2
+        }
+        val slots = acc.getOrElseUpdate(
+          key,
+          Array.fill(agg.aggs.size)((0L, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)))
+        var j = 0
+        while (j < slots.length) {
+          val (c, s, mn, mx) = slots(j)
+          slots(j) = (c + 1, s + r._3, math.min(mn, r._3), math.max(mx, r._3))
+          j += 1
+        }
+      }
+    }
+    acc.iterator.map { case (key, slots) =>
+      val groupVals = key.map {
+        case s: String => UTF8String.fromString(s).asInstanceOf[Any]
+        case other     => other
+      }
+      val aggVals = agg.aggs.zip(slots).map {
+        case (_: CountStar, (c, _, _, _)) => c.asInstanceOf[Any]
+        case (_: Count, (c, _, _, _))     => c.asInstanceOf[Any]
+        case (_: Sum, (_, s, _, _))       => s.asInstanceOf[Any]
+        case (_: Min, (_, _, mn, _))      => mn.asInstanceOf[Any]
+        case (_: Max, (_, _, _, mx))      => mx.asInstanceOf[Any]
+        case (f, _)                       => throw new IllegalStateException(s"unsupported $f")
+      }
+      InternalRow.fromSeq(groupVals ++ aggVals)
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { if (it.hasNext) { current = it.next(); true } else false }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** Reads one page, applying the pushed filters "server-side" (here: while
@@ -193,7 +319,7 @@ final class PagedReader(
   private var emitted = 0
   private var current: (Long, String, Double) = _
 
-  private def accept(r: (Long, String, Double)): Boolean = filters.forall {
+  private[sources] def acceptRow(r: (Long, String, Double)): Boolean = filters.forall {
     case In("brand_id", vs)                  => vs.exists(v => v.asInstanceOf[Number].longValue == r._1)
     case EqualTo("brand_id", v)              => v.asInstanceOf[Number].longValue == r._1
     case GreaterThan("brand_id", v)          => r._1 > v.asInstanceOf[Number].longValue
@@ -217,7 +343,7 @@ final class PagedReader(
     while (i + 1 < end) {
       i += 1
       val r = PagedSource.row(i)
-      if (accept(r)) { current = r; emitted += 1; return true }
+      if (acceptRow(r)) { current = r; emitted += 1; return true }
     }
     false
   }

@@ -69,6 +69,39 @@ class PagedSourceSpec extends SparkSpec {
     assert(fl.inputPartitions.length == 10)
   }
 
+  test("aggregate pushdown: server-side partial aggs per page, Spark merges") {
+    val df = src(rows = 10000, pageSize = 1000)
+      .groupBy("brand_id")
+      .agg(
+        sum("metric").as("s"),
+        count(lit(1)).as("n"),
+        min("metric").as("mn"),
+        max("metric").as("mx"))
+    // AQE wraps the executed plan; read the scan from the optimized plan
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(scan.description().contains("PushedAggregation"), scan.description())
+    val out = df.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val raw = (0L until 10000L).map(graft.sources.PagedSource.row).groupBy(_._1)
+    assert(out.keySet == raw.keySet)
+    raw.foreach { case (brand, rows) =>
+      val (s, n, mn, mx) = out(brand)
+      assert(n == rows.size)
+      assert(mn == rows.map(_._3).min && mx == rows.map(_._3).max)
+      assert(math.abs(s - rows.map(_._3).sum) < 1e-6)
+    }
+    // filters compose: pushed filter applies before the pushed aggregation
+    val filtered = src(rows = 10000, pageSize = 1000)
+      .filter(col("brand_id") === 5L)
+      .groupBy("date_str").agg(count(lit(1)).as("n"))
+    val expected = (0L until 10000L).map(graft.sources.PagedSource.row)
+      .filter(_._1 == 5L).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(filtered.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expected)
+  }
+
   test("full analytic-query shape over the source: filter + groupBy agg") {
     val out = src()
       .filter(col("brand_id").isin(5L, 7L))
