@@ -90,4 +90,46 @@ class PipelineSpec extends SparkSpec {
   test("table naming matches the reference prefix") {
     assert(Sink.tableName("cfg1") == "010_warner_dl_lf_cfg1")
   }
+
+  test("full lifecycle: content rewrite → transform chain → evolving sink, per config") {
+    import graft.extract.QueryExec
+    import graft.transform.Transforms
+    val outRoot = Files.createTempDirectory("e2e").toString
+    val facts = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
+      .withColumn("lfm.fact.date_str", date_format(col("ts"), "yyyy-MM-dd"))
+    val configs = Seq(
+      ExportConfig("daily_a", "brand_content_daily",
+        ListMap("sum:value" -> "float64"), ListMap("lfm.fact.date_str" -> "string"),
+        ListMap.empty, Seq(2L, 3L, 5L)),
+      ExportConfig("bad_dates", "brand_content_daily",
+        ListMap("sum:value" -> "float64"), ListMap("lfm.fact.date_str" -> "string"),
+        ListMap.empty, Seq(2L)),
+      ExportConfig("daily_c", "brand_content_daily",
+        // second run ADDS a metric → the sink's field-addition path
+        ListMap("sum:value" -> "float64", "count:event_id" -> "int64"),
+        ListMap("lfm.fact.date_str" -> "string"), ListMap.empty, Seq(7L, 11L))
+    )
+    val dest = outRoot + "/010_warner_dl_lf_shared"
+    val summary = Pipeline.run(configs) { c =>
+      val start = if (c.configId == "bad_dates") "not-a-macro" else "{{nDaysAgo 45}}"
+      val extracted = QueryExec.runContent(
+        facts, c, brandCol = "user_id", dateStrCol = "lfm.fact.date_str",
+        requestStart = start, requestEnd = "{{nDaysAgo 10}}",
+        today = java.time.LocalDate.parse("2024-02-20"))
+      val transformed = Transforms.sanitizeColumnNames(
+        Transforms.projectColumns(extracted, c.orderedColumns))
+      Sink.writeParquetEvolving(spark, transformed, dest, Sink.WriteAppend)
+      spark.read.parquet(dest).count()
+    }
+    // bad_dates failed (E1) without stopping the others
+    assert(summary.processedCount == 2)
+    assert(summary.results.collect { case Pipeline.Failed(id, _) => id } == Seq("bad_dates"))
+    // schema evolved across the two successful configs: the added metric
+    // column exists and is null for the first config's rows
+    val merged = Sink.readMerged(spark, dest)
+    assert(merged.columns.toSet ==
+      Set("lfm&fact&date_str", "sum:value", "count:event_id"))
+    assert(merged.filter(col("`count:event_id`").isNull).count() > 0)
+    assert(merged.count() > 0)
+  }
 }
