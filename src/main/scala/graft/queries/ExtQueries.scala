@@ -644,6 +644,60 @@ object Ext2Queries {
       "bounded-memory gap sessionization (shuffle + secondary sort + linear scan)"
     ),
 
+    // full-outer join completing the join family (inner/left/semi/anti/
+    // as-of elsewhere): overlapping key ranges so BOTH null sides occur
+    "q_full_outer_join" -> QueryDef(
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .filter(col("c_custkey") < 100)
+          .select(col("c_custkey"), col("c_name"))
+        val o = t(s, d, "orders")
+          .filter(col("o_custkey") < 150)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+          .select(
+            coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+            col("c_name"),
+            col("n_orders"))
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 100),
+             |o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders WHERE o_custkey < 150 GROUP BY 1)
+             |SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name, o.n_orders
+             |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey""".stripMargin),
+      "full outer join with nulls on both sides"
+    ),
+
+    // higher-order array functions as scalar digests (sequence, zip_with,
+    // filter, exists, aggregate — the §2.9 HOF toolbox in the gate)
+    "q_array_funcs" -> QueryDef(
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_orderkey") <= 1000)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber").cast("long").as("ln"),
+            aggregate(
+              zip_with(
+                sequence(lit(1L), col("l_linenumber").cast("long")),
+                sequence(col("l_linenumber").cast("long"), lit(1L)),
+                (x, y) => x * y),
+              lit(0L), (a, x) => a + x).as("dotseq"),
+            size(filter(
+              sequence(lit(1L), col("l_linenumber").cast("long")),
+              x => x % 2 === 0)).cast("long").as("n_even"),
+            exists(
+              sequence(lit(1L), col("l_linenumber").cast("long")),
+              x => x === 3L).cast("int").cast("long").as("has_three")),
+      // DuckDB mirrors the zip algebra directly: Σ i·(n−i+1) over i=1..n
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+             |CAST(list_sum(list_transform(generate_series(1, l_linenumber), i -> i * (l_linenumber - i + 1))) AS BIGINT) AS dotseq,
+             |CAST(len(list_filter(generate_series(1, l_linenumber), i -> i % 2 = 0)) AS BIGINT) AS n_even,
+             |CAST(CASE WHEN l_linenumber >= 3 THEN 1 ELSE 0 END AS BIGINT) AS has_three
+             |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin),
+      "sequence/zip_with/filter/exists/aggregate HOF suite"
+    ),
+
     // exact discrete quantiles via sort + rank (no FP interpolation —
     // integer indexing makes the pick engine-independent; at scale this is
     // one shuffle on the group key, same as any grouped sort statistic)
