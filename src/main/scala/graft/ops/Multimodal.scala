@@ -31,11 +31,30 @@ object Multimodal {
       format_tag: String
   )
 
+  /** The decoder CONTRACT any real media backend must satisfy (the
+    * swap-in point for a javacv/ffmpeg implementation). Requirements,
+    * enforced by MediaDecoderContractSpec against every implementation:
+    *  - total: never throws, for empty and single-byte payloads included;
+    *  - deterministic: equal bytes → equal metadata (no wall clock, no
+    *    RNG), so results are reproducible across executors and retries;
+    *  - positive dimensions whenever the payload is non-empty, 0 only for
+    *    empty payloads;
+    *  - non-empty format tag.
+    * Implementations must be Serializable: the decoder ships to executors
+    * inside the mapPartitions closure.
+    */
+  trait MediaDecoder extends Serializable {
+    /** (width, height, formatTag) for a payload. */
+    def decode(bytes: Array[Byte]): (Int, Int, String)
+  }
+
   /** STUB — deterministic fake decode standing in for a real image/audio
     * decoder (none available in this environment). Metadata is a pure
     * function of the payload bytes so tests and oracles are reproducible.
+    * Swapping in a real `MediaDecoder` changes nothing else in the
+    * pipeline; it must pass the same contract spec.
     */
-  object FakeDecode {
+  object FakeDecode extends MediaDecoder {
     def decode(bytes: Array[Byte]): (Int, Int, String) = {
       val w = if (bytes.nonEmpty) ((bytes(0) & 0xff) % 64) + 1 else 0
       val h = if (bytes.length > 1) ((bytes(1) & 0xff) % 64) + 1 else 0
@@ -52,14 +71,19 @@ object Multimodal {
     df.withColumn(binCol, encode(col(textCol), "UTF-8"))
 
   /** Batch decode: partition-at-a-time over a typed Dataset — decoder init
-    * happens once per partition (the mapInPandas batch shape).
+    * happens once per partition (the mapInPandas batch shape). The decoder
+    * is injected; FakeDecode is the environment-forced default.
     */
-  def extractMeta(spark: SparkSession, records: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+  def extractMeta(
+      spark: SparkSession,
+      records: Dataset[MediaRecord],
+      decoder: MediaDecoder = FakeDecode
+  ): Dataset[MediaMeta] = {
     import spark.implicits._
     records.mapPartitions { it =>
       // per-partition decoder init would go here
       it.map { r =>
-        val (w, h, tag) = FakeDecode.decode(r.media)
+        val (w, h, tag) = decoder.decode(r.media)
         MediaMeta(
           doc_id = r.doc_id,
           n_bytes = r.media.length.toLong,
