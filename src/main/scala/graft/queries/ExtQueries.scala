@@ -644,6 +644,36 @@ object Ext2Queries {
       "bounded-memory gap sessionization (shuffle + secondary sort + linear scan)"
     ),
 
+    // time-series densification: per-key daily spine + forward fill over
+    // a deliberately sparse event subset (integer-valued sums ⇒ exact)
+    "q_gap_fill" -> QueryDef(
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .filter(col("user_id") % 97 === 3)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100)).as("day_sum"))
+        graft.ops.TimeSeries.fillForward(daily, "event_type", "day", Seq("day_sum"))
+          .select(
+            col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+            col("day_sum"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |         SUM(round(value*100)) AS day_sum
+             |  FROM events WHERE user_id % 97 = 3 GROUP BY 1, 2
+             |), bounds AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+             |spine AS (
+             |  SELECT event_type, CAST(g.dd AS DATE) AS day FROM bounds,
+             |  LATERAL (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS dd) g
+             |)
+             |SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day_str,
+             |  last_value(dl.day_sum IGNORE NULLS) OVER (
+             |    PARTITION BY s.event_type ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS day_sum
+             |FROM spine s LEFT JOIN daily dl ON dl.event_type = s.event_type AND dl.day = s.day""".stripMargin),
+      "calendar gap fill + forward carry per key"
+    ),
+
     // full-outer join completing the join family (inner/left/semi/anti/
     // as-of elsewhere): overlapping key ranges so BOTH null sides occur
     "q_full_outer_join" -> QueryDef(
