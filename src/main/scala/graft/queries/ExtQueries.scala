@@ -644,6 +644,26 @@ object Ext2Queries {
       "bounded-memory gap sessionization (shuffle + secondary sort + linear scan)"
     ),
 
+    // name-based union with missing-column tolerance — the page-union (S2)
+    // generalized to evolving page schemas, mirroring the sink's
+    // field-addition semantics on the read side
+    "q_union_by_name" -> QueryDef(
+      (s, d) => {
+        val older = t(s, d, "customer")
+          .filter(col("c_custkey") <= 500)
+          .select(col("c_custkey"), col("c_name"))
+        val newer = t(s, d, "customer")
+          .filter(col("c_custkey") > 500 && col("c_custkey") <= 900)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        older.unionByName(newer, allowMissingColumns = true)
+      },
+      Some("""SELECT c_custkey, c_name, NULL AS c_mktsegment FROM customer WHERE c_custkey <= 500
+             |UNION ALL BY NAME
+             |SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE c_custkey > 500 AND c_custkey <= 900""".stripMargin),
+      "unionByName with allowMissingColumns (evolving page schemas)"
+    ),
+
     // time-series densification: per-key daily spine + forward fill over
     // a deliberately sparse event subset (integer-valued sums ⇒ exact)
     "q_gap_fill" -> QueryDef(
