@@ -217,6 +217,25 @@ object EventStream {
       )
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same `idCols` key
+    * arriving within the watermark delay of each other —
+    * `dropDuplicatesWithinWatermark`, the streaming face of
+    * [[graft.ops.Dedup.exact]]. State is bounded by the watermark (each
+    * key's entry expires once the watermark passes its event time plus the
+    * delay), so at-least-once sources (replayed pages, retried API calls —
+    * the reference's re-invocation pattern) become effectively-once
+    * without unbounded key memory.
+    */
+  def dedupWithinWatermark(
+      stream: DataFrame,
+      tsCol: String,
+      watermark: String,
+      idCols: Seq[String]
+  ): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Drain a parquet directory as a stream with Trigger.AvailableNow into
     * an in-memory table and return the result — the batch-equivalence
     * harness used by StreamingSpec. Complete output mode (every window is

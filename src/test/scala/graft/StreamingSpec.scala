@@ -86,6 +86,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == src.count())
   }
 
+  test("dedupWithinWatermark drops re-delivered events across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("event_id", "ts", "value")
+    val name = s"dedup_out_${System.nanoTime()}"
+    val q = EventStream.dedupWithinWatermark(src, "ts", "10 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData((1L, ts(1000), 1.0), (2L, ts(1010), 2.0), (1L, ts(1000), 1.0))
+      q.processAllAvailable()
+      // re-delivery of event 1 in a LATER micro-batch, still within the
+      // watermark delay → suppressed by state
+      mem.addData((1L, ts(1005), 1.0), (3L, ts(1020), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table(name).select("event_id").as[Long].collect().toList.sorted
+      assert(ids == List(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes a trailing session via event-time timeout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
