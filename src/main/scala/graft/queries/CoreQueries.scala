@@ -562,6 +562,46 @@ object SqlQueries {
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(
+    // correlated EXISTS subquery (Catalyst rewrites to a left semi join)
+    "q_sql_exists" -> QueryDef(
+      (s, d) =>
+        withViews(s, d, "customer", "orders")(
+          """SELECT c_custkey, c_name FROM customer c
+            |WHERE EXISTS (
+            |  SELECT 1 FROM orders o
+            |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (
+             |  SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin),
+      "correlated EXISTS → left semi join"
+    ),
+
+    // scalar subquery in the predicate (broadcast single-row subplan)
+    "q_sql_scalar_subquery" -> QueryDef(
+      (s, d) =>
+        withViews(s, d, "orders")(
+          """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+            |FROM orders
+            |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+            |  (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * CAST(1.8 AS DECIMAL(3,1)) FROM orders)""".stripMargin),
+      Some("""SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+             |FROM orders
+             |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+             |  (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * CAST(1.8 AS DECIMAL(3,1)) FROM orders)""".stripMargin),
+      "scalar aggregate subquery predicate (decimal-exact threshold)"
+    ),
+
+    // explicit cross join (the remaining join type): tiny dims only —
+    // a cross join's row count is the product by construction
+    "q_sql_cross_join" -> QueryDef(
+      (s, d) =>
+        withViews(s, d, "region", "nation")(
+          """SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n""".stripMargin),
+      Some("SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n"),
+      "cross join of bounded dimension tables"
+    ),
+
     // TPC-H Q3 shape: segment-filtered revenue ranking (join-heavy SQL path)
     "q_sql_revenue_topn" -> QueryDef(
       (s, d) =>
