@@ -80,8 +80,12 @@ object Dedup {
     // The shingle table feeds three consumers (both join sides + sizes);
     // without materialization the (interpreted-HOF) shingling runs three
     // times. Cache it — at cluster scale the same role is played by a
-    // checkpoint of the inverted index.
+    // checkpoint of the inverted index. Shingles are hashed to 64-bit keys
+    // before the join: the self-join shuffles 8-byte longs instead of
+    // multi-word strings (intersection counts are preserved — a collision
+    // would need ~2^32 distinct shingles per corpus to become likely).
     val sh = shingleRows(df, idCol, textCol, n)
+      .select(col("sid"), xxhash64(col("s")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shFiltered = maxShingleFreq match {
       case Some(cap) =>
