@@ -17,10 +17,14 @@ object Bench {
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // isolate per-query timing: drop caches left by previous queries
-      // (dedup ops persist intermediates that are otherwise only released
-      // with the session)
+      // isolate per-query timing: drop caches left by previous queries AND
+      // their localCheckpoint result blocks — clearCache() does not touch
+      // checkpoint RDD blocks, and leaving their release to the
+      // ContextCleaner (GC timing) let block churn bleed multi-second
+      // noise into unrelated queries (recorded round-2 outliers). Blocking
+      // unpersist so the next timing starts from a clean block manager.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       // failed queries record -1 so the JSON can't masquerade as a fast pass

@@ -1,22 +1,51 @@
 package graft.ops
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 
-/** Shared persist/release discipline for operators that cache
-  * intermediates feeding multiple plan consumers.
+/** Shared persist/release discipline for operators that cache or
+  * checkpoint intermediates feeding multiple plan consumers.
+  *
+  * Two block populations need managing:
+  *  - persist() caches: released by `unpersist` on the exact frame.
+  *  - localCheckpoint(true) results: backed by persisted RDD blocks that
+  *    `spark.catalog.clearCache()` does NOT touch and that otherwise wait
+  *    for the ContextCleaner to notice the RDD is unreachable — i.e. GC
+  *    timing. At cluster scale "the cleaner catches up eventually" is an
+  *    executor-memory hazard, so every operator that supersedes a
+  *    checkpoint (iterative loops) or finishes with one (composed
+  *    pipelines) releases the dead generation explicitly via [[release]].
   */
 private[graft] object Caching {
 
   /** Materialize `result` once (eager localCheckpoint — truncates lineage
     * so downstream consumers scan the computed partitions) and release the
-    * cached intermediates that fed it. Without this, MEMORY_AND_DISK
-    * blocks from shingle/signature/base tables would accumulate for the
-    * session lifetime. The checkpointed result's own blocks are freed by
-    * the ContextCleaner when the returned frame is garbage-collected.
+    * cached intermediates that fed it. Library callers release the
+    * returned frame itself with [[release]] once they are done consuming
+    * it (the bench harness additionally sweeps all persistent RDDs
+    * between queries).
     */
   def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(true)
     cached.foreach(_.unpersist(false))
     out
   }
+
+  /** The persisted RDDs behind a (local)checkpointed frame: every
+    * LogicalRDD leaf in its analyzed plan. Empty for frames that were
+    * never checkpointed.
+    */
+  def checkpointRdds(df: DataFrame): Seq[RDD[_]] =
+    df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
+
+  /** Deterministically free the blocks behind a checkpointed frame. Only
+    * call once nothing will read `df` again — a localCheckpoint cannot be
+    * recomputed after its blocks are dropped (lineage is truncated by
+    * design). `blocking = true` guarantees the memory is back before the
+    * caller's next stage runs, which is what makes iterative loops'
+    * footprint O(one generation) instead of O(rounds).
+    */
+  def release(df: DataFrame, blocking: Boolean = true): Unit =
+    checkpointRdds(df).foreach(_.unpersist(blocking))
 }

@@ -205,19 +205,26 @@ object Dedup {
     * Returns (doc_id, component) for every node appearing in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, iterations: Int = 4): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions. Eager checkpoint (not
+    // persist): materializes now — so the caller's `pairs` frame is fully
+    // consumed on return and may be released — and truncates lineage so
+    // every iteration scans computed partitions.
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // Each iteration references the previous labels TWICE (neighbor-min
     // join + outer update join). Without a lineage cut per round the final
     // plan re-evaluates iteration i-1 twice, i-2 four times, … — ~2^k
     // recompute (measured: 9.4 s → ~2 s at sf0.1 with the checkpoint).
     // Eager localCheckpoint both materializes the round and truncates the
     // plan, exactly the checkpoint-every-round posture a 100 TB CC loop
-    // needs; superseded rounds' blocks are GC-cleaned by ContextCleaner.
+    // needs. The superseded generation is released EXPLICITLY (blocking)
+    // the moment its successor is materialized — block footprint stays at
+    // O(one generation) by construction instead of depending on the
+    // ContextCleaner noticing dead RDDs (GC timing — a cluster-OOM at
+    // 100 TB, and measured as multi-second block churn in the harness).
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -226,15 +233,17 @@ object Dedup {
         .join(labels, edges("dst") === labels("node"))
         .groupBy(edges("src").as("node2"))
         .agg(min(col("label")).as("nlabel"))
-      labels = labels
+      val next = labels
         .join(neighborMin, labels("node") === neighborMin("node2"), "left")
         .select(
           col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")
         )
         .localCheckpoint(true)
+      Caching.release(labels)
+      labels = next
     }
-    edges.unpersist(false)
+    Caching.release(edges)
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
@@ -268,7 +277,11 @@ object Dedup {
       .join(b, Seq("id_b", "s"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    materializeAndRelease(jaccardThreshold(inter, sizes, thresholdNum, thresholdDen), sh)
+    val out = materializeAndRelease(jaccardThreshold(inter, sizes, thresholdNum, thresholdDen), sh)
+    // the candidate set was itself checkpointed (candidatesFromShingles);
+    // its blocks are dead once the verified result is materialized
+    Caching.release(cands)
+    out
   }
 
   /** 64-bit SimHash over the token multiset: per bit, sum ±1 across token

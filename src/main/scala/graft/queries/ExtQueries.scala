@@ -538,21 +538,28 @@ object Ext2Queries {
     // formation (bounded min-label propagation, exact for short-diameter
     // near-dup clusters; deterministic integer labels on both engines)
     "dedup_components" -> QueryDef(
-      (s, d) =>
-        Dedup.connectedComponents(
-          Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 4, 5,
-            maxShingleFreq = Some(50))
-            .select("id_a", "id_b"),
-          iterations = 4
-        ),
+      (s, d) => {
+        // pair build = the LSH-verified path (candidates in O(docs×bands),
+        // exact integer-Jaccard verify on candidates only — oracle-equal
+        // to the full exact pair set, see dedup_minhash_verified), so CC
+        // does not pay for a second full inverted-index self-join. The
+        // pair frame is fully consumed when connectedComponents returns
+        // (edges are eagerly checkpointed) — release it deterministically.
+        val pairs = Dedup.lshVerifiedPairs(
+          t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16,
+          thresholdNum = 4, thresholdDen = 5)
+        val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"), iterations = 4)
+        graft.ops.Caching.release(pairs)
+        cc
+      },
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
              |  FROM documents
-             |), sh0 AS (
+             |), sh AS (
              |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
              |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
-             |), keep AS (SELECT s FROM (SELECT s, COUNT(*) AS c FROM sh0 GROUP BY 1) WHERE c <= 50),
-             |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+             |),
              |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
              |pr AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
