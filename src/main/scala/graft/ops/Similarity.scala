@@ -297,16 +297,18 @@ object Similarity {
     * bucket key, no BroadcastNestedLoopJoin) before the eager
     * materialization hides it behind a checkpoint scan.
     */
-  private[graft] def srpVerifiedPlan(
-      emb: DataFrame,
-      idCol: String,
-      vecCol: String,
-      threshold: Double,
-      planesPerTable: Int,
-      tables: Int
-  ): (DataFrame, DataFrame) = {
-    val base = prepBase(emb, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Same-bucket candidate pairs over a prepped (cid, v, nrm) base —
+    * the blocking stage shared by [[srpVerifiedPlan]] (production) and
+    * [[srpCandidates]] (the spec's pruning probe). Candidates are NOT
+    * pre-deduplicated: a pair colliding in several tables is verified
+    * several times and deduped AFTER the threshold filter, when only true
+    * pairs remain. The pre-verify distinct would shuffle the full
+    * candidate stream (the big set); re-verification is a handful of
+    * codegen'd dots per duplicate — measured cheaper. If the vector-attach
+    * joins ever stop being broadcast-able (so duplicates would multiply a
+    * shuffle instead), reintroduce the pre-distinct.
+    */
+  private def srpCandidatePairs(base: DataFrame, planesPerTable: Int, tables: Int): DataFrame = {
     // dim probe: one-row driver lookup (bounded, like the sanctioned
     // config collects) so sign vectors match the fixture's width
     val dim = base.select(size(col("v"))).head().getInt(0)
@@ -322,17 +324,36 @@ object Similarity {
       .select(col("cid"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
     val l = buckets.select(col("cid").as("id_a"), col("tbl"), col("bucket"))
     val r = buckets.select(col("cid").as("id_b"), col("tbl"), col("bucket"))
-    // Candidates are NOT pre-deduplicated: a pair colliding in several
-    // tables is verified several times and deduped AFTER the threshold
-    // filter, when only true pairs remain. The pre-verify distinct would
-    // shuffle the full candidate stream (the big set); re-verification is
-    // a handful of codegen'd dots per duplicate — measured cheaper. If the
-    // vector-attach joins ever stop being broadcast-able (so duplicates
-    // would multiply a shuffle instead), reintroduce the pre-distinct.
-    val cands = l
-      .join(r, Seq("tbl", "bucket"))
+    l.join(r, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+  }
+
+  /** The DISTINCT candidate pair set SRP blocking would verify — the
+    * measurable pruning claim (|candidates| ≪ n(n−1)/2 at high
+    * thresholds). Spec-only probe; the production path never pays this
+    * distinct.
+    */
+  private[graft] def srpCandidates(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planesPerTable: Int,
+      tables: Int
+  ): DataFrame =
+    srpCandidatePairs(prepBase(emb, idCol, vecCol), planesPerTable, tables).distinct()
+
+  private[graft] def srpVerifiedPlan(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planesPerTable: Int,
+      tables: Int
+  ): (DataFrame, DataFrame) = {
+    val base = prepBase(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = srpCandidatePairs(base, planesPerTable, tables)
     val a = base.select(col("cid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("cid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     val verified = cands
@@ -342,6 +363,38 @@ object Similarity {
       .select("id_a", "id_b")
       .distinct()
     (verified, base)
+  }
+
+  /** Deterministically plant near-duplicate vectors: for every `every`-th
+    * id, append a copy at `id + idOffset` perturbed elementwise by
+    * `eps`-scaled circular-shifted self-interference
+    * (v'[i] = v[i] + eps·v[(i mod d)+1]). For roughly-isotropic data the
+    * planted cosine is ≈ 1/√(1+eps²) with small variance (≈0.989 at
+    * eps=0.15 on the fixtures) — a controlled high-similarity population
+    * for validating LSH recall and pruning. Pure elementwise double
+    * arithmetic (no reductions), so the planted values are bitwise
+    * identical on any engine replaying the same expression.
+    */
+  def plantNearDups(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      every: Int,
+      idOffset: Long,
+      eps: Double
+  ): DataFrame = {
+    val base = emb.select(col(idCol), asDouble(col(vecCol)).as(vecCol))
+    val planted = base
+      .filter(col(idCol) % every === 0)
+      .select(
+        (col(idCol) + idOffset).as(idCol),
+        transform(
+          sequence(lit(1), size(col(vecCol))),
+          i => element_at(col(vecCol), i) +
+            lit(eps) * element_at(col(vecCol), (i % size(col(vecCol))) + 1)
+        ).as(vecCol)
+      )
+    base.unionByName(planted)
   }
 
   /** ANN top-k via SRP buckets: exact cosine ranking within the bucket's

@@ -100,6 +100,40 @@ object ExtQueries {
       "SRP-bucketed candidate join + exact cosine verification"
     ),
 
+    // ---- the HIGH-threshold SRP dedup — the common production case
+    //      (0.9+), where blocking actually prunes. The fixture has no
+    //      ≥0.9 pairs (max off-pair sim 0.51), so the query plants a
+    //      deterministic near-dup population first (elementwise
+    //      perturbation, bitwise-replayable in the oracle): every 20th
+    //      vector gains a copy at id+1000000 with cosine ≈0.989. At
+    //      8 planes × 8 tables the candidate set collapses to ~O(n)
+    //      (asserted ≪ n² in SimilaritySpec) while recall on the planted
+    //      pairs stays exact — so the oracle is the exact all-pairs SQL
+    //      over the same derived table ----
+    "dedup_embedding_cosine_lsh_hi" -> QueryDef(
+      (s, d) =>
+        Similarity.srpVerifiedPairs(
+          Similarity.plantNearDups(
+            t(s, d, "embeddings"), "vec_id", "embedding",
+            every = 20, idOffset = 1000000L, eps = 0.15),
+          "vec_id", "embedding",
+          threshold = 0.9, planesPerTable = 8, tables = 8
+        ),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), d AS (
+             |  SELECT vec_id, v FROM e
+             |  UNION ALL
+             |  SELECT vec_id + 1000000,
+             |         list_transform(generate_series(1, len(v)), i -> v[i] + 0.15 * v[1 + (i % len(v))])
+             |  FROM e WHERE vec_id % 20 = 0
+             |)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |FROM d a JOIN d b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin),
+      "high-threshold SRP blocking: real candidate pruning + exact recall on planted near-dups"
+    ),
+
     // ---- similarity search: brute-force exact top-k (rank output only —
     //      no floats in the compared result) ----
     "ann_cosine_topk" -> QueryDef(

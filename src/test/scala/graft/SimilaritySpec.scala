@@ -68,6 +68,33 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
   }
 
+  test("high-threshold SRP: planted-pair recall is exact AND candidates are really pruned") {
+    val df = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
+    val derived = Similarity.plantNearDups(df, "vec_id", "embedding",
+      every = 20, idOffset = 1000000L, eps = 0.15)
+    val n = derived.count()
+    // recall: the verified output equals the exact all-pairs result —
+    // every planted ≥0.9 pair survives 8-plane × 8-table blocking
+    val exact = Similarity.nearDupPairs(derived, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.srpVerifiedPairs(derived, "vec_id", "embedding", 0.9,
+      planesPerTable = 8, tables = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture derivation must plant ≥0.9 pairs")
+    assert(bucketed == exact)
+    assert(exact.forall { case (a, b) => b == a + 1000000L },
+      "only planted copies should clear 0.9 on this fixture")
+    // pruning: the candidate set the verifier pays for is a small
+    // fraction of the n(n-1)/2 pair space — the claim that justifies the
+    // LSH machinery at 100 TB (the low-threshold variant deliberately
+    // cannot show this; 0.9 is the production case)
+    val cands = Similarity.srpCandidates(derived, "vec_id", "embedding",
+      planesPerTable = 8, tables = 8).count()
+    val pairSpace = n * (n - 1) / 2
+    assert(cands * 20 < pairSpace,
+      s"expected ≥95% pruning: $cands candidates vs $pairSpace pairs")
+  }
+
   test("ivfTopK with nProbe = nClusters degenerates to exact brute-force top-k") {
     val df = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
     val brute = Similarity.cosineTopK(df, "vec_id", "embedding", 5, col("cid") < 30)
