@@ -196,6 +196,74 @@ object Similarity {
     * orders everywhere), so the DuckDB oracle replays it exactly. Recall
     * vs brute force is governed by nProbe — the standard IVF tradeoff.
     */
+  /** Sequential left-to-right self-dot — the SAME fold order the engine's
+    * ArrayDot and DuckDB's list math use, so driver-computed centroid
+    * norms are bitwise comparable with either engine's.
+    */
+  private def seqNorm(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Nearest-codebook-entry assignment column machinery shared by search
+    * and training: sims are computed into a MATERIALIZED array —
+    * array_max + array_position (first hit ⇒ smallest cid wins ties) —
+    * so each centroid dot is evaluated exactly once per row. (A nested
+    * conditional fold would duplicate the accumulator expression per
+    * level: 2^k expression blowup, seconds of janino compile — measured.)
+    */
+  private def assignToCodebook(
+      base: DataFrame,
+      codebook: Array[(Long, Array[Double], Double)]
+  ): DataFrame = {
+    val simsCol = array(codebook.map { case (_, cv, cn) =>
+      fastDot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))
+    }: _*)
+    val cidsLit = typedLit(codebook.map(_._1))
+    base
+      .withColumn("__sims", simsCol)
+      .withColumn(
+        "centroid_id",
+        element_at(cidsLit, array_position(col("__sims"), array_max(col("__sims"))).cast("int")))
+      .drop("__sims")
+  }
+
+  /** One deterministic Lloyd step: assign every vector to its nearest
+    * codebook entry, then re-center each cluster on the mean of its
+    * members' 1e-6-QUANTIZED coordinates. The quantization is the
+    * portability contract: round(x·10⁶) terms are integer-valued doubles,
+    * whose sum is exact and order-free below 2⁵³ — so the trained
+    * centroid is a bitwise-reproducible function of the data on ANY
+    * engine (plain double sums would be partitioning-dependent), at a
+    * precision loss (≤5e-7 per coordinate) far below clustering
+    * resolution. Shape: one corpus scan (shuffle-free assignment), one
+    * (k × dim)-row aggregate, a k×dim driver collect — the sanctioned
+    * bounded-codebook pattern, iterable at 100 TB. Clusters that lose
+    * every member drop out of the codebook (cannot happen with first-k
+    * init unless a centroid's own vector ties away).
+    */
+  private def lloydStep(
+      base: DataFrame,
+      codebook: Array[(Long, Array[Double], Double)]
+  ): Array[(Long, Array[Double], Double)] = {
+    val comp = assignToCodebook(base, codebook)
+      .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg(sum(round(col("x") * lit(1000000.0))).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    comp
+      .groupBy(_._1)
+      .map { case (cid, rows) =>
+        val cv = rows.sortBy(_._2).map { case (_, _, s, n) => s / (n * 1000000.0) }.toArray
+        (cid, cv, seqNorm(cv))
+      }
+      .toArray
+      .sortBy(_._1)
+  }
+
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
@@ -203,35 +271,27 @@ object Similarity {
       k: Int,
       queryPred: Column,
       nClusters: Int = 8,
-      nProbe: Int = 2
+      nProbe: Int = 2,
+      trainIterations: Int = 0
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = prepBase(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = base
+    // driver-side codebook (bounded: nClusters rows), ascending cid;
+    // init = first k vectors (deterministic), optionally refined by
+    // `trainIterations` Lloyd steps so the partitioning reflects the data
+    // rather than an arbitrary sample
+    val init = base
       .filter(col("cid") < nClusters)
       .select(col("cid").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
-    // driver-side codebook (bounded: nClusters rows), ascending cid. The
-    // per-row argmax is computed over a MATERIALIZED sims array —
-    // array_max + array_position (first hit ⇒ smallest cid wins ties) —
-    // so each centroid dot is evaluated exactly once per row. (A nested
-    // conditional fold would duplicate the accumulator expression per
-    // level: 2^k expression blowup, seconds of janino compile — measured.)
-    val codebook = centroids
-      .select(col("centroid_id"), col("cv"), col("cn"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
-    val simsCol = array(codebook.map { case (_, cv, cn) =>
-      fastDot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))
-    }: _*)
-    val cidsLit = typedLit(codebook.map(_._1))
-    val assigned = base
-      .withColumn("__sims", simsCol)
-      .withColumn(
-        "centroid_id",
-        element_at(cidsLit, array_position(col("__sims"), array_max(col("__sims"))).cast("int")))
-      .drop("__sims")
+    val codebook = (1 to trainIterations).foldLeft(init)((cb, _) => lloydStep(base, cb))
+    val centroids = base.sparkSession
+      .createDataFrame(codebook.toSeq.map { case (cid, cv, cn) => (cid, cv.toSeq, cn) })
+      .toDF("centroid_id", "cv", "cn")
+    val assigned = assignToCodebook(base, codebook)
     val wProbe = Window.partitionBy("query_id").orderBy(col("psim").desc, col("centroid_id").asc)
     val probes = base
       .filter(queryPred)

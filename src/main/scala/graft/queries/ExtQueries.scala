@@ -191,6 +191,59 @@ object ExtQueries {
       "IVF probe search: shuffle-free assignment, cluster-id hash join"
     ),
 
+    // ---- IVF over a TRAINED codebook: one deterministic Lloyd step
+    //      (first-k init → nearest-centroid assign → per-cluster mean of
+    //      1e-6-quantized coordinates). Quantized sums are integer-valued
+    //      doubles — exact and order-free — so DuckDB replays the
+    //      training bit-for-bit and the oracle covers assignment,
+    //      probing, AND the k-means step itself ----
+    "ann_ivf_trained_topk" -> QueryDef(
+      (s, d) =>
+        Similarity.ivfTopK(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 5, queryPred = col("cid") < 50, nClusters = 8, nProbe = 2,
+          trainIterations = 1
+        ).withColumn("rank", col("rank").cast("long")),
+      Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8),
+             |a0 AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT b.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY b.vec_id
+             |        ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid) AS rn
+             |    FROM base b CROSS JOIN cent0 c) WHERE rn = 1),
+             |comp AS (
+             |  SELECT a0.cid, g.i AS dim, round(b.v[g.i] * 1000000.0) AS qv
+             |  FROM a0 JOIN base b USING (vec_id),
+             |  LATERAL (SELECT unnest(generate_series(1, len(b.v))) AS i) g),
+             |sums AS (SELECT cid, dim, SUM(qv) AS sq, COUNT(*) AS n FROM comp GROUP BY 1, 2),
+             |cent AS (SELECT cid, list(sq / (n * 1000000.0) ORDER BY dim) AS cv FROM sums GROUP BY cid),
+             |assign AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT b.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY b.vec_id
+             |        ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid) AS rn
+             |    FROM base b CROSS JOIN cent c) WHERE rn = 1),
+             |probes AS (
+             |  SELECT query_id, cid FROM (
+             |    SELECT q.vec_id AS query_id, c.cid,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid) AS rn
+             |    FROM base q CROSS JOIN cent c WHERE q.vec_id < 50) WHERE rn <= 2),
+             |cand AS (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    list_cosine_similarity(qb.v, nb.v) AS sim
+             |  FROM probes p
+             |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+             |  JOIN base qb ON qb.vec_id = p.query_id
+             |  JOIN base nb ON nb.vec_id = a.vec_id)
+             |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM cand) WHERE rank <= 5""".stripMargin),
+      "IVF with a Lloyd-trained codebook; the k-means step itself is oracle-replayed"
+    ),
+
     // ---- ANN scale path: SRP-LSH bucketed top-k (approximate — recall
     //      vs brute force asserted in SimilaritySpec) ----
     "ann_lsh_topk" -> QueryDef(

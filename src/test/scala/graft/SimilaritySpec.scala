@@ -112,6 +112,28 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf2a.nonEmpty)
   }
 
+  test("Lloyd-trained IVF: deterministic, and exact at full probe") {
+    val df = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
+    // training refines the partitioning, not the search math: probing
+    // every cluster must still reproduce brute force exactly
+    val brute = Similarity.cosineTopK(df, "vec_id", "embedding", 5, col("cid") < 30)
+      .as[(Long, Int, Long)].collect().toSet
+    val trainedFull = Similarity.ivfTopK(df, "vec_id", "embedding", 5, col("cid") < 30,
+      nClusters = 8, nProbe = 8, trainIterations = 1)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(trainedFull == brute)
+    // the quantized-mean Lloyd step is a pure function of the data:
+    // two trainings yield identical partial-probe results
+    val t1 = Similarity.ivfTopK(df, "vec_id", "embedding", 5, col("cid") < 30,
+      nClusters = 8, nProbe = 2, trainIterations = 1)
+      .as[(Long, Int, Long)].collect().toSet
+    val t2 = Similarity.ivfTopK(df, "vec_id", "embedding", 5, col("cid") < 30,
+      nClusters = 8, nProbe = 2, trainIterations = 1)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(t1 == t2)
+    assert(t1.nonEmpty)
+  }
+
   test("SRP bucketing is deterministic and ANN recall@5 is reasonable on fixture") {
     val df = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
     val brute = Similarity
