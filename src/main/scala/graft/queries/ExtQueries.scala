@@ -738,6 +738,42 @@ object Ext2Queries {
       "bounded-memory gap sessionization (shuffle + secondary sort + linear scan)"
     ),
 
+    // the STREAMING sessionizer in the gate: AvailableNow drain of the
+    // events fixture through flatMapGroupsWithState + EventTimeTimeout.
+    // Differs from q_sessionize in the trailing-session contract: the
+    // final watermark (delay 0 ⇒ max event time, ms-truncated) CLOSES
+    // every trailing session it strictly passed (last_ms + gap < wm_ms —
+    // Spark fires timeouts strictly below the eviction watermark), so the
+    // oracle adds exactly those; trailing sessions still within gap of
+    // the stream head stay open on both sides.
+    "q_sessionize_stream" -> QueryDef(
+      (s, d) =>
+        graft.streaming.EventStream.sessionizeRunOnce(
+          s, s"$d/events.parquet", gapMs = 30 * 60 * 1000L, watermarkDelay = "0 seconds"),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, round(value*100) AS v FROM events
+             |), wm AS (SELECT max(epoch_us(ts) // 1000) AS wm_ms FROM e
+             |), g AS (
+             |  SELECT user_id, ts, v,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+             |              > 1800000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e
+             |), s AS (
+             |  SELECT user_id, ts, v,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM g
+             |), agg AS (
+             |  SELECT user_id, sess, min(ts) AS session_start, max(ts) AS session_end,
+             |    CAST(COUNT(*) AS BIGINT) AS n_events, SUM(v) AS sum_value
+             |  FROM s GROUP BY 1, 2
+             |), mx AS (SELECT user_id, max(sess) AS m FROM agg GROUP BY 1)
+             |SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.sum_value
+             |FROM agg a JOIN mx ON mx.user_id = a.user_id, wm
+             |WHERE a.sess < mx.m
+             |   OR (epoch_us(a.session_end) // 1000) + 1800000 < wm.wm_ms""".stripMargin),
+      "EventTimeTimeout sessionization driven end-to-end through an AvailableNow drain"
+    ),
+
     // name-based union with missing-column tolerance — the page-union (S2)
     // generalized to evolving page schemas, mirroring the sink's
     // field-addition semantics on the read side

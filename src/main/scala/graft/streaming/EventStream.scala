@@ -275,8 +275,61 @@ object EventStream {
   ): DataFrame = {
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val agg = windowedCounts(stream, "ts", "event_type", watermark, windowLen)
-    val name = s"stream_out_${System.nanoTime()}"
-    val q = agg.writeStream
+    drainToTable(spark, agg, "win", mode, srcDir)
+  }
+
+  /** Drain the events fixture through [[sessionizeStream]] with
+    * Trigger.AvailableNow — EventTimeTimeout end to end: in-gap events
+    * fold into open sessions, and once the final data batch has advanced
+    * the watermark, Spark schedules the extra state-flush batch
+    * (shouldRunAnotherBatch) in which every trailing session whose
+    * `last event + gap` the watermark strictly passed times out and is
+    * emitted. The value column is pre-scaled to round(value·100) so the
+    * session sum is an order-free integer-valued double (oracle-safe).
+    *
+    * `srcPath` may be a parquet file or directory; the fixture's
+    * TIMESTAMP(NANOS) column is read as a long and truncated to µs,
+    * exactly like the batch loader (graft.queries.Tables.t).
+    */
+  def sessionizeRunOnce(
+      spark: SparkSession,
+      srcPath: String,
+      gapMs: Long,
+      watermarkDelay: String
+  ): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // schema probe reads footers only, no data scan
+    val schema = spark.read.parquet(srcPath).schema
+    // the file stream source only accepts directories: a single-file
+    // fixture is read via its parent + a glob pinned to the file name
+    val f = new java.io.File(srcPath)
+    val reader =
+      if (f.isDirectory) spark.readStream.schema(schema)
+      else spark.readStream.schema(schema).option("pathGlobFilter", f.getName)
+    val raw = reader.parquet(if (f.isDirectory) srcPath else f.getParent)
+    val events =
+      if (schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val in = events
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        col("ts"),
+        round(col("value") * 100).as("value"))
+      .withWatermark("ts", watermarkDelay)
+    drainToTable(spark, sessionizeStream(in, gapMs).toDF(), "sess", "append", srcPath)
+  }
+
+  private def drainToTable(
+      spark: SparkSession,
+      out: DataFrame,
+      kind: String,
+      mode: String,
+      src: String
+  ): DataFrame = {
+    val name = s"stream_${kind}_${System.nanoTime()}"
+    val q = out.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(mode)
@@ -285,7 +338,7 @@ object EventStream {
     // a timed-out drain would silently return a partial table — fail loud
     if (!q.awaitTermination(120000)) {
       q.stop()
-      throw new IllegalStateException(s"stream drain of $srcDir did not finish within 120 s")
+      throw new IllegalStateException(s"stream drain of $src did not finish within 120 s")
     }
     spark.table(name)
   }
