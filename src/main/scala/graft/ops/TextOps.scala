@@ -93,6 +93,43 @@ object TextOps {
         col("n_chars")
       )
 
+  /** Unigram-LM quality proxy with bitwise-portable arithmetic: per
+    * document, the total and average corpus document-frequency of its
+    * tokens, plus the rare-token count. High avg_df ⇒ the doc is made of
+    * corpus-common vocabulary (high unigram likelihood); many df ≤
+    * `rareDfMax` tokens ⇒ OOV-heavy/noisy text. This is the perplexity-
+    * proxy quality filter without log(): log-prob sums are not bitwise
+    * portable across engines, while integer document frequencies summed
+    * exactly plus ONE final double division are. Shape: token explode →
+    * distinct → df aggregation → hash join on the token key (the standard
+    * TF-IDF build: one shuffle each, no corpus² anywhere). Documents with
+    * zero tokens produce no row.
+    */
+  def lmQuality(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rareDfMax: Int = 1
+  ): DataFrame = {
+    val tok = df.select(col(idCol).as("sid"), explode(tokens(normalize(col(textCol)))).as("t"))
+    val docFreq = tok.distinct()
+      .groupBy("t").agg(count(lit(1)).as("df_docs"))
+    tok.join(docFreq, "t")
+      .groupBy("sid")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("df_docs")).as("sum_df"),
+        sum(when(col("df_docs") <= rareDfMax, 1L).otherwise(0L)).as("n_rare")
+      )
+      .select(
+        col("sid").as(idCol),
+        col("n_tokens"),
+        col("sum_df"),
+        col("n_rare"),
+        (col("sum_df").cast("double") / col("n_tokens")).as("avg_df")
+      )
+  }
+
   /** Document fingerprint: md5 of the normalized text (exact-dup key), plus
     * the minimum shingle fingerprint (a 1-hash MinHash — stable under small
     * edits, the building block of winnowing). Both deterministic hex

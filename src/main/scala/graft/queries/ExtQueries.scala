@@ -332,6 +332,36 @@ object ExtQueries {
              |CAST(n_chars AS BIGINT) AS n_chars
              |FROM toks""".stripMargin)
     ),
+    // unigram-LM quality proxy (perplexity-style filtering without log():
+    // exact integer doc-frequency sums + one final division, so the score
+    // is bitwise-portable — see TextOps.lmQuality)
+    "text_lm_quality" -> QueryDef(
+      (s, d) => {
+        val r = TextOps.lmQuality(t(s, d, "documents"), "doc_id", "text", rareDfMax = 1)
+        r.select(
+          col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("sum_df").cast("long").as("sum_df"),
+          col("n_rare").cast("long").as("n_rare"),
+          col("avg_df")
+        )
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '')) AS t
+             |  FROM documents
+             |), dfq AS (
+             |  SELECT t, COUNT(DISTINCT doc_id) AS df_docs FROM tok GROUP BY 1
+             |)
+             |SELECT doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(df_docs) AS BIGINT) AS sum_df,
+             |  CAST(SUM(CASE WHEN df_docs <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+             |  CAST(SUM(df_docs) AS DOUBLE) / COUNT(*) AS avg_df
+             |FROM tok JOIN dfq USING (t) GROUP BY doc_id""".stripMargin),
+      "unigram-LM quality scoring via integer doc-frequency ratios"
+    ),
+
     "text_fingerprint" -> QueryDef(
       (s, d) => TextOps.fingerprints(t(s, d, "documents"), "doc_id", "text", shingleN = 5),
       Some("""WITH norm AS (

@@ -96,6 +96,24 @@ class TextOpsSpec extends SparkSpec {
     assert(decoded(2L).fake_width == 0)
   }
 
+  test("lmQuality: doc-frequency sums, rare counts, and the single-division mean") {
+    // corpus: "the" in all 3 docs (df=3), "cat"/"dog" in one each (df=1),
+    // "sat" in two (df=2); doc 4 is empty and yields no row
+    val df = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog sat"),
+      (3L, "the the"),   // duplicate token: multiplicity counts, df once
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.lmQuality(df, "doc_id", "text", rareDfMax = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((3L, 3L + 1L + 2L, 1L, 2.0)))          // the+cat+sat
+    assert(out(2L) == ((3L, 3L + 1L + 2L, 1L, 2.0)))          // the+dog+sat
+    assert(out(3L) == ((2L, 6L, 0L, 3.0)))                    // the twice, df=3 each
+  }
+
   test("frame sampling: ceil(n_bytes/stride) frames with right offsets") {
     val df = Seq((1L, "x" * 130), (2L, "")).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(Multimodal.withBinary(df, "text"), "doc_id", "media", 64)
