@@ -247,6 +247,32 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
+  /** The pipeline-facing end of dedup: a keep/drop verdict for EVERY
+    * document. Near-dup pairs → connected components → each component's
+    * minimum id is the canonical survivor; documents in no component are
+    * their own canonical. Emits (id, canonical_id, is_canonical) — the
+    * frame a training-mix builder semi-joins against to drop duplicates
+    * while keeping one representative per cluster. One extra broadcast-or-
+    * hash left join over [[connectedComponents]]' labels (labels ≪ corpus:
+    * only documents that appear in a pair carry one).
+    */
+  def keepList(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      iterations: Int = 4
+  ): DataFrame = {
+    val labels = connectedComponents(pairs, iterations)
+      .withColumnRenamed("doc_id", idCol)
+      .withColumnRenamed("component", "__component")
+    df.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__component"), col(idCol)).as("canonical_id"))
+      .withColumn("is_canonical", col("canonical_id") === col(idCol))
+  }
+
   /** The composed 100 TB dedup recipe: LSH banding generates candidate
     * pairs in O(docs × bands), then ONLY those pairs get the exact
     * integer-Jaccard verification via the inverted index. Pair-space work

@@ -57,6 +57,33 @@ object Sampling {
   def bernoulliKeep(df: DataFrame, key: Column, salt: String, keepPct: Int): DataFrame =
     df.filter(hashBucket(key, salt, 100) < keepPct)
 
+  /** Stratified deterministic sample: a per-stratum keep percentage over
+    * the same 100-bucket md5 hash as [[bernoulliKeep]] — the standard
+    * rebalancing move for a training mix (downsample the dominant event
+    * class, keep the rare one whole) with every guarantee the flat
+    * Bernoulli gives: stable across runs/engines, zero shuffle (the
+    * stratum rate lookup is a scalar CASE folded into the scan filter),
+    * and monotone under rate increases within a stratum. Strata absent
+    * from the map keep `defaultPct`.
+    */
+  def stratifiedKeep(
+      df: DataFrame,
+      strataCol: Column,
+      key: Column,
+      salt: String,
+      pctByStratum: Map[String, Int],
+      defaultPct: Int = 0
+  ): DataFrame = {
+    (pctByStratum.values ++ Seq(defaultPct)).foreach(p =>
+      require(p >= 0 && p <= 100, s"keep pct must be in [0,100]: $p"))
+    // deterministic fold order so the generated CASE chain (and thus the
+    // plan) is stable run to run
+    val rate = pctByStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, pct)) => when(strataCol === lit(stratum), lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, salt, 100) < rate)
+  }
+
   /** Per-group quota: at most k rows per group, picked by stable hash
     * order (md5 hex of the salted key, key as tie-break) — a deterministic
     * "random k per domain/source", the standard cap against one domain

@@ -111,10 +111,14 @@ object TextOps {
       textCol: String,
       rareDfMax: Int = 1
   ): DataFrame = {
-    val tok = df.select(col(idCol).as("sid"), explode(tokens(normalize(col(textCol)))).as("t"))
+    // the exploded token frame feeds BOTH the df build and the per-doc
+    // fold — persist it once instead of scanning + exploding twice
+    val tok = df
+      .select(col(idCol).as("sid"), explode(tokens(normalize(col(textCol)))).as("t"))
+      .persist()
     val docFreq = tok.distinct()
       .groupBy("t").agg(count(lit(1)).as("df_docs"))
-    tok.join(docFreq, "t")
+    val out = tok.join(docFreq, "t")
       .groupBy("sid")
       .agg(
         count(lit(1)).as("n_tokens"),
@@ -128,6 +132,52 @@ object TextOps {
         col("n_rare"),
         (col("sum_df").cast("double") / col("n_tokens")).as("avg_df")
       )
+    Caching.materializeAndRelease(out, tok)
+  }
+
+  /** Sparse lexical retrieval: for each document, the k most similar other
+    * documents by integer term-frequency dot product over an inverted
+    * index — the exact-arithmetic core of TF-IDF/BM25 retrieval (scores
+    * stay BIGINT, so ranking is bitwise-portable across engines; ties
+    * break on neighbor id). Tokens with document frequency above `maxDf`
+    * are dropped from the index: stopword postings are what make pair
+    * volume quadratic, and capping df bounds candidate pairs by
+    * Σ_t df(t)² ≤ maxDf × |postings| — the same df-cap discipline as the
+    * Jaccard dedup path. Plan: one (doc,term) aggregate, one df aggregate,
+    * an index self-join on the term key, a pair aggregate, then a bounded
+    * per-doc top-k. Every join is a hash join on the term/doc key.
+    */
+  def sparseTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      maxDf: Int = 50
+  ): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("sid"), explode(tokens(normalize(col(textCol)))).as("t"))
+      .groupBy("sid", "t").agg(count(lit(1)).as("tf"))
+      .persist()
+    val kept = tf.groupBy("t").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") <= maxDf)
+      .select("t")
+    val idx = tf.join(kept, "t")
+    val scored = idx.select(col("t"), col("sid").as("qid"), col("tf").as("tf_a"))
+      .join(idx.select(col("t"), col("sid").as("nid"), col("tf").as("tf_b")), "t")
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid")
+      .agg(sum(col("tf_a") * col("tf_b")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
+    val out = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("qid").as(idCol),
+        col("nid").as("neighbor_id"),
+        col("score"),
+        col("rank").cast("long").as("rank"))
+    Caching.materializeAndRelease(out, tf)
   }
 
   /** Document fingerprint: md5 of the normalized text (exact-dup key), plus

@@ -503,6 +503,25 @@ object CoreQueries {
              |FROM events GROUP BY 1, 2""".stripMargin)
     ),
 
+    // hopping (sliding) windows: duration 10 min, slide 5 min — every
+    // event lands in exactly 2 overlapping windows. Spark assigns both
+    // memberships in ONE projection (the window generator explodes to
+    // duration/slide rows) followed by the same single hash-agg as the
+    // tumbling case; the oracle replays membership as floor-div µs math.
+    "q_hopping_window" -> QueryDef(
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("w.start").as("ws"), col("event_type"), col("n_events")),
+      Some("""WITH e AS (
+             |  SELECT make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) - g.kk) * 300000000) AS ws,
+             |         event_type
+             |  FROM events, LATERAL (SELECT unnest([0, 1]) AS kk) g
+             |)
+             |SELECT ws, event_type, COUNT(*) AS n_events FROM e GROUP BY 1, 2""".stripMargin)
+    ),
+
     // ---- F2+A2+§2.9: nested tag parse + dynamic pivot (golden-tested;
     //      dynamic columns are not DuckDB-expressible — rows-only here) ----
     "q_tag_pivot" -> QueryDef(

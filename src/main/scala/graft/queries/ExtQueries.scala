@@ -290,6 +290,23 @@ object ExtQueries {
              |  FROM documents) WHERE rn <= 20""".stripMargin),
       "per-source quota: stable pseudo-random k docs per group"
     ),
+    // per-stratum keep rates over the same md5 bucket as the Bernoulli
+    // sample: downsample dominant event classes, keep rare ones whole —
+    // zero shuffle (the rate lookup folds into the scan filter)
+    "q_stratified_sample" -> QueryDef(
+      (s, d) =>
+        graft.ops.Sampling.stratifiedKeep(
+          t(s, d, "events"),
+          col("event_type"), col("event_id"), "strat",
+          Map("click" -> 5, "view" -> 5, "error" -> 20, "purchase" -> 50),
+          defaultPct = 100)
+          .select("event_id", "event_type"),
+      Some("""SELECT event_id, event_type FROM events
+             |WHERE CAST(('0x' || substr(md5('strat:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 <
+             |  CASE event_type WHEN 'click' THEN 5 WHEN 'view' THEN 5
+             |                  WHEN 'error' THEN 20 WHEN 'purchase' THEN 50 ELSE 100 END""".stripMargin),
+      "stratified deterministic sample: per-class keep rates, stable across runs"
+    ),
 
     // ---- text analysis ----
     "text_token_stats" -> QueryDef(
@@ -360,6 +377,32 @@ object ExtQueries {
              |  CAST(SUM(df_docs) AS DOUBLE) / COUNT(*) AS avg_df
              |FROM tok JOIN dfq USING (t) GROUP BY doc_id""".stripMargin),
       "unigram-LM quality scoring via integer doc-frequency ratios"
+    ),
+    // sparse lexical retrieval: per-doc top-k neighbors by integer tf dot
+    // product over a df-capped inverted index (exact-arithmetic TF-IDF
+    // core — BIGINT scores make the ranking engine-portable)
+    "text_sparse_retrieval" -> QueryDef(
+      (s, d) => TextOps.sparseTopK(t(s, d, "documents"), "doc_id", "text", k = 5, maxDf = 50),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '')) AS t
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+             |), kept AS (
+             |  SELECT t FROM tf GROUP BY t HAVING COUNT(*) <= 50
+             |), idx AS (
+             |  SELECT tf.doc_id, tf.t, tf.tf FROM tf JOIN kept USING (t)
+             |), scored AS (
+             |  SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id, SUM(a.tf * b.tf) AS score
+             |  FROM idx a JOIN idx b ON a.t = b.t AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT doc_id, neighbor_id, CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, neighbor_id) AS rank
+             |      FROM scored)
+             |WHERE rank <= 5""".stripMargin),
+      "per-doc top-k lexical neighbors via df-capped inverted-index dot product"
     ),
 
     "text_fingerprint" -> QueryDef(
@@ -708,6 +751,63 @@ object Ext2Queries {
              |  GROUP BY l.node, l.label)
              |SELECT node AS doc_id, label AS component FROM l4""".stripMargin)
     ),
+    // the pipeline-facing dedup verdict: every document → its canonical
+    // representative (component min-id) + keep flag; singletons keep
+    // themselves. Same LSH-verified pair build + CC as dedup_components,
+    // then one left join of the corpus against the (small) label set.
+    "dedup_keep_list" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.lshVerifiedPairs(
+          docs, "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16,
+          thresholdNum = 4, thresholdDen = 5)
+        val out = Dedup.keepList(docs, "doc_id", pairs.select("id_a", "id_b"), iterations = 4)
+        graft.ops.Caching.release(pairs)
+        out
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+             |),
+             |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), pairs AS (
+             |  SELECT id_a, id_b FROM pr
+             |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |  WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4
+             |), e AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+             |l1 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l0 l LEFT JOIN e ON e.src = l.node LEFT JOIN l0 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l2 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l1 l LEFT JOIN e ON e.src = l.node LEFT JOIN l1 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l3 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l2 l LEFT JOIN e ON e.src = l.node LEFT JOIN l2 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l4 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l3 l LEFT JOIN e ON e.src = l.node LEFT JOIN l3 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label)
+             |SELECT d.doc_id,
+             |  COALESCE(cc.label, d.doc_id) AS canonical_id,
+             |  COALESCE(cc.label, d.doc_id) = d.doc_id AS is_canonical
+             |FROM documents d LEFT JOIN l4 cc ON cc.node = d.doc_id""".stripMargin),
+      "per-document keep/drop verdict: canonical representative per near-dup cluster"
+    ),
 
     // scalar string-function suite (F-ops generalized): case, slice,
     // reverse, length, edit distance, concat — all exact
@@ -826,6 +926,28 @@ object Ext2Queries {
 
     // time-series densification: per-key daily spine + forward fill over
     // a deliberately sparse event subset (integer-valued sums ⇒ exact)
+    // time-proximity join via bucketed equi-join: purchases vs errors
+    // within ±15 min. The inequality join Spark would BNLJ becomes a hash
+    // join on a µs-div bucket key (left exploded to its 3 candidate
+    // buckets — a right row has ONE bucket, so each pair matches once).
+    "q_time_proximity_join" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        graft.ops.TimeSeries.proximityCount(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "error"),
+          "event_id", "ts", windowUs = 900000000L)
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
+             |SELECT a.event_id, COUNT(b.ts) AS n_nearby
+             |FROM e a LEFT JOIN e b
+             |  ON b.event_type = 'error'
+             | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 900000000
+             |WHERE a.event_type = 'purchase'
+             |GROUP BY 1""".stripMargin),
+      "interval/time-proximity join as a bucketed hash join (no BNLJ)"
+    ),
+
     "q_gap_fill" -> QueryDef(
       (s, d) => {
         val daily = t(s, d, "events")

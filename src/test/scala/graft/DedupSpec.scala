@@ -79,6 +79,17 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("keepList: cluster members point at the min-id canonical, singletons keep themselves") {
+    val corpus = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 7L -> "e")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.keepList(corpus, "doc_id", pairs, iterations = 4)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), // cluster {1,2,3}
+      (4L, 4L, true), (7L, 7L, true)                    // never paired
+    ))
+  }
+
   test("simhash: identical docs share signature; near-dups within small hamming") {
     val base = "spark catalyst optimizer rewrites logical plans into physical plans efficiently"
     val near = base.replace("efficiently", "quickly")

@@ -43,6 +43,25 @@ class SamplingSpec extends SparkSpec {
     assert(keep10.size < keep30.size && keep30.size < docs.count())
   }
 
+  test("stratifiedKeep = per-stratum Bernoulli at that stratum's rate") {
+    val rates = Map("en" -> 10, "de" -> 50)
+    val strat = Sampling.stratifiedKeep(docs, col("lang"), col("doc_id"), "s1", rates, defaultPct = 100)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    // engine-external replay of the contract: kept iff the first 8 hex
+    // chars of md5(salt:key) mod 100 fall below the stratum's rate
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s1:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % 100
+    }
+    val all: Set[(Long, String)] = docs.select("doc_id", "lang").as[(Long, String)].collect().toSet
+    val expected = all.filter { case (id, lang) => bucket(id) < rates.getOrElse(lang, 100) }
+    assert(strat == expected)
+    // unmapped strata fall through to defaultPct=100 (kept whole)
+    val unmappedAll = docs.filter(!col("lang").isin("en", "de")).count()
+    assert(strat.count { case (_, l) => l != "en" && l != "de" } == unmappedAll)
+  }
+
   test("groupCap keeps at most k per group and is deterministic") {
     val capped = Sampling.groupCap(docs, "source", "doc_id", 3, "cap")
     val sizes = capped.groupBy("source").count().as[(String, Long)].collect()

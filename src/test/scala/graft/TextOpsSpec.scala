@@ -114,6 +114,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == ((2L, 6L, 0L, 3.0)))                    // the twice, df=3 each
   }
 
+  test("sparseTopK: integer dot-product ranking with df-cap and id tie-break") {
+    // "common" appears in all 4 docs → df=4 > maxDf=3, dropped from the
+    // index; remaining overlaps: 1∩2 share {x(2·1)} + {y(1·1)} = 3,
+    // 1∩3 share {x(2·2)} = 4, 2∩3 share {x(1·2)} = 2; doc 4 shares only
+    // the capped token → no scored pairs at all.
+    val df = Seq(
+      (1L, "common x x y"),
+      (2L, "common x y z"),
+      (3L, "common x x"),
+      (4L, "common only")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.sparseTopK(df, "doc_id", "text", k = 2, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1: best neighbor 3 (score 4), then 2 (score 3)
+    assert(byDoc(1L).sortBy(_._4).map(t => (t._2, t._3)).toSeq == Seq((3L, 4L), (2L, 3L)))
+    // doc 2: neighbor 1 (3) then 3 (2)
+    assert(byDoc(2L).sortBy(_._4).map(t => (t._2, t._3)).toSeq == Seq((1L, 3L), (3L, 2L)))
+    // doc 4 never appears, as query or neighbor
+    assert(!out.exists(t => t._1 == 4L || t._2 == 4L))
+  }
+
   test("frame sampling: ceil(n_bytes/stride) frames with right offsets") {
     val df = Seq((1L, "x" * 130), (2L, "")).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(Multimodal.withBinary(df, "text"), "doc_id", "media", 64)

@@ -30,4 +30,46 @@ class TimeSeriesSpec extends SparkSpec {
       ("a", "2024-01-04", 40.0),
       ("b", "2024-02-10", 7.0)))
   }
+
+  test("proximityCount: inclusive window, cross-bucket matches, zeros kept") {
+    def ev(rows: (Long, Long)*) = rows.toSeq
+      .toDF("id", "us")
+      .select(col("id"), timestamp_micros(col("us")).as("ts"))
+    // window = 100 µs. Left 1 @1000; rights at 900 (=|Δ|100, inclusive,
+    // PREVIOUS bucket 9 vs left bucket 10), 1100 (inclusive, next bucket),
+    // 1101 (|Δ|101, same ±1 bucket range but outside the window → filtered)
+    // and 5000 (far bucket, never joined). Left 2 @5000 matches only the
+    // right at 5000 (Δ0); left 3 @9999 matches nothing → count 0.
+    val left = ev(1L -> 1000L, 2L -> 5000L, 3L -> 9999L)
+    val right = ev(10L -> 900L, 11L -> 1100L, 12L -> 1101L, 13L -> 5000L)
+    val out = TimeSeries.proximityCount(left, right, "id", "ts", windowUs = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("proximityCount never double-counts a pair across exploded buckets") {
+    // right row on an exact bucket boundary (us = 200 = 2×window): its
+    // single bucket is 2; left @250 explodes to buckets {1,2,3} — the pair
+    // must appear exactly once even though |Δ|=50 qualifies via bucket 2
+    // only. A duplicate would show as count 2.
+    val left = Seq((1L, 250L)).toDF("id", "us")
+      .select(col("id"), timestamp_micros(col("us")).as("ts"))
+    val right = Seq((9L, 200L)).toDF("id", "us")
+      .select(col("id"), timestamp_micros(col("us")).as("ts"))
+    val out = TimeSeries.proximityCount(left, right, "id", "ts", windowUs = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L))
+  }
+
+  test("proximityCount plans as a hash join on the bucket key, never a nested loop") {
+    val ev = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
+    val plan = TimeSeries
+      .proximityCount(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "error"),
+        "event_id", "ts", windowUs = 900000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(30).mkString("\n"))
+  }
 }
