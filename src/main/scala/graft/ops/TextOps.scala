@@ -180,6 +180,64 @@ object TextOps {
     Caching.materializeAndRelease(out, tf)
   }
 
+  /** PII scrubbing: replace email addresses, long digit runs (cards/ids),
+    * and phone-shaped sequences with typed placeholder tokens — the
+    * standard redaction pass before text enters a training mix. Pure
+    * `regexp_replace` chain (codegen'd, scan-speed, zero shuffle). The
+    * patterns use only portable regex constructs (explicit classes,
+    * bounded repetition — no lookaround, no inline flags) so the DuckDB
+    * oracle replays them byte-identically. Order matters: emails first
+    * (their local part would otherwise partially match the digit rules).
+    */
+  def scrubPii(c: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val longDigits = "[0-9]{12,19}" // card/account-shaped runs
+    val phone = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, email, "<EMAIL>"),
+        longDigits,
+        "<NUM>"),
+      phone,
+      "<PHONE>")
+  }
+
+  /** Context-window chunking: split each document's token stream into
+    * overlapping fixed-size chunks (size `chunkTokens`, stride
+    * `chunkTokens - overlap`) — how long documents become training
+    * examples. All integer index math over one `sequence`+`explode` per
+    * document: chunk count = max(1, ceil((n - overlap) / stride)), chunk i
+    * = tokens[i·stride, i·stride + chunkTokens). Per-row generation, no
+    * shuffle; the last chunk is never fully contained in its predecessor.
+    * Empty documents produce no chunks.
+    */
+  def chunkTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int
+  ): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens: chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val ts = tokens(normalize(col(textCol)))
+    // integer ceil((n - overlap) / stride), at least 1 for non-empty docs
+    val nChunks = greatest(lit(1), expr(s"(size(__ts) - $overlap + $stride - 1) div $stride"))
+    df.select(col(idCol), ts.as("__ts"))
+      .filter(size(col("__ts")) > 0)
+      .select(col(idCol), col("__ts"), explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        slice(col("__ts"), col("chunk_idx") * stride + 1, lit(chunkTokens)).as("__chunk"))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        size(col("__chunk")).as("n_chunk_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (exact-dup key), plus
     * the minimum shingle fingerprint (a 1-hash MinHash — stable under small
     * edits, the building block of winnowing). Both deterministic hex

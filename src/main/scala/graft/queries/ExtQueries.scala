@@ -404,6 +404,80 @@ object ExtQueries {
              |WHERE rank <= 5""".stripMargin),
       "per-doc top-k lexical neighbors via df-capped inverted-index dot product"
     ),
+    // PII redaction at scan speed: typed placeholders for emails, long
+    // digit runs, and phone-shaped sequences. The fixture has no real PII,
+    // so deterministic PII is planted per row (derived from doc_id) and
+    // the oracle replays both the planting and the scrub byte-identically.
+    "text_pii_scrub" -> QueryDef(
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          TextOps.scrubPii(concat(
+            col("text"),
+            lit(" reach me at user"), col("doc_id"), lit("@mail.example.com or +1 555 01"),
+            lpad(col("doc_id") % 100, 2, "0"), lit(" card 4111222233334444")
+          )).as("scrubbed")),
+      Some("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+             |  text || ' reach me at user' || doc_id || '@mail.example.com or +1 555 01' ||
+             |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' card 4111222233334444',
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |  '[0-9]{12,19}', '<NUM>', 'g'),
+             |  '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}', '<PHONE>', 'g') AS scrubbed
+             |FROM documents""".stripMargin),
+      "PII redaction: email/number/phone placeholders via portable regex chain"
+    ),
+    // context-window chunking: 64-token chunks, 16-token overlap (stride
+    // 48) — integer index math, one sequence+explode per document
+    "text_chunk" -> QueryDef(
+      (s, d) => {
+        val r = TextOps.chunkTokens(t(s, d, "documents"), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        r.select(
+          col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+          col("chunk_text"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), nz AS (
+             |  SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0
+             |), ch AS (
+             |  SELECT doc_id, g.i AS chunk_idx, ts[g.i*48+1 : g.i*48+64] AS chunk
+             |  FROM nz, LATERAL (SELECT unnest(generate_series(0, greatest(1, (n - 16 + 47) // 48) - 1)) AS i) g
+             |)
+             |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+             |  array_to_string(chunk, ' ') AS chunk_text
+             |FROM ch""".stripMargin),
+      "context-window chunking: overlapping fixed-size token chunks per document"
+    ),
+    // training-shard assignment by cumulative token budget — distributed
+    // prefix sum (per-bucket windows + broadcast offsets), NOT the
+    // single-partition global window Spark would use for ORDER BY alone
+    "q_shard_pack" -> QueryDef(
+      (s, d) => {
+        val weighted = t(s, d, "documents").select(
+          col("doc_id"),
+          size(TextOps.tokens(TextOps.normalize(col("text")))).cast("long").as("n_tokens"))
+        graft.ops.Packing.packShards(weighted, "doc_id", "n_tokens", budget = 1000L, buckets = 32)
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, n_tokens,
+             |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |  FROM w
+             |)
+             |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             |  CAST((cum_tokens - n_tokens) // 1000 AS BIGINT) AS shard_id
+             |FROM c""".stripMargin),
+      "token-budget shard packing via distributed prefix sum (no 1-task global window)"
+    ),
 
     "text_fingerprint" -> QueryDef(
       (s, d) => TextOps.fingerprints(t(s, d, "documents"), "doc_id", "text", shingleN = 5),

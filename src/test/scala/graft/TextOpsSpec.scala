@@ -136,6 +136,40 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.exists(t => t._1 == 4L || t._2 == 4L))
   }
 
+  test("scrubPii replaces emails, long digit runs, and phone shapes; leaves prose alone") {
+    val out = Seq(
+      (1L, "mail a.b+c@x-corp.io now"),
+      (2L, "card 4111111111111111 leaked"),
+      (3L, "call +1 555 0134 or 44 201 5550"),
+      (4L, "year 2024 has only 4 digits, room 12345 five")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ops.TextOps.scrubPii(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail <EMAIL> now")
+    assert(out(2L) == "card <NUM> leaked")
+    assert(out(3L) == "call <PHONE> or <PHONE>")
+    assert(out(4L) == "year 2024 has only 4 digits, room 12345 five")
+  }
+
+  test("chunkTokens: counts, boundaries, overlap content, empty docs") {
+    // stride = 4 (chunk 6, overlap 2)
+    val toks = (1 to 11).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, toks), (2L, "a b"), (3L, ""), (4L, "x " * 6)).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.chunkTokens(df, "doc_id", "text", chunkTokens = 6, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getString(3)))).toMap
+    // doc 1: n=11 -> ceil(9/4)=3 chunks at 0,4,8
+    assert(out((1L, 0L)) == ((6, "t1 t2 t3 t4 t5 t6")))
+    assert(out((1L, 1L)) == ((6, "t5 t6 t7 t8 t9 t10"))) // 2-token overlap
+    assert(out((1L, 2L)) == ((3, "t9 t10 t11")))          // short tail
+    // doc 2: n=2 < chunk -> exactly one whole-doc chunk
+    assert(out((2L, 0L)) == ((2, "a b")))
+    // doc 3: empty -> no chunks at all
+    assert(!out.keySet.exists(_._1 == 3L))
+    // doc 4: n=6 == chunk -> exactly one chunk, no empty second chunk
+    assert(out((4L, 0L))._1 == 6)
+    assert(out.keySet.count(_._1 == 4L) == 1)
+  }
+
   test("frame sampling: ceil(n_bytes/stride) frames with right offsets") {
     val df = Seq((1L, "x" * 130), (2L, "")).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(Multimodal.withBinary(df, "text"), "doc_id", "media", 64)
