@@ -180,6 +180,46 @@ object TextOps {
     Caching.materializeAndRelease(out, tf)
   }
 
+  /** Repetition statistics: per document, total / distinct word-n-gram
+    * counts, the hottest n-gram's frequency, and the repetition ratio
+    * (1 − distinct/total) — the Gopher-style "repeated n-gram" quality
+    * signal that catches looping/boilerplate text. Multiplicity is
+    * preserved (unlike [[shinglesFromTokens]], which distincts for dedup):
+    * shingles are generated from a PROJECTED token array by index explode,
+    * so the plan stays linear in token count. All counts are exact
+    * integers; the ratio is one final IEEE division of two exact ints —
+    * engine-portable. Documents with fewer than n tokens yield no row.
+    */
+  def repetitionStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("sid"), tokens(normalize(col(textCol))).as("__ts"))
+      .filter(size(col("__ts")) >= n)
+      .select(
+        col("sid"),
+        col("__ts"),
+        explode(sequence(lit(1), size(col("__ts")) - (n - 1))).as("__i"))
+      .select(
+        col("sid"),
+        concat_ws(" ", (0 until n).map(o => element_at(col("__ts"), col("__i") + o)): _*).as("s"))
+    sh.groupBy("sid", "s").agg(count(lit(1)).as("f"))
+      .groupBy("sid")
+      .agg(
+        sum(col("f")).as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        max(col("f")).as("max_freq"))
+      .select(
+        col("sid").as(idCol),
+        col("n_shingles"),
+        col("n_distinct"),
+        col("max_freq"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_shingles")).as("rep_ratio"))
+  }
+
   /** PII scrubbing: replace email addresses, long digit runs (cards/ids),
     * and phone-shaped sequences with typed placeholder tokens — the
     * standard redaction pass before text enters a training mix. Pure

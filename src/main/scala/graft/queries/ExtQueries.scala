@@ -426,6 +426,84 @@ object ExtQueries {
              |FROM documents""".stripMargin),
       "PII redaction: email/number/phone placeholders via portable regex chain"
     ),
+    // Gopher-style repeated-n-gram quality signal: exact integer counts +
+    // one final IEEE division (engine-portable)
+    "text_repetition" -> QueryDef(
+      (s, d) => TextOps.repetitionStats(t(s, d, "documents"), "doc_id", "text", n = 3),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+             |), f AS (
+             |  SELECT doc_id, s, COUNT(*) AS f FROM sh GROUP BY 1, 2
+             |)
+             |SELECT doc_id, CAST(SUM(f) AS BIGINT) AS n_shingles,
+             |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |  CAST(MAX(f) AS BIGINT) AS max_freq,
+             |  1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(f) AS rep_ratio
+             |FROM f GROUP BY doc_id""".stripMargin),
+      "repeated-n-gram repetition ratio (boilerplate/loop detector)"
+    ),
+    // train/heldout decontamination: near-dup pairs (LSH-verified = exact
+    // pair set) that straddle the deterministic hash split — the overlap
+    // a leak-free eval needs removed. Exact-fp contamination is a
+    // degenerate case of the same join (the fixture has no exact dups).
+    "q_split_contamination" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.lshVerifiedPairs(
+          docs, "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16,
+          thresholdNum = 4, thresholdDen = 5)
+        val sp = graft.ops.Sampling
+          .hashSplit(docs.select("doc_id"), col("doc_id"), "graft", 80, 10)
+        val sa = sp.select(col("doc_id").as("id_a"), col("split").as("split_a"))
+        val sb = sp.select(col("doc_id").as("id_b"), col("split").as("split_b"))
+        val out = pairs.select("id_a", "id_b")
+          .join(sa, "id_a").join(sb, "id_b")
+          .filter((col("split_a") === "train") =!= (col("split_b") === "train"))
+          .select(
+            when(col("split_a") === "train", col("id_a")).otherwise(col("id_b")).as("train_id"),
+            when(col("split_a") === "train", col("id_b")).otherwise(col("id_a")).as("heldout_id"),
+            when(col("split_a") === "train", col("split_b")).otherwise(col("split_a")).as("heldout_split"))
+        // materialize BEFORE releasing the pair blocks the lazy plan reads
+        val mat = graft.ops.Caching.materializeAndRelease(out)
+        graft.ops.Caching.release(pairs)
+        mat
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+             |),
+             |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), pairs AS (
+             |  SELECT id_a, id_b FROM pr
+             |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |  WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4
+             |), sp AS (
+             |  SELECT doc_id, CASE WHEN pb < 80 THEN 'train' WHEN pb < 90 THEN 'valid' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS pb
+             |        FROM documents)
+             |)
+             |SELECT CASE WHEN sa.split = 'train' THEN p.id_a ELSE p.id_b END AS train_id,
+             |       CASE WHEN sa.split = 'train' THEN p.id_b ELSE p.id_a END AS heldout_id,
+             |       CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END AS heldout_split
+             |FROM pairs p
+             |JOIN sp sa ON sa.doc_id = p.id_a
+             |JOIN sp sb ON sb.doc_id = p.id_b
+             |WHERE (sa.split = 'train') <> (sb.split = 'train')""".stripMargin),
+      "near-dup decontamination: cross-split leak pairs over the verified pair set"
+    ),
     // context-window chunking: 64-token chunks, 16-token overlap (stride
     // 48) — integer index math, one sequence+explode per document
     "text_chunk" -> QueryDef(

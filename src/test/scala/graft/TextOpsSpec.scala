@@ -136,6 +136,20 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.exists(t => t._1 == 4L || t._2 == 4L))
   }
 
+  test("repetitionStats: multiplicity-preserving n-gram counts and ratio") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // trigrams: aba, bab, aba, bab -> 4 total, 2 distinct
+      (2L, "w x y z"),       // wxy, xyz -> all unique
+      (3L, "one two")        // < 3 tokens -> no row
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.repetitionStats(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((4L, 2L, 2L, 0.5)))
+    assert(out(2L) == ((2L, 2L, 1L, 0.0)))
+  }
+
   test("scrubPii replaces emails, long digit runs, and phone shapes; leaves prose alone") {
     val out = Seq(
       (1L, "mail a.b+c@x-corp.io now"),
