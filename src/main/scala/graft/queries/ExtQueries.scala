@@ -1055,6 +1055,24 @@ object Ext2Queries {
              |   OR (epoch_us(a.session_end) // 1000) + 1800000 < wm.wm_ms""".stripMargin),
       "EventTimeTimeout sessionization driven end-to-end through an AvailableNow drain"
     ),
+    // stream-stream event-time interval join in the gate: purchases to
+    // same-user clicks in the 6 h window ending at the purchase — two
+    // watermarked streaming sources + a time-range condition (the state-
+    // bounding production shape); inner-join emission is watermark-
+    // independent, so the AvailableNow drain equals the batch join.
+    "q_stream_interval_join" -> QueryDef(
+      (s, d) =>
+        graft.streaming.EventStream.intervalJoinRunOnce(
+          s, s"$d/events.parquet", lookbackMs = 6 * 3600 * 1000L, watermarkDelay = "0 seconds"),
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+             |)
+             |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+             |FROM e p JOIN e c ON p.user_id = c.user_id
+             |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+             |  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 21600000000 AND epoch_us(p.ts)""".stripMargin),
+      "stream-stream interval join (watermarked two-source join, AvailableNow drain)"
+    ),
 
     // name-based union with missing-column tolerance — the page-union (S2)
     // generalized to evolving page schemas, mirroring the sink's

@@ -297,28 +297,74 @@ object EventStream {
       gapMs: Long,
       watermarkDelay: String
   ): DataFrame = {
-    import org.apache.spark.sql.types.LongType
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // schema probe reads footers only, no data scan
-    val schema = spark.read.parquet(srcPath).schema
-    // the file stream source only accepts directories: a single-file
-    // fixture is read via its parent + a glob pinned to the file name
-    val f = new java.io.File(srcPath)
-    val reader =
-      if (f.isDirectory) spark.readStream.schema(schema)
-      else spark.readStream.schema(schema).option("pathGlobFilter", f.getName)
-    val raw = reader.parquet(if (f.isDirectory) srcPath else f.getParent)
-    val events =
-      if (schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    val in = events
+    val in = streamEvents(spark, srcPath)
       .select(
         col("user_id").cast("long").as("user_id"),
         col("ts"),
         round(col("value") * 100).as("value"))
       .withWatermark("ts", watermarkDelay)
     drainToTable(spark, sessionizeStream(in, gapMs).toDF(), "sess", "append", srcPath)
+  }
+
+  /** Stream a parquet events fixture (file or directory; the fixture's
+    * TIMESTAMP(NANOS) column is read as a long and truncated to µs,
+    * exactly like the batch loader graft.queries.Tables.t). The file
+    * stream source only accepts directories: a single-file fixture is
+    * read via its parent + a glob pinned to the file name. The schema
+    * probe reads footers only, no data scan.
+    */
+  private def streamEvents(spark: SparkSession, srcPath: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(srcPath).schema
+    val f = new java.io.File(srcPath)
+    val reader =
+      if (f.isDirectory) spark.readStream.schema(schema)
+      else spark.readStream.schema(schema).option("pathGlobFilter", f.getName)
+    val raw = reader.parquet(if (f.isDirectory) srcPath else f.getParent)
+    if (schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Stream-stream event-time interval join: purchases matched to the
+    * same user's clicks in the `lookbackMs` window ending at the
+    * purchase. Both sides are independent streaming sources with their
+    * own watermark + the time-range join condition — exactly the shape
+    * Structured Streaming needs to bound join state in continuous
+    * operation (each side's buffered rows are dropped once the other
+    * side's watermark passes the range bound). Inner-join emission does
+    * not wait for the watermark, so an AvailableNow drain yields the
+    * complete batch-equivalent pair set.
+    */
+  def intervalJoinRunOnce(
+      spark: SparkSession,
+      srcPath: String,
+      lookbackMs: Long,
+      watermarkDelay: String
+  ): DataFrame = {
+    val purchases = streamEvents(spark, srcPath)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val clicks = streamEvents(spark, srcPath)
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_id"),
+        col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    val joined = purchases
+      .join(
+        clicks,
+        expr(s"""p_user = c_user
+                |AND c_ts >= p_ts - INTERVAL ${lookbackMs / 1000} SECOND
+                |AND c_ts <= p_ts""".stripMargin))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+    drainToTable(spark, joined, "ivj", "append", srcPath)
   }
 
   private def drainToTable(

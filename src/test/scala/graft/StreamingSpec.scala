@@ -140,4 +140,20 @@ class StreamingSpec extends SparkSpec {
       assert(!sessions.exists(_.user_id == 2L))
     } finally q.stop()
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val src = sf("sf0.001") + "/events.parquet"
+    val streamed = EventStream
+      .intervalJoinRunOnce(spark, src, lookbackMs = 6 * 3600 * 1000L, watermarkDelay = "0 seconds")
+      .select("purchase_id", "click_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+    val batch = p.join(c, expr("pu = cu AND cts >= pts - INTERVAL 6 HOUR AND cts <= pts"))
+      .select("pid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
