@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The two cluster-scale plan behaviors the fixture queries cannot show
+  * on a single parquet file: partition pruning over a partitioned layout
+  * (a date/type-partitioned 100 TB table must only scan the partitions a
+  * predicate selects) and AQE skew-join splitting (a hot join key must be
+  * split across tasks at runtime, not serialized through one reducer).
+  */
+class ScalePlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partition pruning: a type-partitioned layout scans only the selected partition") {
+    val dir = Files.createTempDirectory("graft_part_").toFile.getAbsolutePath
+    graft.queries.Tables.t(spark, sf("sf0.001"), "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+
+    val pruned = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+      .select(count(lit(1)))
+    pruned.collect()
+    // the scan hides behind AQE wrappers: AdaptiveSparkPlanExec's final
+    // plan, whose materialized stages are LEAF QueryStageExec nodes that
+    // normal TreeNode traversal does not descend into
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan): Option[FileSourceScanExec] =
+      p.collectFirst {
+        case s: FileSourceScanExec => Some(s)
+        case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScan(q.plan)
+      }.flatten
+    val scan = findScan(pruned.queryExecution.executedPlan)
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    // the predicate must land in PartitionFilters (metadata-only pruning),
+    // NOT as a data filter evaluated per row after scanning everything
+    assert(scan.partitionFilters.map(_.toString).exists(_.contains("event_type")),
+      scan.toString)
+    // and the scan must actually touch fewer files than the full layout
+    val allFiles = spark.read.parquet(dir).inputFiles.length
+    val scannedFiles = scan.metrics("numFiles").value
+    assert(scannedFiles > 0 && scannedFiles < allFiles,
+      s"scanned $scannedFiles of $allFiles files")
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // one hot key owning ~99% of the left side; thresholds lowered so
+      // the fixture-sized skew crosses AQE's split bar
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(200000)
+        .select(when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")).as("k"), col("id").as("v"))
+      val right = spark.range(500).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = left.join(right, "k").select(sum(col("v") + col("w")))
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.linesIterator.take(40).mkString("\n"))
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
