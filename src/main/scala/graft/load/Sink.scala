@@ -44,6 +44,27 @@ object Sink {
     df.write.mode(disposition.sparkMode).parquet(path)
   }
 
+  /** Partitioned sink with DYNAMIC partition overwrite: re-running a load
+    * replaces exactly the partitions present in the incoming frame and
+    * leaves every other partition untouched — the idempotent-backfill
+    * semantics a date-partitioned 100 TB table needs (static overwrite
+    * would drop the whole table; append would duplicate the re-run day).
+    * The option is set on the writer, not the session, so the behavior is
+    * explicit per call site.
+    */
+  def writePartitionedDynamic(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String]
+  ): Unit = {
+    if (df.isEmpty) throw new EmptyInputException(s"no records to load into $path")
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Read side of ALLOW_FIELD_ADDITION: schema union across appended runs. */
   def readMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)

@@ -132,4 +132,20 @@ class PipelineSpec extends SparkSpec {
     assert(merged.filter(col("`count:event_id`").isNull).count() > 0)
     assert(merged.count() > 0)
   }
+
+  test("sink: dynamic partition overwrite replaces only the re-run partition") {
+    import spark.implicits._
+    val dest = Files.createTempDirectory("graft_dyn_").toFile.getAbsolutePath
+    val day1 = Seq(("2024-01-01", 1L, 10.0), ("2024-01-01", 2L, 20.0),
+      ("2024-01-02", 3L, 30.0)).toDF("day", "id", "v")
+    Sink.writePartitionedDynamic(day1, dest, Seq("day"))
+    // re-run day 1 with corrected values; day 2 must survive untouched
+    val rerun = Seq(("2024-01-01", 1L, 11.0)).toDF("day", "id", "v")
+    Sink.writePartitionedDynamic(rerun, dest, Seq("day"))
+    // partition directory values are type-inferred (DateType) on read
+    val out = spark.read.parquet(dest)
+      .select(col("day").cast("string"), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(("2024-01-01", 1L, 11.0), ("2024-01-02", 3L, 30.0)))
+  }
 }
