@@ -45,4 +45,27 @@ object Embeddings {
       .withColumn("scale", when(col("maxabs") > 0, lit(127.0) / col("maxabs")).otherwise(lit(0.0)))
       .withColumn("q", transform(col("v"), x => round(x * col("scale")).cast("int")))
       .select("vec_id", "scale", "q")
+
+  /** Per-group element-wise embedding aggregation over int8-quantized
+    * vectors — the centroid-recompute step of clustering/class-profile
+    * pipelines, made ORDER-FREE: float sums depend on fold order across
+    * partitions, so the vectors are quantized first and the per-dimension
+    * sums are exact integers (any shuffle order, any partitioning, same
+    * bits). Emitted in long format (group, dim, n_vecs, q_sum): one row
+    * per dimension, so results stay scalar-comparable and the downstream
+    * mean is q_sum / n_vecs / scale at the consumer's precision choice.
+    * Plan: per-row quantize projection → posexplode → one hash aggregate
+    * on (group, dim) — dims are bounded, so cardinality is |groups|×dims.
+    */
+  def groupSumInt8(emb: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    emb
+      .select(col(groupCol).as("grp"), asDouble(col(vecCol)).as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale", when(col("maxabs") > 0, lit(127.0) / col("maxabs")).otherwise(lit(0.0)))
+      .select(
+        col("grp"),
+        posexplode(transform(col("v"), x => round(x * col("scale")).cast("long"))).as(Seq("dim", "qv")))
+      .groupBy("grp", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qv")).as("q_sum"))
+      .select(col("grp").as(groupCol), col("dim"), col("n_vecs"), col("q_sum"))
 }

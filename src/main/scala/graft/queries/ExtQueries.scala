@@ -696,6 +696,32 @@ object ExtQueries {
              |FROM q""".stripMargin),
       "symmetric int8 quantization; integer digests pin every element"
     ),
+    // per-label centroid sums over quantized vectors: exact integer
+    // per-dimension aggregation (order-free under any shuffle), long
+    // format so every value is scalar-comparable
+    "emb_group_sum" -> QueryDef(
+      (s, d) => {
+        val r = graft.ops.Embeddings.groupSumInt8(t(s, d, "embeddings"), "label", "embedding")
+        r.select(
+          col("label").cast("long").as("label"),
+          col("dim").cast("long").as("dim"),
+          col("n_vecs"),
+          col("q_sum"))
+      },
+      Some("""WITH b AS (
+             |  SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+             |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+             |  FROM embeddings),
+             |e AS (
+             |  SELECT label, g.i - 1 AS dim,
+             |    CAST(round(v[g.i] * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END)) AS BIGINT) AS qv
+             |  FROM b, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+             |)
+             |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+             |  COUNT(*) AS n_vecs, CAST(SUM(qv) AS BIGINT) AS q_sum
+             |FROM e GROUP BY 1, 2""".stripMargin),
+      "order-free per-group embedding centroid sums via int8 quantization"
+    ),
 
     // ---- multimodal plumbing (decode stubbed deterministically) ----
     "mm_binary_meta" -> QueryDef(

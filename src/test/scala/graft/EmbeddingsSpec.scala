@@ -36,6 +36,22 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("groupSumInt8: exact integer dimension sums, partitioning-independent") {
+    val df = Seq(
+      (0, Seq(1.0f, -2.0f)),  // maxabs 2, scale 63.5 -> q = [64, -127]
+      (0, Seq(0.5f, 0.5f)),   // maxabs .5, scale 254 -> q = [127, 127]
+      (1, Seq(0.0f, 0.0f))    // zero vector -> scale 0 -> q = [0, 0]
+    ).toDF("label", "embedding")
+    val out = Embeddings.groupSumInt8(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      (0, 0) -> ((2L, 191L)), (0, 1) -> ((2L, 0L)),
+      (1, 0) -> ((1L, 0L)), (1, 1) -> ((1L, 0L))))
+    val repartitioned = Embeddings.groupSumInt8(df.repartition(7), "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(repartitioned == out)
+  }
+
   test("bpeishTokens segments letter/digit/punct runs") {
     val out = Seq("Hello, world 42!!").toDF("t")
       .select(graft.ops.TextOps.bpeishTokens(col("t")))
