@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global ranking. A bare `row_number() OVER (ORDER BY …)` has an
+  * empty PARTITION BY, so Spark plans a SINGLE-partition window — the whole
+  * table through one task, the canonical 100 TB anti-pattern (Spark even
+  * warns `WindowExec: No Partition Defined`).
+  *
+  * This is the two-pass form every distributed engine uses instead:
+  * range-repartition on the sort key (non-overlapping value ranges, any
+  * per-partition parallelism), rank locally within each range, then add
+  * per-partition row-count offsets (a |partitions|-row side computed with
+  * one tiny window and broadcast back). Output ranks are EXACTLY the
+  * global ones — range disjointness makes local rank + preceding-partition
+  * counts the global position — and deterministic as long as `orderCols`
+  * is a total order (tie-break on a unique key), independent of the
+  * sampling RangePartitioner used for bounds.
+  */
+object GlobalRank {
+
+  /** Append `rankCol` = 1-based global rank under `orderCols`. */
+  def globalRank(df: DataFrame, orderCols: Seq[Column], rankCol: String, parts: Int): DataFrame = {
+    val ranged = df
+      .repartitionByRange(parts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // |parts| rows: exclusive prefix sum of partition sizes
+    val offsets = ranged
+      .groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn(
+        "__offset",
+        coalesce(
+          sum(col("__cnt")).over(
+            Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__cnt")
+    val local = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    ranged
+      .withColumn("__local", row_number().over(local))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(rankCol, (col("__offset") + col("__local")).cast("long"))
+      .drop("__pid", "__local", "__offset")
+  }
+}

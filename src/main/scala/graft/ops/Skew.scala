@@ -21,6 +21,29 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Salted equi-join for a skewed LEFT side: the hot key's rows land on
+    * one reducer in a plain shuffle join, so the left side gets a
+    * deterministic salt in [0, salts) and the (small-ish but
+    * too-big-to-broadcast) right side is replicated `salts`× via a
+    * sequence explode; joining on (key, salt) spreads the hot key over
+    * `salts` reducers. Exactly equal to the plain join — each left row
+    * meets each matching right row exactly once (at its own salt copy).
+    * Right-side cost is |right|×salts rows shuffled: the knob trades
+    * replication for tail latency, the same trade AQE skew-join makes
+    * per-split at runtime.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      saltSource: Column,
+      salts: Int
+  ): DataFrame = {
+    val l = left.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
+    val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
   /** Exact grouped sums with the hot-key spread over `salts` partial
     * groups. `saltSource` must be a column whose value varies within the
     * hot key (a row id, a hash of remaining columns).

@@ -1,0 +1,382 @@
+package graft.queries
+
+import graft.ops.{Analytics, Cdc}
+import org.apache.spark.sql.functions._
+
+/** Third wave of extension operators: the event-analytics layer a consumer
+  * of the reference's extracted fact tables runs downstream (cohorts,
+  * funnels, transition matrices, profiling) and the incremental-load
+  * primitives its APPEND/TRUNCATE-only sink lacks (change capture, keyed
+  * upsert), plus blocked fuzzy matching for entity resolution.
+  */
+object Ext3Queries {
+  import Tables.t
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    // cohort retention: first-event-day cohorts × active-day offsets.
+    // Two hash aggregates + one user-key join (firsts ≪ events).
+    "q_cohort_retention" -> QueryDef(
+      (s, d) => Analytics.cohortRetention(t(s, d, "events"), "user_id", "ts"),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |f AS (
+             |  SELECT user_id, CAST(min(ts) AS DATE) AS cd FROM e GROUP BY 1)
+             |SELECT strftime(f.cd, '%Y-%m-%d') AS cohort_day,
+             |       CAST(date_diff('day', f.cd, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+             |       COUNT(DISTINCT e.user_id) AS n_users
+             |FROM e JOIN f USING (user_id)
+             |GROUP BY 1, 2""".stripMargin),
+      "cohort retention matrix over the events table"
+    ),
+
+    // strictly-ordered funnel in ONE shuffle (greedy fold per user ==
+    // the nested-min SQL the oracle states)
+    "q_funnel" -> QueryDef(
+      (s, d) =>
+        Analytics.funnelStages(
+          t(s, d, "events"), "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click", "purchase")),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+             |s1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+             |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, COUNT(*) AS n_users FROM s1
+             |UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+             |UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3""".stripMargin),
+      "view→click→purchase ordered funnel, one shuffle"
+    ),
+
+    // first-order Markov transition matrix of the event stream: one
+    // window sort per user (shareable with sessionization), |types|² output
+    "q_event_transitions" -> QueryDef(
+      (s, d) =>
+        Analytics.transitionCounts(t(s, d, "events"), "user_id", "ts", "event_id", "event_type"),
+      Some("""SELECT from_type, to_type, COUNT(*) AS n FROM (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (
+             |           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+             |  FROM events)
+             |WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin),
+      "event-type transition counts via one per-user window"
+    ),
+
+    // data-quality profile of a table in ONE scan (k-way expand, not
+    // k scans): per column null count + distinct count
+    "q_profile_table" -> QueryDef(
+      (s, d) =>
+        Analytics.profile(
+          t(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")),
+      Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+        .map(c =>
+          s"SELECT '$c' AS column_name, COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct FROM orders")
+        .mkString("\nUNION ALL ")),
+      "per-column null/distinct profile, single scan"
+    ),
+
+    // change capture between two snapshots: one full-outer hash join on
+    // the key; insert/delete/update verdicts, unchanged dropped.
+    // The "new" snapshot is derived deterministically from the fixture:
+    // a wider date range (inserts), urgent orders repriced ×1.1 (updates),
+    // every 97th key dropped (deletes).
+    "q_snapshot_diff" -> QueryDef(
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val oldSnap = orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val newSnap = orders
+          .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+          .filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn(
+            "o_totalprice",
+            when(col("o_orderpriority") === "1-URGENT", col("o_totalprice") * 1.1)
+              .otherwise(col("o_totalprice")))
+        Cdc.snapshotDiff(oldSnap, newSnap, "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+             |n AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.1
+             |              ELSE o_totalprice END AS o_totalprice
+             |  FROM orders
+             |  WHERE o_orderdate < TIMESTAMP '1999-01-01' AND o_orderkey % 97 <> 0),
+             |j AS (
+             |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             |         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+             |              WHEN n.o_orderkey IS NULL THEN 'delete'
+             |              WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+             |                OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice) THEN 'update'
+             |              ELSE 'unchanged' END AS change_type
+             |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+             |SELECT o_orderkey, change_type FROM j WHERE change_type <> 'unchanged'""".stripMargin),
+      "insert/delete/update capture between table snapshots"
+    ),
+
+    // keyed MERGE/upsert: updates batch (repriced ×2, overlapping window)
+    // applied over a base snapshot; highest version wins, updates win
+    // ties — idempotent re-runs are no-ops. One shuffle on the key.
+    "q_merge_upsert" -> QueryDef(
+      (s, d) => {
+        val orders = t(s, d, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+        val base = orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val updates = orders
+          .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        Cdc.upsert(base, updates, "o_orderkey", "o_orderdate")
+          .select(
+            col("o_orderkey"),
+            col("o_totalprice").as("price"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("version_day"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_totalprice, o_orderdate, 0 AS pri FROM orders
+             |  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+             |upd AS (
+             |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderdate, 1 AS pri FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1997-06-01'),
+             |u AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY o_orderkey ORDER BY o_orderdate DESC, pri DESC) AS rn
+             |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+             |SELECT o_orderkey, o_totalprice AS price,
+             |       strftime(o_orderdate, '%Y-%m-%d') AS version_day
+             |FROM u WHERE rn = 1""".stripMargin),
+      "keyed upsert with version + source-priority tie-break"
+    ),
+
+    // blocked fuzzy match (entity resolution): equi-join on the blocking
+    // key bounds candidates at Σ|block|², then edit-distance filter.
+    // Never all-pairs: the blocking key is the scale lever.
+    "q_fuzzy_match" -> QueryDef(
+      (s, d) => {
+        val p = t(s, d, "part").select("p_partkey", "p_brand", "p_name")
+        val a = p.select(col("p_partkey").as("id_a"), col("p_brand"), col("p_name").as("name_a"))
+        val b = p.select(col("p_partkey").as("id_b"), col("p_brand"), col("p_name").as("name_b"))
+        a.join(b, "p_brand")
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("dist") <= 2)
+          .select("id_a", "id_b", "dist")
+      },
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin),
+      "brand-blocked edit-distance fuzzy pairing"
+    ),
+
+    // fixed-width histogram: bin index computed with the SAME IEEE ops on
+    // both engines (divide + floor), one hash aggregate on |bins| keys
+    "q_histogram" -> QueryDef(
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(floor(col("o_totalprice") / 25000.0).cast("long").as("bin"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(28,4)")).cast("double").as("sum_price")),
+      Some("""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY 1""".stripMargin),
+      "fixed-width numeric histogram"
+    ),
+
+    // unpivot/melt: wide measures → (key, metric, value) long format —
+    // the inverse of the tag pivot, a per-row expand with no shuffle
+    "q_unpivot" -> QueryDef(
+      (s, d) =>
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"),
+            col("o_custkey").cast("double").as("o_custkey"))
+          .unpivot(
+            Array(col("o_orderkey")),
+            Array(col("o_totalprice"), col("o_custkey")),
+            "metric",
+            "value"),
+      Some("""SELECT o_orderkey, 'o_totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS value FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE) FROM orders""".stripMargin),
+      "wide→long melt of measure columns"
+    ),
+
+    // Pearson correlation per group WITHOUT order-dependent FP: quantity
+    // is integer-valued and price has 2 decimals, so both scale to exact
+    // integers (corr is scale-invariant), the five moment sums are exact
+    // DECIMAL(38,0) integers (order-free under any shuffle, no int64
+    // overflow on either engine), and the closed-form combination is the
+    // identical IEEE double expression on both sides. Built-in corr()
+    // would be shuffle-order-dependent; this is the deterministic form.
+    "q_stats_corr" -> QueryDef(
+      (s, d) => {
+        val base = t(s, d, "lineitem").select(
+          col("l_returnflag"),
+          col("l_quantity").cast("long").as("xi"),
+          round(col("l_extendedprice") * 100).cast("long").as("yi"))
+        base
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("xi").cast("decimal(38,0)")).cast("double").as("sx"),
+            sum(col("yi").cast("decimal(38,0)")).cast("double").as("sy"),
+            sum((col("xi") * col("yi")).cast("decimal(38,0)")).cast("double").as("sxy"),
+            sum((col("xi") * col("xi")).cast("decimal(38,0)")).cast("double").as("sxx"),
+            sum((col("yi") * col("yi")).cast("decimal(38,0)")).cast("double").as("syy"))
+          .select(
+            col("l_returnflag"),
+            col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS xi,
+             |         CAST(round(l_extendedprice * 100) AS BIGINT) AS yi
+             |  FROM lineitem),
+             |m AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(xi * yi AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(xi * xi AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(yi * yi AS DECIMAL(38,0))) AS DOUBLE) AS syy
+             |  FROM b GROUP BY 1)
+             |SELECT l_returnflag, n,
+             |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+             |FROM m""".stripMargin),
+      "order-free Pearson correlation via exact integer moments"
+    ),
+
+    // value-RANGE window frame (trailing 30 days per customer) — frames
+    // defined by ORDER-value distance, not row position: peers share a
+    // frame, so the result is total-order-free by construction
+    "q_window_range_frame" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(col("epoch_s"))
+          .rangeBetween(-2592000L, 0)
+        t(s, d, "orders")
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            unix_timestamp(col("o_orderdate")).as("epoch_s"),
+            col("o_totalprice").cast("decimal(18,2)").as("p"))
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            sum(col("p")).over(w).cast("double").as("trailing_30d_sum"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_sum
+             |FROM orders""".stripMargin),
+      "trailing-30-day RANGE frame window sum"
+    ),
+
+    // global ranking WITHOUT the single-partition window: range
+    // repartition + local rank + broadcast prefix offsets (GlobalRank) —
+    // output identical to row_number() OVER (ORDER BY …)
+    "q_global_rank" -> QueryDef(
+      (s, d) =>
+        graft.ops.GlobalRank
+          .globalRank(
+            t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+            Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+            "rnk",
+            parts = 16)
+          .select(col("o_orderkey"), col("rnk")),
+      Some("""SELECT o_orderkey,
+             |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+             |FROM orders""".stripMargin),
+      "distributed global row_number via range partitioning"
+    ),
+
+    // percent-of-total: grouped sums vs the grand total as a broadcast
+    // 1-row frame (never a global-window sum over the data)
+    "q_pct_of_total" -> QueryDef(
+      (s, d) => {
+        val grp = t(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("o_totalprice").cast("decimal(28,4)")).as("__gs"))
+        val tot = grp.agg(sum(col("__gs")).as("__ts"))
+        grp
+          .crossJoin(broadcast(tot))
+          .select(
+            col("o_orderpriority"),
+            col("__gs").cast("double").as("grp_sum"),
+            (col("__gs").cast("double") / col("__ts").cast("double")).as("share"))
+      },
+      Some("""WITH g AS (
+             |  SELECT o_orderpriority, SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS gs
+             |  FROM orders GROUP BY 1),
+             |t AS (SELECT SUM(gs) AS ts FROM g)
+             |SELECT o_orderpriority, CAST(gs AS DOUBLE) AS grp_sum,
+             |       CAST(gs AS DOUBLE) / CAST(ts AS DOUBLE) AS share
+             |FROM g, t""".stripMargin),
+      "group share of grand total via broadcast scalar"
+    ),
+
+    // Spark's NATIVE session_window (vs the engine's stateful sessionizer
+    // in q_sessionize — same islands, different machinery): one hash
+    // aggregate with gap-merge, all sessions included (batch semantics,
+    // no trailing exclusion). session end = last event + gap.
+    "q_session_window_builtin" -> QueryDef(
+      (s, d) =>
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), round(col("value") * 100).as("v"))
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sum_value"))
+          .select(
+            col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"),
+            col("sum_value")),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, round(value*100) AS v FROM events
+             |), g AS (
+             |  SELECT user_id, ts, v,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+             |              > 1800000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e
+             |), s AS (
+             |  SELECT user_id, ts, v,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM g
+             |)
+             |SELECT user_id, min(ts) AS session_start,
+             |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |       CAST(COUNT(*) AS BIGINT) AS n_events, SUM(v) AS sum_value
+             |FROM s GROUP BY user_id, sess""".stripMargin),
+      "native session_window gap sessionization"
+    ),
+
+    // salted skewed join, oracle = the PLAIN join aggregate (exact
+    // equivalence of the mitigation is the judged property)
+    "q_salted_join" -> QueryDef(
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("event_id"))
+        val cust = t(s, d, "customer").select(
+          col("c_custkey").as("user_id"), col("c_mktsegment"))
+        graft.ops.Skew
+          .saltedJoin(ev, cust, "user_id", col("event_id"), salts = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT c.c_mktsegment, COUNT(*) AS n
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1""".stripMargin),
+      "salted equi-join equals the plain join"
+    )
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.Analytics
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("cohortRetention groups users by first-event day and counts per offset") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // u1 cohort day 1, active d0, d2
+      (1L, ts("2024-01-03 09:00:00")),
+      (2L, ts("2024-01-01 23:00:00")), // u2 cohort day 1, active d0
+      (3L, ts("2024-01-02 01:00:00")), // u3 cohort day 2, active d0, d1
+      (3L, ts("2024-01-03 01:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Analytics.cohortRetention(events, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L,
+      ("2024-01-01", 2L) -> 1L,
+      ("2024-01-02", 0L) -> 1L,
+      ("2024-01-02", 1L) -> 1L))
+  }
+
+  test("funnelStages: strict ordering, same-timestamp events cannot leapfrog") {
+    val events = Seq(
+      // u1 completes the funnel in order
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 11L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, 12L, ts("2024-01-01 10:10:00"), "purchase"),
+      // u2: click BEFORE view — click must not count; purchase after view
+      // but with no qualifying click in between → stops at stage 1
+      (2L, 20L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, 21L, ts("2024-01-01 09:30:00"), "view"),
+      (2L, 22L, ts("2024-01-01 09:45:00"), "purchase"),
+      // u3: click at the EXACT view timestamp — strict > rejects it
+      (3L, 30L, ts("2024-01-01 08:00:00"), "view"),
+      (3L, 31L, ts("2024-01-01 08:00:00"), "click"),
+      // u4: never views
+      (4L, 40L, ts("2024-01-01 07:00:00"), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics
+      .funnelStages(events, "user_id", "ts", "event_id", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> (("view", 3L)),      // u1, u2, u3
+      2L -> (("click", 1L)),     // u1 only
+      3L -> (("purchase", 1L))))  // u1 only
+  }
+
+  test("funnelStages emits a zero row for unreached stages") {
+    val events = Seq((1L, 1L, ts("2024-01-01 10:00:00"), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics
+      .funnelStages(events, "user_id", "ts", "event_id", "event_type", Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L))
+  }
+
+  test("transitionCounts pairs consecutive events per user with id tie-break") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "a"),
+      // u2: two events at the same ts — order falls back to event_id
+      (2L, 4L, ts("2024-01-01 10:00:00"), "b"),
+      (2L, 5L, ts("2024-01-01 10:00:00"), "a")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.transitionCounts(events, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 1L, ("b", "a") -> 2L))
+  }
+
+  test("profile reports per-column null and distinct counts from one scan") {
+    val df = Seq(
+      (Some(1), Some("x")),
+      (Some(1), None),
+      (None, Some("y"))
+    ).toDF("a", "b")
+    val out = Analytics.profile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("a" -> ((1L, 1L)), "b" -> ((1L, 2L))))
+  }
+}

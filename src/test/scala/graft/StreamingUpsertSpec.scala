@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.Cdc
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Streaming CDC-merge sink: a `foreachBatch` that upserts each
+  * micro-batch into a keyed parquet target via [[Cdc.upsert]] — the
+  * streaming MERGE pattern warehouses run for incremental refresh (late
+  * re-deliveries of a key overwrite by version instead of duplicating).
+  */
+class StreamingUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch upsert sink converges to the batch upsert of all data") {
+    val events = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
+      .select(col("user_id"), col("ts"), col("value"))
+      // one row per key per micro-batch boundary is NOT required by the
+      // sink — duplicates within a batch collapse by version too
+      .limit(400)
+
+    val srcDir = Files.createTempDirectory("upsert-src").toString
+    val tgtDir = Files.createTempDirectory("upsert-tgt").toString
+    // two files → at least two micro-batches with maxFilesPerTrigger=1
+    val parts = events.randomSplit(Array(0.5, 0.5), seed = 7)
+    parts(0).coalesce(1).write.mode("overwrite").parquet(srcDir)
+    parts(1).coalesce(1).write.mode("append").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val incoming = Cdc.upsert(batch, batch.limit(0), "user_id", "ts")
+        val merged =
+          if (new java.io.File(s"$tgtDir/data").exists()) {
+            val existing = spark.read.parquet(s"$tgtDir/data")
+            Cdc.upsert(existing, incoming, "user_id", "ts")
+          } else incoming
+        // write to a fresh dir then swap — the parquet-level analogue of a
+        // transactional MERGE commit
+        val tmp = s"$tgtDir/tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val target = new java.io.File(s"$tgtDir/data")
+        if (target.exists()) {
+          val old = new java.io.File(s"$tgtDir/old")
+          if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+          target.renameTo(old)
+        }
+        new java.io.File(tmp).renameTo(target)
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("upsert-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "streaming upsert did not drain in time")
+
+    val streamed = spark.read.parquet(s"$tgtDir/data")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val batchMerged = Cdc.upsert(events, events.limit(0), "user_id", "ts")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(streamed == batchMerged)
+    assert(streamed.nonEmpty)
+  }
+}
