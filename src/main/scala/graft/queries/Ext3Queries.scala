@@ -153,16 +153,26 @@ object Ext3Queries {
 
     // blocked fuzzy match (entity resolution): equi-join on the blocking
     // key bounds candidates at Σ|block|², then edit-distance filter.
-    // Never all-pairs: the blocking key is the scale lever.
+    // Never all-pairs: the blocking key is the scale lever. Plan shape:
+    // the joined side broadcasts (it's a dimension-sized table) and the
+    // probe side is explicitly repartitioned on its unique id — a
+    // 25-value block key would otherwise put whole brands on single
+    // tasks (and AQE would coalesce the tiny shuffle right back). The
+    // pair explosion then runs map-side, spread over every core, with a
+    // length-difference prefilter (|len_a − len_b| ≤ dist always) ahead
+    // of the bounded levenshtein that early-exits at the threshold
+    // (O(k·n), not O(n²)).
     "q_fuzzy_match" -> QueryDef(
       (s, d) => {
         val p = t(s, d, "part").select("p_partkey", "p_brand", "p_name")
         val a = p.select(col("p_partkey").as("id_a"), col("p_brand"), col("p_name").as("name_a"))
         val b = p.select(col("p_partkey").as("id_b"), col("p_brand"), col("p_name").as("name_b"))
-        a.join(b, "p_brand")
+        a.repartition(32, col("id_a"))
+          .join(broadcast(b), "p_brand")
           .filter(col("id_a") < col("id_b"))
-          .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-          .filter(col("dist") <= 2)
+          .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
+          .filter(col("dist") =!= -1L)
           .select("id_a", "id_b", "dist")
       },
       Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
