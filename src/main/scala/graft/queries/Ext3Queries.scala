@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
 object Ext3Queries {
   import Tables.t
 
+  /** Q5 runs VERBATIM on both engines (spark.sql and DuckDB dialects
+    * agree on this statement), so the oracle IS the query text. Declared
+    * before `defs`, which captures it eagerly.
+    */
+  private val tpchQ5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     // cohort retention: first-event-day cohorts × active-day offsets.
     // Two hash aggregates + one user-key join (firsts ≪ events).
@@ -387,6 +406,186 @@ object Ext3Queries {
              |FROM events e JOIN customer c ON e.user_id = c.c_custkey
              |GROUP BY 1""".stripMargin),
       "salted equi-join equals the plain join"
+    ),
+
+    // streaming CDC materialization: foreachBatch MERGE maintaining the
+    // latest-state-per-user table, independent of micro-batch slicing
+    // (max-(ts,event_id) merge is associative+commutative). Oracle = the
+    // batch latest-row-per-key query.
+    "q_stream_upsert" -> QueryDef(
+      (s, d) =>
+        graft.streaming.EventStream.upsertRunOnce(s, s"$d/events.parquet"),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, round(value*100) AS v, event_id
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, ts, v,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM e)
+             |SELECT user_id, ts AS last_ts, v AS last_value FROM r WHERE rn = 1""".stripMargin),
+      "streaming foreachBatch MERGE to a latest-state table"
+    ),
+
+    // equi-depth (decile) histogram composed from the distributed global
+    // rank — bucket boundaries by POSITION, not value width; integer
+    // division on (rank-1)*B/n so bucketing is exact on both engines
+    "q_equidepth_histogram" -> QueryDef(
+      (s, d) => {
+        val ranked = graft.ops.GlobalRank.globalRank(
+          t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+          Seq(col("o_totalprice").asc, col("o_orderkey").asc),
+          "rnk",
+          parts = 16)
+        val tot = ranked.agg(count(lit(1)).as("__cnt"))
+        ranked
+          .crossJoin(broadcast(tot))
+          .groupBy(expr("CAST(((rnk - 1) * 10) div __cnt AS BIGINT)").as("decile"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"),
+            sum(col("o_totalprice").cast("decimal(28,4)")).cast("double").as("sum_price"))
+      },
+      Some("""WITH r AS (
+             |  SELECT o_totalprice,
+             |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+             |    COUNT(*) OVER () AS cnt
+             |  FROM orders)
+             |SELECT CAST(((rnk - 1) * 10) // cnt AS BIGINT) AS decile,
+             |  COUNT(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+             |FROM r GROUP BY 1""".stripMargin),
+      "position-based decile histogram over the global rank"
+    ),
+
+    // rolling 7-day distinct users per window-end day: windowed COUNT
+    // DISTINCT is not a window function on any engine — the scale shape
+    // is the bounded day-offset explode (×7 on the per-(user,day)
+    // DISTINCT frame, which is ≪ events), then one hash aggregate
+    "q_rolling_distinct" -> QueryDef(
+      (s, d) =>
+        t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct()
+          .select(col("user_id"), explode(sequence(col("day"), date_add(col("day"), 6))).as("wend"))
+          .groupBy(date_format(col("wend"), "yyyy-MM-dd").as("window_end"))
+          .agg(count_distinct(col("user_id")).as("n_users")),
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events),
+             |x AS (
+             |  SELECT user_id, day + CAST(g.i AS INTEGER) AS wend
+             |  FROM du, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) g)
+             |SELECT strftime(wend, '%Y-%m-%d') AS window_end,
+             |       COUNT(DISTINCT user_id) AS n_users
+             |FROM x GROUP BY 1""".stripMargin),
+      "7-day rolling distinct users via day-offset explode"
+    ),
+
+    // TPC-H Q5 shape: six-table join (fact → orders → customer with the
+    // supplier-nation co-location predicate, dims broadcast) — the join-
+    // order stress test; Catalyst plans the dim joins as broadcasts and
+    // the two fact joins as co-partitioned shuffles
+    "q_sql_tpch_q5" -> QueryDef(
+      (s, d) => {
+        Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+          .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+        s.sql(tpchQ5Sql)
+      },
+      Some(tpchQ5Sql),
+      "six-table regional revenue join (TPC-H Q5 shape)"
+    ),
+
+    // per-group z-score normalization (feature scaling): one stats
+    // aggregate per group (exact integer moments in cents), broadcast
+    // back, per-row arithmetic with the IDENTICAL double formula on both
+    // engines. The split-apply-combine normalize every feature pipeline
+    // runs — never a window over the whole fact table.
+    "q_zscore" -> QueryDef(
+      (s, d) => {
+        val base = t(s, d, "orders").select(
+          col("o_orderkey"),
+          col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("yi"))
+        val stats = base
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("yi").cast("decimal(38,0)")).cast("double").as("sy"),
+            sum((col("yi") * col("yi")).cast("decimal(38,0)")).cast("double").as("syy"))
+        base
+          .join(broadcast(stats), "o_orderpriority")
+          .select(
+            col("o_orderkey"),
+            col("o_orderpriority"),
+            ((col("yi").cast("double") - col("sy") / col("n")) /
+              (sqrt(col("n") * col("syy") - col("sy") * col("sy")) / col("n"))).as("zscore"))
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderkey, o_orderpriority,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS yi
+             |  FROM orders),
+             |st AS (
+             |  SELECT o_orderpriority, COUNT(*) AS n,
+             |    CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(yi * yi AS DECIMAL(38,0))) AS DOUBLE) AS syy
+             |  FROM b GROUP BY 1)
+             |SELECT o_orderkey, b.o_orderpriority,
+             |  (CAST(yi AS DOUBLE) - sy / n) / (sqrt(n * syy - sy * sy) / n) AS zscore
+             |FROM b JOIN st ON b.o_orderpriority = st.o_orderpriority""".stripMargin),
+      "per-group z-score via exact integer moments, broadcast stats"
+    ),
+
+    // exact interpolated percentiles (p50/p90) per group: rank positions
+    // by window, pick the two bracketing order statistics with
+    // conditional aggregation, interpolate with the IDENTICAL double
+    // formula on both engines (built-in percentile_cont impls differ in
+    // association order, so the formula is spelled out)
+    "q_percentile_cont" -> QueryDef(
+      (s, d) => {
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy("o_orderpriority")
+        t(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("k5", (col("n") - 1) * lit(0.5))
+          .withColumn("k9", (col("n") - 1) * lit(0.9))
+          .groupBy("o_orderpriority")
+          .agg(
+            min(when(col("rn") === floor(col("k5")) + 1, col("o_totalprice"))).as("l5"),
+            min(when(col("rn") === ceil(col("k5")) + 1, col("o_totalprice"))).as("h5"),
+            min(when(col("rn") === floor(col("k9")) + 1, col("o_totalprice"))).as("l9"),
+            min(when(col("rn") === ceil(col("k9")) + 1, col("o_totalprice"))).as("h9"),
+            min(col("k5")).as("__k5"),
+            min(col("k9")).as("__k9"))
+          .select(
+            col("o_orderpriority"),
+            (col("l5") + (col("__k5") - floor(col("__k5"))) * (col("h5") - col("l5"))).as("p50"),
+            (col("l9") + (col("__k9") - floor(col("__k9"))) * (col("h9") - col("l9"))).as("p90"))
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+             |  FROM orders),
+             |k AS (
+             |  SELECT *, (n - 1) * CAST(0.5 AS DOUBLE) AS k5,
+             |         (n - 1) * CAST(0.9 AS DOUBLE) AS k9 FROM b),
+             |a AS (
+             |  SELECT o_orderpriority,
+             |    min(CASE WHEN rn = floor(k5) + 1 THEN o_totalprice END) AS l5,
+             |    min(CASE WHEN rn = ceil(k5) + 1 THEN o_totalprice END) AS h5,
+             |    min(CASE WHEN rn = floor(k9) + 1 THEN o_totalprice END) AS l9,
+             |    min(CASE WHEN rn = ceil(k9) + 1 THEN o_totalprice END) AS h9,
+             |    min(k5) AS k5, min(k9) AS k9
+             |  FROM k GROUP BY 1)
+             |SELECT o_orderpriority,
+             |  l5 + (k5 - floor(k5)) * (h5 - l5) AS p50,
+             |  l9 + (k9 - floor(k9)) * (h9 - l9) AS p90
+             |FROM a""".stripMargin),
+      "exact interpolated p50/p90 via bracketing order statistics"
     )
   )
 }

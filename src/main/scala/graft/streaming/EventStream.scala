@@ -367,6 +367,53 @@ object EventStream {
     drainToTable(spark, joined, "ivj", "append", srcPath)
   }
 
+  /** Streaming CDC materialization: drain the event stream through a
+    * `foreachBatch` MERGE that maintains a latest-state-per-user table via
+    * [[graft.ops.Cdc.upsert]] — the streaming generalization of the
+    * reference's WRITE_APPEND re-invocation (`data_load.py:44-50`): keys
+    * re-delivered in later batches overwrite by version instead of
+    * duplicating. The version is the (ts, event_id) struct, so ties are
+    * impossible and the result is independent of micro-batch slicing
+    * (max-version merge is associative and commutative). Each merged
+    * generation is eagerly checkpointed and the superseded one's blocks
+    * released — the same bounded-footprint discipline as the CC loop.
+    * Value is pre-scaled to round(value·100) (order-free integer double).
+    */
+  def upsertRunOnce(spark: SparkSession, srcPath: String): DataFrame = {
+    val in = streamEvents(spark, srcPath)
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        col("ts"),
+        round(col("value") * 100).as("value"),
+        col("event_id").cast("long").as("event_id"))
+    var target: DataFrame = null
+    val q = in.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.withColumn("__ver", struct(col("ts"), col("event_id")))
+        val incoming = graft.ops.Cdc.upsert(b, b.limit(0), "user_id", "__ver")
+        target =
+          if (target == null) incoming.localCheckpoint(true)
+          else {
+            val merged = graft.ops.Cdc.upsert(target, incoming, "user_id", "__ver")
+              .localCheckpoint(true)
+            graft.ops.Caching.release(target)
+            merged
+          }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(120000)) {
+      q.stop()
+      throw new IllegalStateException(s"stream upsert drain of $srcPath did not finish within 120 s")
+    }
+    require(target != null, s"stream upsert drain of $srcPath produced no batches")
+    target.select(
+      col("user_id"),
+      col("ts").as("last_ts"),
+      col("value").as("last_value"))
+  }
+
   private def drainToTable(
       spark: SparkSession,
       out: DataFrame,

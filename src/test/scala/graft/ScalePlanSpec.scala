@@ -15,6 +15,31 @@ import java.nio.file.Files
 class ScalePlanSpec extends SparkSpec {
   import spark.implicits._
 
+  test("fuzzy match broadcasts the block join (no shuffle join on the 25-value key)") {
+    val plan = graft.SparkEntry
+      .queries("q_fuzzy_match")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    // the low-cardinality blocking key must NOT be a shuffle join — whole
+    // brands would serialize onto single tasks (measured 8.4 s vs 1.3 s)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("globalRank plans a partitioned window, never the single-partition global sort") {
+    val df = graft.ops.GlobalRank.globalRank(
+      graft.queries.Tables.t(spark, sf("sf0.001"), "orders").select("o_orderkey", "o_totalprice"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      "rnk",
+      parts = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    // local ranks run under a partition spec (__pid) — a bare global
+    // row_number would show an empty windowspecdefinition (one task for
+    // the world)
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+    // and the layout comes from range partitioning of the data
+    assert(plan.contains("rangepartitioning("), plan)
+  }
+
   test("partition pruning: a type-partitioned layout scans only the selected partition") {
     val dir = Files.createTempDirectory("graft_part_").toFile.getAbsolutePath
     graft.queries.Tables.t(spark, sf("sf0.001"), "events")
