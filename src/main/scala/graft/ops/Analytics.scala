@@ -42,14 +42,16 @@ object Analytics {
     * greedy earliest-advance fold over the time-ordered stream, which is
     * what the nested-min SQL formulation computes).
     *
-    * ONE shuffle: events group to their user, each user's (ts, id, type)
-    * list is sorted and folded to the deepest stage reached (an `aggregate`
-    * HOF — the fold state is (stage, stage_time), advancing on a type match
-    * with ts > stage_time, so simultaneous-timestamp events cannot
-    * leapfrog). The per-exact-stage counts (k+1 rows) then turn into
-    * cumulative reached-counts with a tiny non-equi join — no second pass
-    * over the data, no per-stage actions. Only stage-typed events are
-    * shuffled (the IN filter prunes the rest at the scan).
+    * ONE shuffle, O(1) state: only stage-typed events shuffle to their
+    * user (the IN filter prunes the rest at the scan), the partition is
+    * secondary-sorted on (user, ts, id), and a linear scan folds each
+    * user's stream to the deepest stage reached — the same bounded-memory
+    * shape as the batch sessionizer, so a hot user with millions of
+    * events streams through instead of materializing a per-user list.
+    * Simultaneous-timestamp events cannot leapfrog (advance needs
+    * ts strictly greater than the current stage time). The per-exact-stage
+    * counts (k+1 rows) then turn into cumulative reached-counts with a
+    * tiny non-equi join — no second pass over the data.
     */
   def funnelStages(
       events: DataFrame,
@@ -61,27 +63,45 @@ object Analytics {
   ): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val k = stages.size
-    val stageArr = array(stages.map(lit): _*)
+    val stageArr = stages.toArray
+    val spark0 = events.sparkSession
+    import spark0.implicits._
     val perUser = events
       .filter(col(typeCol).isin(stages: _*))
-      .groupBy(col(userCol))
-      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"), col(idCol).as("id"), col(typeCol).as("et")))).as("seq"))
       .select(
-        aggregate(
-          col("seq"),
-          struct(lit(0).as("stage"), lit("1900-01-01").cast("timestamp").as("t")),
-          (acc, e) =>
-            when(
-              acc("stage") < k &&
-                e("et") === element_at(stageArr, acc("stage") + 1) &&
-                e("ts") > acc("t"),
-              struct((acc("stage") + 1).as("stage"), e("ts").as("t"))
-            ).otherwise(acc),
-          a => a("stage")
-        ).as("reached"))
+        col(userCol).cast("long").as("u"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("id"),
+        col(typeCol).as("et"))
+      .repartition(col("u"))
+      .sortWithinPartitions("u", "ts_us", "id")
+      .as[(Long, Long, Long, String)]
+      .mapPartitions { it =>
+        var cur = 0L
+        var has = false
+        var stage = 0
+        var stageTs = Long.MinValue
+        val main = it.flatMap { case (u, ts, _, et) =>
+          var out: Option[(Long, Int)] = None
+          if (!has) { has = true; cur = u }
+          else if (u != cur) {
+            out = Some((cur, stage)); cur = u; stage = 0; stageTs = Long.MinValue
+          }
+          if (stage < k && et == stageArr(stage) && ts > stageTs) {
+            stage += 1; stageTs = ts
+          }
+          out
+        }
+        // ++ is lazy: the trailing emitter reads the fold state only after
+        // the partition scan is exhausted
+        main ++ new Iterator[(Long, Int)] {
+          private var done = false
+          def hasNext: Boolean = has && !done
+          def next(): (Long, Int) = { done = true; (cur, stage) }
+        }
+      }
+      .toDF("user", "reached")
     val exact = perUser.groupBy("reached").agg(count(lit(1)).as("cnt"))
-    val spark = events.sparkSession
-    import spark.implicits._
     val stageDf = stages.zipWithIndex
       .map { case (name, i) => (i + 1L, name) }
       .toDF("stage", "stage_name")
