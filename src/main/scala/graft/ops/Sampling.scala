@@ -84,6 +84,49 @@ object Sampling {
     df.filter(hashBucket(key, salt, 100) < rate)
   }
 
+  /** Exact-count mixture rebalancing: downsample each stratum so the
+    * output hits TARGET proportions exactly — "make the mix 40% en /
+    * 15% each zh·es·de·fr" — keeping as many rows as the limiting
+    * stratum allows. The output size N = min over strata of
+    * ⌊count·100/share⌋ and each stratum keeps ⌊N·share/100⌋ rows chosen
+    * in stable hash order, so unlike [[stratifiedKeep]] (rate-based,
+    * proportions only in expectation) the realized mix is exact and
+    * deterministic. All arithmetic is integer division, replayable by
+    * any engine. Plan: two tiny broadcast aggregates (per-stratum counts
+    * → limiting N → per-stratum quotas) + ONE shuffle on the stratum for
+    * the in-stratum ranking — the irreducible cost of an exact
+    * per-stratum count. Strata absent from `sharePct` are dropped.
+    */
+  def rebalanceExact(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      salt: String,
+      sharePct: Map[String, Int]
+  ): DataFrame = {
+    require(sharePct.values.sum == 100, s"target shares must sum to 100: $sharePct")
+    require(sharePct.values.forall(_ > 0), s"target shares must be positive: $sharePct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = sharePct.toSeq.sortBy(_._1).toDF(strataCol, "__share")
+    val inMix = df.filter(col(strataCol).isin(sharePct.keys.toSeq: _*))
+    val withShare = inMix
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .join(broadcast(shares), strataCol)
+    val n = withShare.agg(min(expr("(__cnt * 100) div __share")).as("__n"))
+    val quotas = withShare
+      .crossJoin(broadcast(n))
+      .select(col(strataCol), expr("(__n * __share) div 100").as("__k"))
+    val h = md5(concat_ws(":", lit(salt), col(keyCol).cast("string")))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h.asc, col(keyCol).asc)
+    inMix
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(quotas), strataCol)
+      .filter(col("__rn") <= col("__k"))
+      .drop("__rn", "__k")
+  }
+
   /** Per-group quota: at most k rows per group, picked by stable hash
     * order (md5 hex of the salted key, key as tie-break) — a deterministic
     * "random k per domain/source", the standard cap against one domain

@@ -481,6 +481,31 @@ object Ext3Queries {
       "7-day rolling distinct users via day-offset explode"
     ),
 
+    // exact-count mixture rebalancing to target language proportions —
+    // realized mix is exact (integer-division quotas over the limiting
+    // stratum), not just in-expectation like rate-based sampling
+    "q_mixture_rebalance" -> QueryDef(
+      (s, d) =>
+        graft.ops.Sampling
+          .rebalanceExact(
+            t(s, d, "documents"), "lang", "doc_id", "mix",
+            Map("en" -> 40, "zh" -> 15, "es" -> 15, "de" -> 15, "fr" -> 15))
+          .select("doc_id", "lang"),
+      Some("""WITH c AS (
+             |  SELECT lang, COUNT(*) AS cnt FROM documents
+             |  WHERE lang IN ('en','zh','es','de','fr') GROUP BY 1),
+             |sh AS (SELECT * FROM (VALUES ('en', 40), ('zh', 15), ('es', 15), ('de', 15), ('fr', 15)) AS t(lang, share)),
+             |n AS (SELECT min((cnt * 100) // share) AS n FROM c JOIN sh USING (lang)),
+             |k AS (SELECT lang, (n.n * share) // 100 AS k FROM sh, n),
+             |r AS (
+             |  SELECT doc_id, lang,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents WHERE lang IN ('en','zh','es','de','fr'))
+             |SELECT r.doc_id, r.lang FROM r JOIN k USING (lang) WHERE rn <= k""".stripMargin),
+      "exact-proportion training-mix rebalancing"
+    ),
+
     // TPC-H Q5 shape: six-table join (fact → orders → customer with the
     // supplier-nation co-location predicate, dims broadcast) — the join-
     // order stress test; Catalyst plans the dim joins as broadcasts and

@@ -62,6 +62,23 @@ class SamplingSpec extends SparkSpec {
     assert(strat.count { case (_, l) => l != "en" && l != "de" } == unmappedAll)
   }
 
+  test("rebalanceExact hits target proportions exactly, deterministically") {
+    val shares = Map("en" -> 40, "zh" -> 15, "es" -> 15, "de" -> 15, "fr" -> 15)
+    val out = Sampling.rebalanceExact(docs, "lang", "doc_id", "mix", shares)
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inCounts = docs.filter(col("lang").isin(shares.keys.toSeq: _*))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = shares.map { case (g, s) => inCounts(g) * 100 / s }.min
+    // every stratum holds exactly its integer quota of the limiting size
+    shares.foreach { case (g, s) => assert(counts(g) == n * s / 100, s"$g: $counts") }
+    // selection is a stable function of the salt+key, not partitioning
+    val again = Sampling.rebalanceExact(docs.repartition(7), "lang", "doc_id", "mix", shares)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("groupCap keeps at most k per group and is deterministic") {
     val capped = Sampling.groupCap(docs, "source", "doc_id", 3, "cap")
     val sizes = capped.groupBy("source").count().as[(String, Long)].collect()
