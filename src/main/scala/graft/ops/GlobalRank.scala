@@ -21,11 +21,45 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
-  /** Append `rankCol` = 1-based global rank under `orderCols`. */
+  /** Append `rankCol` = 1-based global rank under `orderCols`.
+    *
+    * The pid-stamped range layout feeds TWO consumers (local ranks and
+    * the offset counts). They must see the SAME partition bounds — but a
+    * re-executed range exchange re-samples its child, and at cluster
+    * scale a nondeterministic upstream row order could then shift a
+    * boundary between the two subtrees, corrupting the offsets. So the
+    * layout is pinned with one eager localCheckpoint (both consumers
+    * read the same computed blocks), the result is materialized, and the
+    * layout's blocks are released — the same bounded-footprint
+    * discipline as the dedup operators.
+    */
   def globalRank(df: DataFrame, orderCols: Seq[Column], rankCol: String, parts: Int): DataFrame = {
     val ranged = df
       .repartitionByRange(parts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val mat = Caching.materializeAndRelease(rankOver(ranged, orderCols, rankCol))
+    Caching.release(ranged)
+    mat
+  }
+
+  /** The rank plan over an already-laid-out pid-stamped frame. Exposed
+    * lazily (no checkpoint pinning) for plan inspection in specs; callers
+    * other than tests go through [[globalRank]], which guarantees both
+    * consumers of the layout see the same bounds.
+    */
+  private[graft] def globalRankLazy(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      rankCol: String,
+      parts: Int
+  ): DataFrame =
+    rankOver(
+      df.repartitionByRange(parts, orderCols: _*).withColumn("__pid", spark_partition_id()),
+      orderCols,
+      rankCol)
+
+  private def rankOver(ranged: DataFrame, orderCols: Seq[Column], rankCol: String): DataFrame = {
     // |parts| rows: exclusive prefix sum of partition sizes
     val offsets = ranged
       .groupBy(col("__pid"))

@@ -26,7 +26,7 @@ class ScalePlanSpec extends SparkSpec {
   }
 
   test("globalRank plans a partitioned window, never the single-partition global sort") {
-    val df = graft.ops.GlobalRank.globalRank(
+    val df = graft.ops.GlobalRank.globalRankLazy(
       graft.queries.Tables.t(spark, sf("sf0.001"), "orders").select("o_orderkey", "o_totalprice"),
       Seq(col("o_totalprice").desc, col("o_orderkey").asc),
       "rnk",
