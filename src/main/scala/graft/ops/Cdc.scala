@@ -45,8 +45,11 @@ object Cdc {
     * warehouse MERGE contract: an idempotent re-run of the same batch
     * changes nothing). One shuffle on the key: union the two sides with a
     * source-priority column and keep the first row per key under
-    * (version DESC, priority DESC). Against a base bucketed on the key this
-    * is the standard shuffle-free compaction.
+    * (version DESC, priority DESC). A same-side same-version duplicate (a
+    * dirty input) is resolved by a final whole-row-hash tie-break, so the
+    * winner is a pure function of the data rather than shuffle order.
+    * Against a base bucketed on the key this is the standard shuffle-free
+    * compaction.
     */
   def upsert(
       base: DataFrame,
@@ -57,7 +60,9 @@ object Cdc {
     require(base.columns.sameElements(updates.columns),
       "upsert requires identically-shaped sides")
     val tagged = base.withColumn("__pri", lit(0)).unionByName(updates.withColumn("__pri", lit(1)))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc, col("__pri").desc)
+    val rowHash = xxhash64(base.columns.map(c => col(s"`$c`")): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col("__pri").desc, rowHash.desc)
     tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

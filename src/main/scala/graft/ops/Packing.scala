@@ -46,14 +46,16 @@ object Packing {
   ): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val bounds = df.agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx")).head()
+    // totalize over any integral input type: the getLong reads below and
+    // the 0L empty-schema branch assume BIGINT
+    val df0 = df.select(col(idCol).cast("long").as(idCol), col(weightCol).cast("long").as(weightCol))
+    val bounds = df0.agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx")).head()
     if (bounds.isNullAt(0)) return df.sparkSession.emptyDataFrame
       .select(lit(0L).as(idCol), lit(0L).as(weightCol), lit(0L).as("cum_tokens"), lit(0L).as("shard_id"))
       .limit(0)
     val mn = bounds.getLong(0)
     val span = (bounds.getLong(1) - mn) / buckets + 1
-    val bucketed = df
-      .select(col(idCol), col(weightCol))
+    val bucketed = df0
       .withColumn("__bkt", expr(s"(`$idCol` - ${mn}L) div ${span}L"))
     // per-bucket totals -> exclusive running offsets (<= `buckets` rows on
     // the driver), broadcast back

@@ -110,10 +110,17 @@ object Sampling {
     import spark.implicits._
     val shares = sharePct.toSeq.sortBy(_._1).toDF(strataCol, "__share")
     val inMix = df.filter(col(strataCol).isin(sharePct.keys.toSeq: _*))
-    val withShare = inMix
-      .groupBy(col(strataCol))
-      .agg(count(lit(1)).as("__cnt"))
-      .join(broadcast(shares), strataCol)
+    // LEFT join from the share table so a stratum named in the target but
+    // ABSENT from the data participates with count 0 — making N = 0 (no
+    // mix can contain a share of something that does not exist), the
+    // honest exact answer, instead of silently renormalizing over the
+    // strata that happen to be present
+    val withShare = broadcast(shares)
+      .join(
+        inMix.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt")),
+        Seq(strataCol),
+        "left")
+      .withColumn("__cnt", coalesce(col("__cnt"), lit(0L)))
     val n = withShare.agg(min(expr("(__cnt * 100) div __share")).as("__n"))
     val quotas = withShare
       .crossJoin(broadcast(n))

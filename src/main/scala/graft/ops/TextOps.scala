@@ -115,7 +115,7 @@ object TextOps {
     // fold — persist it once instead of scanning + exploding twice
     val tok = df
       .select(col(idCol).as("sid"), explode(tokens(normalize(col(textCol)))).as("t"))
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docFreq = tok.distinct()
       .groupBy("t").agg(count(lit(1)).as("df_docs"))
     val out = tok.join(docFreq, "t")
@@ -157,7 +157,7 @@ object TextOps {
     val tf = df
       .select(col(idCol).as("sid"), explode(tokens(normalize(col(textCol)))).as("t"))
       .groupBy("sid", "t").agg(count(lit(1)).as("tf"))
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = tf.groupBy("t").agg(count(lit(1)).as("df_docs"))
       .filter(col("df_docs") <= maxDf)
       .select("t")

@@ -186,7 +186,9 @@ object Ext3Queries {
         val p = t(s, d, "part").select("p_partkey", "p_brand", "p_name")
         val a = p.select(col("p_partkey").as("id_a"), col("p_brand"), col("p_name").as("name_a"))
         val b = p.select(col("p_partkey").as("id_b"), col("p_brand"), col("p_name").as("name_b"))
-        a.repartition(32, col("id_a"))
+        // parallelism from the session, not a constant: pinning a number
+        // here would cap the probe side on a real cluster
+        a.repartition(s.sessionState.conf.numShufflePartitions, col("id_a"))
           .join(broadcast(b), "p_brand")
           .filter(col("id_a") < col("id_b"))
           .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
@@ -495,7 +497,7 @@ object Ext3Queries {
              |  SELECT lang, COUNT(*) AS cnt FROM documents
              |  WHERE lang IN ('en','zh','es','de','fr') GROUP BY 1),
              |sh AS (SELECT * FROM (VALUES ('en', 40), ('zh', 15), ('es', 15), ('de', 15), ('fr', 15)) AS t(lang, share)),
-             |n AS (SELECT min((cnt * 100) // share) AS n FROM c JOIN sh USING (lang)),
+             |n AS (SELECT min((coalesce(cnt, 0) * 100) // share) AS n FROM sh LEFT JOIN c USING (lang)),
              |k AS (SELECT lang, (n.n * share) // 100 AS k FROM sh, n),
              |r AS (
              |  SELECT doc_id, lang,

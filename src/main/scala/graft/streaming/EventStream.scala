@@ -361,7 +361,7 @@ object EventStream {
       .join(
         clicks,
         expr(s"""p_user = c_user
-                |AND c_ts >= p_ts - INTERVAL ${lookbackMs / 1000} SECOND
+                |AND c_ts >= p_ts - INTERVAL $lookbackMs MILLISECOND
                 |AND c_ts <= p_ts""".stripMargin))
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
     drainToTable(spark, joined, "ivj", "append", srcPath)
