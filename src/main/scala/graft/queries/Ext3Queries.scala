@@ -274,11 +274,11 @@ object Ext3Queries {
              |  FROM lineitem),
              |m AS (
              |  SELECT l_returnflag, COUNT(*) AS n,
-             |    CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-             |    CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-             |    CAST(SUM(CAST(xi * yi AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-             |    CAST(SUM(CAST(xi * xi AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-             |    CAST(SUM(CAST(yi * yi AS DECIMAL(38,0))) AS DOUBLE) AS syy
+             |    CAST(CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx,
+             |    CAST(CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy,
+             |    CAST(CAST(SUM(CAST(xi * yi AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxy,
+             |    CAST(CAST(SUM(CAST(xi * xi AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+             |    CAST(CAST(SUM(CAST(yi * yi AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS syy
              |  FROM b GROUP BY 1)
              |SELECT l_returnflag, n,
              |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
@@ -483,6 +483,48 @@ object Ext3Queries {
       "7-day rolling distinct users via day-offset explode"
     ),
 
+    // time-weighted average value per user: each event's value holds
+    // until the next event (lead window), weights are exact µs integers,
+    // value is scaled to integer cents — so both moment sums are exact
+    // decimals (order-free) and the single final division is the same
+    // IEEE op on both engines. One window + one aggregate on the user.
+    "q_time_weighted_avg" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        t(s, d, "events")
+          .select(
+            col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("event_id"),
+            round(col("value") * 100).cast("long").as("v"))
+          .withColumn("w_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+          .filter(col("w_us").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            sum((col("v") * col("w_us")).cast("decimal(38,0)")).cast("double").as("svw"),
+            sum(col("w_us").cast("decimal(38,0)")).cast("double").as("sw"))
+          .filter(col("sw") > 0)
+          .select(col("user_id"), (col("svw") / col("sw")).as("twa"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+             |         CAST(round(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |l AS (
+             |  SELECT user_id, v,
+             |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS w_us
+             |  FROM e),
+             |a AS (
+             |  SELECT user_id,
+             |    CAST(CAST(SUM(CAST(v * w_us AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS svw,
+             |    CAST(CAST(SUM(CAST(w_us AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sw
+             |  FROM l WHERE w_us IS NOT NULL GROUP BY 1)
+             |SELECT user_id, svw / sw AS twa FROM a WHERE sw > 0""".stripMargin),
+      "time-weighted average via exact integer moments"
+    ),
+
     // exact-count mixture rebalancing to target language proportions —
     // realized mix is exact (integer-division quotas over the limiting
     // stratum), not just in-expectation like rate-based sampling
@@ -553,8 +595,8 @@ object Ext3Queries {
              |  FROM orders),
              |st AS (
              |  SELECT o_orderpriority, COUNT(*) AS n,
-             |    CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-             |    CAST(SUM(CAST(yi * yi AS DECIMAL(38,0))) AS DOUBLE) AS syy
+             |    CAST(CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy,
+             |    CAST(CAST(SUM(CAST(yi * yi AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS syy
              |  FROM b GROUP BY 1)
              |SELECT o_orderkey, b.o_orderpriority,
              |  (CAST(yi AS DOUBLE) - sy / n) / (sqrt(n * syy - sy * sy) / n) AS zscore
