@@ -136,6 +136,73 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Robust outlier detection via the median absolute deviation: per
+    * group, flag rows whose |v − median| exceeds k × MAD. Both medians are
+    * exact discrete order statistics over integer values (rank ceil(n/2)
+    * under a total order with `id` tie-breaks), so the result is
+    * deterministic — no FP quantile interpolation. Cost at scale: two
+    * window passes over the group key (the irreducible price of an exact
+    * median) plus two broadcast joins of the |groups|-row statistics —
+    * the data itself shuffles on the group key only.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      id: Column,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val base = df.select(col(groupCol), id.as("id"), value.cast("long").as("v"))
+    def discreteMedian(in: DataFrame, target: String, out: String): DataFrame = {
+      val w = Window.partitionBy(groupCol).orderBy(col(target), col("id"))
+      val wn = Window.partitionBy(groupCol)
+      in.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .groupBy(groupCol)
+        .agg(max(when(col("__rn") === greatest(lit(1L), ceil(lit(0.5) * col("__n"))),
+          col(target))).as(out))
+    }
+    val dev = base
+      .join(broadcast(discreteMedian(base, "v", "med")), Seq(groupCol))
+      .withColumn("dev", abs(col("v") - col("med")))
+    dev
+      .join(broadcast(discreteMedian(dev, "dev", "mad")), Seq(groupCol))
+      .filter(col("dev") > lit(k.toLong) * col("mad"))
+      .select(col(groupCol), col("id"), col("v"), col("med"), col("mad"))
+  }
+
+  /** Last-touch attribution: for every conversion event, the most recent
+    * PRECEDING event of an attributable touch type (same user, strictly
+    * earlier in the (ts, id) total order; null when the user converted
+    * untouched). One window pass — the `last(..., ignoreNulls)` pair runs
+    * over a single (user, time) sort, the same shuffle a sessionizer
+    * needs — then a post-window filter to conversions. The filter must
+    * come AFTER the window: touches are window input, not output rows.
+    */
+  def lastTouch(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      touchTypes: Seq[String],
+      convType: String
+  ): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      s"touch types must be non-empty and exclude the conversion type")
+    val w = Window
+      .partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = col(typeCol).isin(touchTypes: _*)
+    events
+      .withColumn("touch_id", last(when(touch, col(idCol)), ignoreNulls = true).over(w))
+      .withColumn("touch_type", last(when(touch, col(typeCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(userCol), col(idCol), col("touch_id"), col("touch_type"))
+  }
+
   /** Data-quality profile: per column, null count and distinct count, in
     * long format. ONE scan: all per-column aggregates run in a single
     * hash-aggregate (count-distinct over k columns costs one k-way expand —

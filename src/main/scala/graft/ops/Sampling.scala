@@ -134,6 +134,25 @@ object Sampling {
       .drop("__rn", "__k")
   }
 
+  /** Weight-proportional deterministic Bernoulli: keep a row with
+    * probability `min(weight, maxWeight) / maxWeight`, decided by the
+    * exact integer comparison `u32 * maxWeight < w * 2^32` over the same
+    * 32-bit md5 uniform as [[bernoulliKeep]] — importance sampling for a
+    * training mix (e.g. length- or quality-proportional document
+    * selection) with zero FP arithmetic, so the kept set is bitwise
+    * identical in any engine with md5. Per-row scan filter, zero shuffle.
+    * maxWeight ≤ 2^30 keeps both products inside signed-64 range (ANSI
+    * overflow would throw, not wrap).
+    */
+  def weightedKeep(df: DataFrame, key: Column, salt: String, weight: Column, maxWeight: Long): DataFrame = {
+    require(maxWeight > 0 && maxWeight <= (1L << 30),
+      s"maxWeight must be in [1, 2^30]: $maxWeight")
+    val u32 = conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") // uniform on [0, 2^32)
+    val w = least(greatest(weight.cast("long"), lit(0L)), lit(maxWeight))
+    df.filter(u32 * maxWeight < w * 4294967296L)
+  }
+
   /** Per-group quota: at most k rows per group, picked by stable hash
     * order (md5 hex of the salted key, key as tie-break) — a deterministic
     * "random k per domain/source", the standard cap against one domain

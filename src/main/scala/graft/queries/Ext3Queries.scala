@@ -655,6 +655,157 @@ object Ext3Queries {
              |  l9 + (k9 - floor(k9)) * (h9 - l9) AS p90
              |FROM a""".stripMargin),
       "exact interpolated p50/p90 via bracketing order statistics"
+    ),
+
+    // importance sampling: keep each document with probability
+    // n_chars/16384 via an exact integer comparison against a 32-bit md5
+    // uniform — zero FP, zero shuffle, the kept set replays bitwise in
+    // any engine with md5
+    "q_weighted_sample" -> QueryDef(
+      (s, d) =>
+        graft.ops.Sampling
+          .weightedKeep(t(s, d, "documents"), col("doc_id"), "graft-ws", col("n_chars"), 16384L)
+          .select(col("doc_id"), col("n_chars")),
+      Some("""SELECT doc_id, n_chars FROM documents
+             |WHERE CAST(('0x' || substr(md5('graft-ws:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |        * 16384
+             |      < least(greatest(n_chars, 0), 16384) * 4294967296""".stripMargin),
+      "length-proportional deterministic document sampling"
+    ),
+
+    // robust outliers: |v - median| > 3 × MAD per event type, both
+    // medians exact discrete order statistics on integer cents — no FP
+    // quantile interpolation anywhere
+    "q_mad_outliers" -> QueryDef(
+      (s, d) =>
+        graft.ops.Analytics.madOutliers(
+          t(s, d, "events").select(
+            col("event_type"),
+            col("event_id"),
+            round(col("value") * 100).cast("long").as("vc")),
+          "event_type", col("vc"), col("event_id"), k = 3),
+      Some("""WITH e AS (
+             |  SELECT event_type, event_id AS id, CAST(round(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |m AS (
+             |  SELECT event_type,
+             |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN v END) AS med
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v, id) AS rn,
+             |               COUNT(*) OVER (PARTITION BY event_type) AS n FROM e)
+             |  GROUP BY 1),
+             |dv AS (
+             |  SELECT e.event_type, id, v, med, abs(v - med) AS dev
+             |  FROM e JOIN m USING (event_type)),
+             |m2 AS (
+             |  SELECT event_type,
+             |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN dev END) AS mad
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev, id) AS rn,
+             |               COUNT(*) OVER (PARTITION BY event_type) AS n FROM dv)
+             |  GROUP BY 1)
+             |SELECT dv.event_type, id, v, med, mad
+             |FROM dv JOIN m2 USING (event_type) WHERE dev > 3 * mad""".stripMargin),
+      "median-absolute-deviation outliers on exact integer medians"
+    ),
+
+    // last-touch attribution: each purchase credits the most recent
+    // strictly-preceding click/view of the same user (null if untouched).
+    // One (user, time) window sort; the conversion filter applies AFTER
+    // the window so touches stay in the frame
+    "q_attribution" -> QueryDef(
+      (s, d) =>
+        graft.ops.Analytics.lastTouch(
+          t(s, d, "events"), "user_id", "ts", "event_id", "event_type",
+          touchTypes = Seq("click", "view"), convType = "purchase"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events)
+             |SELECT user_id, event_id, touch_id, touch_type FROM (
+             |  SELECT user_id, event_id, event_type,
+             |    last_value(CASE WHEN event_type IN ('click','view') THEN event_id END IGNORE NULLS)
+             |      OVER w AS touch_id,
+             |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+             |      OVER w AS touch_type
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |WHERE event_type = 'purchase'""".stripMargin),
+      "last-touch conversion attribution via ignore-nulls window"
+    ),
+
+    // per-type OLS slope of daily revenue vs day index: the daily rollup
+    // is an exact integer table (cents × small day ordinals), so the
+    // moment sums are exact decimals and the closed-form slope is the
+    // same IEEE expression on both engines. n ≥ 2 distinct days ⇒ the
+    // denominator is a positive integer — no 0/0 branch
+    "q_trend_slope" -> QueryDef(
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .select(
+            col("event_type"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("x"),
+            round(col("value") * 100).cast("long").as("vc"))
+          .groupBy("event_type", "x")
+          .agg(sum(col("vc").cast("decimal(38,0)")).cast("long").as("y"))
+        daily
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+            sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+            sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"))
+          .filter(col("n") >= 2)
+          .select(
+            col("event_type"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    date_diff('day', DATE '2024-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS x,
+             |    CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |m AS (
+             |  SELECT event_type, COUNT(*) AS n,
+             |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx,
+             |    CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy,
+             |    CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxy,
+             |    CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxx
+             |  FROM daily GROUP BY 1)
+             |SELECT event_type, n,
+             |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+             |FROM m WHERE n >= 2""".stripMargin),
+      "per-group OLS trend slope via exact integer moments"
+    ),
+
+    // incremental dedup — the production shape of exact dedup: a new
+    // batch (hash buckets 80+) survives only if its content hash is (a)
+    // absent from the prior corpus (anti join against the existing
+    // fingerprint set, which at 100 TB is a parquet table of hashes, not
+    // the corpus) and (b) the min-id representative within the batch
+    "q_dedup_incremental" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
+          .withColumn("is_new",
+            graft.ops.Sampling.hashBucket(col("doc_id"), "inc", 100) >= 80)
+        docs.filter(col("is_new"))
+          .join(docs.filter(!col("is_new")).select("h").distinct(), Seq("h"), "left_anti")
+          .groupBy("h")
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, md5(coalesce(text, '')) AS h,
+             |    CAST(('0x' || substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |      % 100 >= 80 AS is_new
+             |  FROM documents)
+             |SELECT min(doc_id) AS doc_id FROM t
+             |WHERE is_new
+             |  AND h NOT IN (SELECT h FROM t WHERE NOT is_new)
+             |GROUP BY h""".stripMargin),
+      "anti-join incremental dedup of a new batch against a prior corpus"
     )
   )
 }

@@ -85,4 +85,44 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out == Map("a" -> ((1L, 1L)), "b" -> ((1L, 2L))))
   }
+
+  test("madOutliers flags |v-med| > k*MAD with exact discrete medians") {
+    val df = Seq(
+      ("g", 1L, 10L), ("g", 2L, 10L), ("g", 3L, 10L), ("g", 4L, 10L), ("g", 5L, 100L),
+      ("h", 10L, 1L), ("h", 11L, 2L), ("h", 12L, 3L), ("h", 13L, 4L),
+      ("h", 14L, 5L), ("h", 15L, 6L), ("h", 16L, 7L)
+    ).toDF("grp", "event_id", "v")
+    val out = Analytics.madOutliers(df, "grp", col("v"), col("event_id"), k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // g: median = 10 (rank 3 of 5), devs {0,0,0,0,90} → MAD = 0, so only
+    // the 100 row (dev 90 > 3·0) flags; h: median = 4, MAD = 2, and the
+    // max dev 3 ≤ 6 — a symmetric spread produces no outliers
+    assert(out == Set(("g", 5L, 100L, 10L, 0L)))
+  }
+
+  test("lastTouch credits the most recent strictly-preceding touch, null when untouched") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:01"), "click"),
+      (1L, 11L, ts("2024-01-01 00:00:02"), "view"),
+      (1L, 12L, ts("2024-01-01 00:00:03"), "purchase"), // → view 11
+      (1L, 13L, ts("2024-01-01 00:00:04"), "purchase"), // later buy: same touch
+      (2L, 20L, ts("2024-01-01 00:00:01"), "purchase"), // untouched → null
+      (3L, 30L, ts("2024-01-01 00:00:05"), "click"),    // equal ts: smaller id
+      (3L, 31L, ts("2024-01-01 00:00:05"), "purchase")  //   precedes → click 30
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics
+      .lastTouch(events, "user_id", "ts", "event_id", "event_type",
+        Seq("click", "view"), "purchase")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.getString(3))))
+      .toSet
+    assert(out == Set(
+      (1L, 12L, Some(11L), Some("view")),
+      (1L, 13L, Some(11L), Some("view")),
+      (2L, 20L, None, None),
+      (3L, 31L, Some(30L), Some("click"))))
+  }
 }

@@ -87,4 +87,19 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again == capped.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("weightedKeep: exact at the extremes, monotone in weight, rate ≈ w/max") {
+    val ids = spark.range(2000).toDF("id")
+    def kept(w: Long): Set[Long] =
+      Sampling.weightedKeep(ids, col("id"), "ws", lit(w), 1024L)
+        .select("id").as[Long].collect().toSet
+    assert(kept(0L).isEmpty)                 // zero weight: never kept
+    assert(kept(1024L).size == 2000)         // full weight: always kept
+    assert(kept(5000L).size == 2000)         // above-max weights cap, don't throw
+    val k100 = kept(100L)
+    val k500 = kept(500L)
+    assert(k100.subsetOf(k500))              // for a fixed key, more weight ⊇
+    assert(math.abs(k100.size - 2000 * 100 / 1024) < 60, s"${k100.size}")
+    assert(math.abs(k500.size - 2000 * 500 / 1024) < 120, s"${k500.size}")
+  }
 }

@@ -70,6 +70,56 @@ class ScalePlanSpec extends SparkSpec {
       s"scanned $scannedFiles of $allFiles files")
   }
 
+  test("an aggregate self-join reuses one shuffle exchange, not two") {
+    val restore = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a shuffle join so both sides need the same exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val agg = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
+        .groupBy("event_type").agg(sum(col("value")).as("s"))
+      val joined = agg.as("a").join(agg.as("b"), "event_type").select(count(lit(1)))
+      joined.collect()
+      // identical shuffle subtrees must collapse to one physical exchange
+      // (at 100 TB the duplicate shuffle is the whole query's cost twice)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        plan.linesIterator.take(60).mkString("\n"))
+    } finally restore match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("a selective dim filter injects a runtime bloom filter on the fact scan") {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val restore = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // the fixture scan is far below the 10 GB default application-side
+      // bar that gates injection on a real cluster
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val li = graft.queries.Tables.t(spark, sf("sf0.001"), "lineitem")
+      val ord = graft.queries.Tables.t(spark, sf("sf0.001"), "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey")).select(count(lit(1)))
+      // Catalyst's InjectRuntimeFilter should gate the big side's scan on a
+      // bloom filter built from the filtered dim — the shuffle then carries
+      // ~1/5th of lineitem instead of all of it
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), plan.linesIterator.take(60).mkString("\n"))
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     val restore = Seq(
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",

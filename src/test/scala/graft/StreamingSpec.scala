@@ -156,4 +156,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stream-static enrichment joins each micro-batch against the dim without state") {
+    // the standard streaming enrichment: a fact stream joined to a slowly
+    // changing dim snapshot — stateless (no watermark needed), and the dim
+    // side broadcasts per micro-batch at cluster scale
+    val src = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
+      .select("ts", "event_type", "user_id", "value")
+    val dir = Files.createTempDirectory("stream-dim-src").toString
+    src.coalesce(1).write.mode("overwrite").parquet(dir)
+    val dim = spark.range(0, 1000)
+      .select(col("id").as("user_id"), concat(lit("seg_"), col("id") % 4).as("segment"))
+
+    val enriched = spark.readStream.schema(src.schema).parquet(dir)
+      .join(dim, "user_id")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream.format("memory").queryName("enrich")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000)
+    finally q.stop()
+    val streamed = spark.table("enrich")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    val batch = src.join(dim, "user_id").groupBy("segment").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
