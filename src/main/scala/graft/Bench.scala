@@ -11,10 +11,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session/codegen/parquet-reader init otherwise lands
-    // on whichever query happens to run first
+    // on whichever query happens to run first (map iteration order — i.e.
+    // an arbitrary query absorbs JIT, janino, broadcast-pool, and footer
+    // costs). Touch both fact tables and the three executor machineries
+    // (hash agg, broadcast join, window) the inventory leans on.
     try {
+      import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
+      val ev = graft.queries.Tables.t(spark, sfDir, "events")
+      val dim = ev.groupBy("event_type").count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("event_id")
+      ev.join(broadcast(dim), "event_type")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 1).count()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // isolate per-query timing: drop caches left by previous queries AND

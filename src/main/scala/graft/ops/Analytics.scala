@@ -138,12 +138,16 @@ object Analytics {
 
   /** Robust outlier detection via the median absolute deviation: per
     * group, flag rows whose |v − median| exceeds k × MAD. Both medians are
-    * exact discrete order statistics over integer values (rank ceil(n/2)
-    * under a total order with `id` tie-breaks), so the result is
-    * deterministic — no FP quantile interpolation. Cost at scale: two
-    * window passes over the group key (the irreducible price of an exact
-    * median) plus two broadcast joins of the |groups|-row statistics —
-    * the data itself shuffles on the group key only.
+    * exact discrete order statistics over integer values (the value at
+    * rank ceil(n/2)), so the result is deterministic — no FP quantile
+    * interpolation. Both medians are computed over the VALUE HISTOGRAM,
+    * not the raw rows: one hash aggregate to (group, v, count), a
+    * cumulative-count window over each group's distinct values for the
+    * median, and the deviation histogram derived from the same buckets
+    * (|v − med| merges the distribution's two sides), so the MAD needs no
+    * second pass over the data. At scale the windowed state is the
+    * bounded integer value domain, not the row count — a row-rank window
+    * would sort each whole group through one task.
     */
   def madOutliers(
       df: DataFrame,
@@ -154,22 +158,40 @@ object Analytics {
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val base = df.select(col(groupCol), id.as("id"), value.cast("long").as("v"))
-    def discreteMedian(in: DataFrame, target: String, out: String): DataFrame = {
-      val w = Window.partitionBy(groupCol).orderBy(col(target), col("id"))
-      val wn = Window.partitionBy(groupCol)
-      in.withColumn("__rn", row_number().over(w))
-        .withColumn("__n", count(lit(1)).over(wn))
+    // exact discrete median from a (group, value, count) histogram: the
+    // smallest value whose cumulative count reaches ceil(n/2) — the value
+    // at rank ceil(n/2) of the sorted rows, without sorting rows
+    def histMedian(hist: DataFrame, target: String, out: String): DataFrame = {
+      val wcum = Window.partitionBy(groupCol).orderBy(col(target))
+      val wall = Window.partitionBy(groupCol)
+      hist
+        .withColumn("__cum", sum(col("__c")).over(wcum))
+        .withColumn("__n", sum(col("__c")).over(wall))
+        .filter(col("__cum") >= greatest(lit(1L), ceil(lit(0.5) * col("__n"))))
         .groupBy(groupCol)
-        .agg(max(when(col("__rn") === greatest(lit(1L), ceil(lit(0.5) * col("__n"))),
-          col(target))).as(out))
+        .agg(min(col(target)).as(out))
     }
-    val dev = base
-      .join(broadcast(discreteMedian(base, "v", "med")), Seq(groupCol))
+    // ONE row-level aggregation: everything after runs on the value
+    // histogram, whose size is the integer value domain per group, not the
+    // row count. The deviation histogram in particular is a FOLD OVER
+    // BUCKETS (|v − med| merges the two sides of the distribution), so the
+    // MAD costs no second pass over the data. The corpus is scanned
+    // exactly twice: once into the histogram, once for the final filter
+    // against the broadcast per-group (med, mad) row.
+    val hist = base.groupBy(col(groupCol), col("v")).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = histMedian(hist, "v", "med")
+    val devHist = hist
+      .join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol), abs(col("v") - col("med")).as("dev"))
+      .agg(sum(col("__c")).as("__c"))
+    val stats = histMedian(devHist, "dev", "mad").join(med, Seq(groupCol))
+    val out = base
+      .join(broadcast(stats), Seq(groupCol))
       .withColumn("dev", abs(col("v") - col("med")))
-    dev
-      .join(broadcast(discreteMedian(dev, "dev", "mad")), Seq(groupCol))
       .filter(col("dev") > lit(k.toLong) * col("mad"))
       .select(col(groupCol), col("id"), col("v"), col("med"), col("mad"))
+    Caching.materializeAndRelease(out, hist)
   }
 
   /** Last-touch attribution: for every conversion event, the most recent

@@ -806,6 +806,111 @@ object Ext3Queries {
              |  AND h NOT IN (SELECT h FROM t WHERE NOT is_new)
              |GROUP BY h""".stripMargin),
       "anti-join incremental dedup of a new batch against a prior corpus"
+    ),
+
+    // OHLC resampling: per (type, day) bucket, the first/last/min/max of
+    // the value series — the downsampling shape every time-series store
+    // provides. One window pass for the (ts, id)-total-ordered first/last
+    // ranks, then one hash aggregate; integer cents end to end
+    "q_ohlc_resample" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, d, "events")
+          .select(
+            col("event_type"),
+            col("ts").cast("date").cast("string").as("day"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("event_id"),
+            round(col("value") * 100).cast("long").as("v"))
+        val w = Window.partitionBy("event_type", "day").orderBy(col("ts_us"), col("event_id"))
+        val wn = Window.partitionBy("event_type", "day")
+        base
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("event_type", "day")
+          .agg(
+            max(when(col("rn") === 1, col("v"))).as("open"),
+            max(col("v")).as("high"),
+            min(col("v")).as("low"),
+            max(when(col("rn") === col("n"), col("v"))).as("close"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+             |    CAST(round(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |r AS (
+             |  SELECT *,
+             |    row_number() OVER (PARTITION BY event_type, day ORDER BY ts_us, event_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type, day) AS cnt
+             |  FROM e)
+             |SELECT event_type, day,
+             |  max(CASE WHEN rn = 1 THEN v END) AS open,
+             |  max(v) AS high, min(v) AS low,
+             |  max(CASE WHEN rn = cnt THEN v END) AS close,
+             |  COUNT(*) AS n
+             |FROM r GROUP BY 1, 2""".stripMargin),
+      "per-bucket OHLC downsampling with total-ordered first/last"
+    ),
+
+    // chi-square independence of event type × ISO weekday — the drift /
+    // association test a data-quality monitor runs on categorical pairs.
+    // Every cell term is the same IEEE expression over exact integers
+    // ((oN − rt·ct)² / (rt·ct·N), diff exact in DECIMAL(38,0)), and the
+    // cross-cell sum is a SEQUENTIAL fold over the (type, wd)-sorted term
+    // array — both engines add 35 doubles in the identical order, so the
+    // statistic is bitwise equal. Cost: one hash agg to the 35-cell
+    // contingency table; everything after runs on |types|×7 rows
+    "q_chi_square" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = t(s, d, "events")
+          .select(col("event_type"),
+            (weekday(col("ts").cast("date")) + 1).as("wd")) // 1 = Monday, as isodow
+          .groupBy("event_type", "wd")
+          .agg(count(lit(1)).as("o"))
+          .withColumn("rt", sum("o").over(Window.partitionBy("event_type")))
+          .withColumn("ct", sum("o").over(Window.partitionBy("wd")))
+          .withColumn("n", sum("o").over(Window.partitionBy()))
+        val diff = (col("o").cast("decimal(38,0)") * col("n") -
+          col("rt").cast("decimal(38,0)") * col("ct")).cast("double")
+        val term = diff * diff / (col("rt").cast("double") * col("ct") * col("n"))
+        cells
+          .select(col("event_type"), col("wd"), term.as("t"))
+          .agg(
+            sort_array(collect_list(struct(col("event_type"), col("wd"), col("t")))).as("arr"),
+            count(lit(1)).as("cells"),
+            ((count_distinct(col("event_type")) - 1) *
+              (count_distinct(col("wd")) - 1)).as("dof"))
+          .select(
+            aggregate(transform(col("arr"), x => x("t")), lit(0.0), (acc, x) => acc + x)
+              .as("chi2"),
+            col("cells"), col("dof"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, isodow(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS wd
+             |  FROM events),
+             |c AS (SELECT event_type, wd, COUNT(*) AS o FROM e GROUP BY 1, 2),
+             |m AS (
+             |  SELECT *, CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+             |    CAST(SUM(o) OVER (PARTITION BY wd) AS BIGINT) AS ct,
+             |    CAST(SUM(o) OVER () AS BIGINT) AS n
+             |  FROM c),
+             |u AS (
+             |  SELECT event_type, wd,
+             |    CAST(CAST(CAST(o AS DECIMAL(38,0)) * n
+             |      - CAST(rt AS DECIMAL(38,0)) * ct AS VARCHAR) AS DOUBLE)
+             |    * CAST(CAST(CAST(o AS DECIMAL(38,0)) * n
+             |      - CAST(rt AS DECIMAL(38,0)) * ct AS VARCHAR) AS DOUBLE)
+             |    / (CAST(rt AS DOUBLE) * ct * n) AS t
+             |  FROM m)
+             |SELECT list_reduce(list(t ORDER BY event_type, wd), (a, b) -> a + b) AS chi2,
+             |  COUNT(*) AS cells,
+             |  (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT wd) - 1) AS dof
+             |FROM u""".stripMargin),
+      "chi-square independence via exact cell terms + sequential fold"
     )
   )
 }
