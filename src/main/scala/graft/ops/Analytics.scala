@@ -148,6 +148,11 @@ object Analytics {
     * second pass over the data. At scale the windowed state is the
     * bounded integer value domain, not the row count — a row-rank window
     * would sort each whole group through one task.
+    *
+    * Null values are excluded up front: they are rankless (no place in an
+    * order statistic) and a null histogram bucket would otherwise sort
+    * nulls-first into every cumulative count, silently shifting the
+    * median below the true rank-ceil(n/2) value.
     */
   def madOutliers(
       df: DataFrame,
@@ -158,6 +163,7 @@ object Analytics {
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val base = df.select(col(groupCol), id.as("id"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
     // exact discrete median from a (group, value, count) histogram: the
     // smallest value whose cumulative count reaches ceil(n/2) — the value
     // at rank ceil(n/2) of the sorted rows, without sorting rows

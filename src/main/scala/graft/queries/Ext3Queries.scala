@@ -503,7 +503,9 @@ object Ext3Queries {
           .filter(col("w_us").isNotNull)
           .groupBy("user_id")
           .agg(
-            sum((col("v") * col("w_us")).cast("decimal(38,0)")).cast("double").as("svw"),
+            // cast BEFORE multiplying: cents × a multi-month µs gap can
+            // exceed 2^63, and ANSI would throw where decimal stays exact
+            sum(col("v").cast("decimal(38,0)") * col("w_us")).cast("double").as("svw"),
             sum(col("w_us").cast("decimal(38,0)")).cast("double").as("sw"))
           .filter(col("sw") > 0)
           .select(col("user_id"), (col("svw") / col("sw")).as("twa"))
@@ -518,7 +520,7 @@ object Ext3Queries {
              |  FROM e),
              |a AS (
              |  SELECT user_id,
-             |    CAST(CAST(SUM(CAST(v * w_us AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS svw,
+             |    CAST(CAST(SUM(CAST(v AS DECIMAL(38,0)) * w_us) AS VARCHAR) AS DOUBLE) AS svw,
              |    CAST(CAST(SUM(CAST(w_us AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sw
              |  FROM l WHERE w_us IS NOT NULL GROUP BY 1)
              |SELECT user_id, svw / sw AS twa FROM a WHERE sw > 0""".stripMargin),
@@ -686,7 +688,7 @@ object Ext3Queries {
           "event_type", col("vc"), col("event_id"), k = 3),
       Some("""WITH e AS (
              |  SELECT event_type, event_id AS id, CAST(round(value * 100) AS BIGINT) AS v
-             |  FROM events),
+             |  FROM events WHERE value IS NOT NULL),
              |m AS (
              |  SELECT event_type,
              |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN v END) AS med
@@ -810,49 +812,41 @@ object Ext3Queries {
 
     // OHLC resampling: per (type, day) bucket, the first/last/min/max of
     // the value series — the downsampling shape every time-series store
-    // provides. One window pass for the (ts, id)-total-ordered first/last
-    // ranks, then one hash aggregate; integer cents end to end
+    // provides. ONE hash aggregate, no sort: open/close are min_by/max_by
+    // over a scalar composite key (within-day µs offset × 2^25 +
+    // event_id — offset < 2^37 so the product stays < 2^62; ANSI throws
+    // rather than corrupts if event_id ever reaches 2^25). The key is
+    // unique, so the pick is total-ordered on both engines
     "q_ohlc_resample" -> QueryDef(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val base = t(s, d, "events")
+        val key = (unix_micros(col("ts")) % 86400000000L) * 33554432L + col("event_id")
+        t(s, d, "events")
           .select(
             col("event_type"),
             col("ts").cast("date").cast("string").as("day"),
-            unix_micros(col("ts")).as("ts_us"),
-            col("event_id"),
+            key.as("k"),
             round(col("value") * 100).cast("long").as("v"))
-        val w = Window.partitionBy("event_type", "day").orderBy(col("ts_us"), col("event_id"))
-        val wn = Window.partitionBy("event_type", "day")
-        base
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(wn))
           .groupBy("event_type", "day")
           .agg(
-            max(when(col("rn") === 1, col("v"))).as("open"),
+            min_by(col("v"), col("k")).as("open"),
             max(col("v")).as("high"),
             min(col("v")).as("low"),
-            max(when(col("rn") === col("n"), col("v"))).as("close"),
+            max_by(col("v"), col("k")).as("close"),
             count(lit(1)).as("n"))
       },
       Some("""WITH e AS (
              |  SELECT event_type,
              |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
-             |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+             |    (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) * 33554432 + event_id AS k,
              |    CAST(round(value * 100) AS BIGINT) AS v
-             |  FROM events),
-             |r AS (
-             |  SELECT *,
-             |    row_number() OVER (PARTITION BY event_type, day ORDER BY ts_us, event_id) AS rn,
-             |    COUNT(*) OVER (PARTITION BY event_type, day) AS cnt
-             |  FROM e)
+             |  FROM events)
              |SELECT event_type, day,
-             |  max(CASE WHEN rn = 1 THEN v END) AS open,
+             |  arg_min(v, k) AS open,
              |  max(v) AS high, min(v) AS low,
-             |  max(CASE WHEN rn = cnt THEN v END) AS close,
+             |  arg_max(v, k) AS close,
              |  COUNT(*) AS n
-             |FROM r GROUP BY 1, 2""".stripMargin),
-      "per-bucket OHLC downsampling with total-ordered first/last"
+             |FROM e GROUP BY 1, 2""".stripMargin),
+      "per-bucket OHLC downsampling in one sort-free hash aggregate"
     ),
 
     // chi-square independence of event type × ISO weekday — the drift /

@@ -102,6 +102,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set(("g", 5L, 100L, 10L, 0L)))
   }
 
+  test("madOutliers ignores null values — they must not shift the median rank") {
+    val df = Seq[(String, Long, Option[Long])](
+      ("g", 1L, None), ("g", 2L, None), // nulls-first buckets would fake med=10
+      ("g", 3L, Some(10L)), ("g", 4L, Some(20L)), ("g", 5L, Some(30L)),
+      ("g", 6L, Some(1000L))
+    ).toDF("grp", "event_id", "v")
+    val out = Analytics.madOutliers(df, "grp", col("v"), col("event_id"), k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    // non-null values {10,20,30,1000}: median = value at rank 2 = 20,
+    // devs {10,0,10,980} → MAD = value at rank 2 of {0,10,10,980} = 10;
+    // only 980 > 30 flags. With the null buckets counted, the median
+    // would have been 10 and MAD 10 — same flag set but wrong statistics
+    assert(out == Set((6L, 20L, 10L)))
+  }
+
   test("lastTouch credits the most recent strictly-preceding touch, null when untouched") {
     val events = Seq(
       (1L, 10L, ts("2024-01-01 00:00:01"), "click"),
