@@ -34,12 +34,19 @@ object TextOps {
     * short-circuit to an empty array (Spark's sequence(1,0) would
     * otherwise count *down*).
     */
-  def shinglesFromTokens(ts: Column, n: Int): Column = {
+  def shinglesFromTokens(ts: Column, n: Int): Column =
+    array_distinct(shingleOccurrencesFromTokens(ts, n))
+
+  /** Every n-gram occurrence in sequence order (duplicates kept) — the
+    * multiset the corpus-level repetition-mass statistics count. Same
+    * attribute-not-expression warning as [[shinglesFromTokens]].
+    */
+  def shingleOccurrencesFromTokens(ts: Column, n: Int): Column = {
     val count = size(ts) - (n - 1)
     when(
       count > 0,
-      array_distinct(transform(sequence(lit(1), count), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*)))
+      transform(sequence(lit(1), count), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*))
     ).otherwise(array().cast("array<string>"))
   }
 

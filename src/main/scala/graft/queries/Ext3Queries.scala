@@ -905,6 +905,48 @@ object Ext3Queries {
              |  (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT wd) - 1) AS dof
              |FROM u""".stripMargin),
       "chi-square independence via exact cell terms + sequential fold"
+    ),
+
+    // corpus-level duplicate n-gram mass per language: the fraction of
+    // 3-gram OCCURRENCES whose shingle appears more than once in that
+    // language's corpus — the inter-document twin of text_repetition's
+    // intra-document stats, and the scalar a pretraining mix watches to
+    // decide when a source needs dedup. Exact integer numerator and
+    // denominator; one shuffle on (lang, shingle) then one on lang. At
+    // larger scales the shingle key would be xxhash64-compressed before
+    // the shuffle (as the jaccard path does); plain strings here keep the
+    // oracle engine-replayable
+    "q_dup_ngram_mass" -> QueryDef(
+      (s, d) => {
+        val occ = t(s, d, "documents")
+          .select(col("lang"), graft.ops.TextOps.tokens(col("text")).as("__ts"))
+          .select(col("lang"),
+            explode(graft.ops.TextOps.shingleOccurrencesFromTokens(col("__ts"), 3)).as("sh"))
+        occ
+          .groupBy("lang", "sh")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("lang")
+          .agg(
+            sum(col("c")).as("total_occ"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occ"))
+          .select(col("lang"), col("total_occ"), col("dup_occ"),
+            (col("dup_occ").cast("double") / col("total_occ").cast("double")).as("dup_ratio"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents),
+             |occ AS (
+             |  SELECT lang, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g),
+             |c AS (SELECT lang, sh, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+             |a AS (
+             |  SELECT lang, CAST(SUM(c) AS BIGINT) AS total_occ,
+             |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ
+             |  FROM c GROUP BY 1)
+             |SELECT lang, total_occ, dup_occ,
+             |  CAST(dup_occ AS DOUBLE) / CAST(total_occ AS DOUBLE) AS dup_ratio
+             |FROM a""".stripMargin),
+      "inter-document duplicate 3-gram occurrence mass per language"
     )
   )
 }
