@@ -225,8 +225,13 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, -1)
     val touch = col(typeCol).isin(touchTypes: _*)
     events
-      .withColumn("touch_id", last(when(touch, col(idCol)), ignoreNulls = true).over(w))
-      .withColumn("touch_type", last(when(touch, col(typeCol)), ignoreNulls = true).over(w))
+      // both window columns in ONE select: an intermediate projection
+      // between two withColumn calls would block CollapseWindow and plan
+      // a second (redundant) sort over the same (user, time) order
+      .select(
+        col(userCol), col(idCol), col(typeCol),
+        last(when(touch, col(idCol)), ignoreNulls = true).over(w).as("touch_id"),
+        last(when(touch, col(typeCol)), ignoreNulls = true).over(w).as("touch_type"))
       .filter(col(typeCol) === convType)
       .select(col(userCol), col(idCol), col("touch_id"), col("touch_type"))
   }
