@@ -153,6 +153,37 @@ object Sampling {
     df.filter(u32 * maxWeight < w * 4294967296L)
   }
 
+  /** Deterministic negative sampling for contrastive training: place
+    * every key on an md5 hash ring, cut the ring into 16^arcHexLen
+    * contiguous arcs (the hash prefix), and pair each key with its next
+    * `k` successors within the arc, wrapping at the arc end. The pairing
+    * is uniform-pseudo-random (ring order is md5 order), deterministic
+    * across runs/engines, and fully distributed — each arc is one window
+    * partition plus one equi-join on (arc, position), never a global
+    * sort. Keys in an arc of size ≤ k get arcSize−1 negatives (self-pairs
+    * are dropped), so size arcs to hold ≫ k keys: arcHexLen=2 (256 arcs)
+    * for real corpora, 1 for small fixtures.
+    */
+  def ringNegatives(df: DataFrame, keyCol: String, salt: String, k: Int, arcHexLen: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(arcHexLen >= 1 && arcHexLen <= 8, s"arcHexLen must be in [1,8]: $arcHexLen")
+    val h = md5(concat_ws(":", lit(salt), col(keyCol).cast("string")))
+    val w = Window.partitionBy("arc").orderBy(col("h"), col("id"))
+    val pos = df
+      .select(col(keyCol).as("id"), h.as("h"))
+      .withColumn("arc", substring(col("h"), 1, arcHexLen))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("arc")))
+    pos
+      .select(col("arc"), col("id"), col("rn"), col("n"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("off"))
+      .withColumn("target", (col("rn") - 1 + col("off")) % col("n") + 1)
+      .join(pos.select(col("arc"), col("rn").as("target"), col("id").as("neg_id")),
+        Seq("arc", "target"))
+      .filter(col("neg_id") =!= col("id"))
+      .select(col("id"), col("off"), col("neg_id"))
+  }
+
   /** Per-group quota: at most k rows per group, picked by stable hash
     * order (md5 hex of the salted key, key as tie-break) — a deterministic
     * "random k per domain/source", the standard cap against one domain

@@ -947,6 +947,32 @@ object Ext3Queries {
              |  CAST(dup_occ AS DOUBLE) / CAST(total_occ AS DOUBLE) AS dup_ratio
              |FROM a""".stripMargin),
       "inter-document duplicate 3-gram occurrence mass per language"
+    ),
+
+    // contrastive negatives: each doc paired with its 2 successors on a
+    // 16-arc md5 hash ring (uniform pseudo-random, deterministic, no
+    // global sort — one window per arc + one (arc, position) equi-join).
+    // 16 arcs suit the small fixture; production uses 256+
+    "q_negative_ring_sample" -> QueryDef(
+      (s, d) =>
+        graft.ops.Sampling
+          .ringNegatives(t(s, d, "documents"), "doc_id", "ring", k = 2, arcHexLen = 1),
+      Some("""WITH p AS (
+             |  SELECT doc_id AS id, md5('ring:' || CAST(doc_id AS VARCHAR)) AS h
+             |  FROM documents),
+             |r AS (
+             |  SELECT id, substr(h, 1, 1) AS arc,
+             |    row_number() OVER (PARTITION BY substr(h, 1, 1) ORDER BY h, id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY substr(h, 1, 1)) AS n
+             |  FROM p),
+             |o AS (
+             |  SELECT arc, id, rn, n, off
+             |  FROM r, LATERAL (SELECT unnest(generate_series(1, 2)) AS off) g),
+             |j AS (
+             |  SELECT o.id, o.off, r2.id AS neg_id
+             |  FROM o JOIN r r2 ON r2.arc = o.arc AND r2.rn = (o.rn - 1 + o.off) % o.n + 1)
+             |SELECT id, off, neg_id FROM j WHERE neg_id <> id""".stripMargin),
+      "hash-ring contrastive negative sampling, arc-partitioned"
     )
   )
 }

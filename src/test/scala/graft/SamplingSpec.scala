@@ -102,4 +102,20 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(k100.size - 2000 * 100 / 1024) < 60, s"${k100.size}")
     assert(math.abs(k500.size - 2000 * 500 / 1024) < 120, s"${k500.size}")
   }
+
+  test("ringNegatives: no self-pairs, k per key in big arcs, stable across partitioning") {
+    val ids = spark.range(500).toDF("id")
+    val neg = Sampling.ringNegatives(ids, "id", "s1", k = 2, arcHexLen = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(neg.forall { case (id, _, n) => id != n })     // never self
+    val perKey = neg.groupBy(_._1).view.mapValues(_.size)
+    // 500 keys over 16 arcs → every arc holds ≫ 2 keys, so exactly k each
+    assert(perKey.values.toSet == Set(2), perKey.values.toSet.toString)
+    assert(perKey.size == 500)
+    val again = Sampling.ringNegatives(ids.repartition(7), "id", "s1", k = 2, arcHexLen = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == neg)                                   // partition-independent
+    // a negative is a ring successor: pairing must be asymmetric for k<arc
+    assert(neg.exists { case (id, _, n) => !neg.exists(p => p._1 == n && p._3 == id) })
+  }
 }
