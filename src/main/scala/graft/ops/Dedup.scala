@@ -108,16 +108,30 @@ object Dedup {
     materializeAndRelease(jaccardThreshold(inter, sizes, thresholdNum, thresholdDen), sh)
   }
 
-  /** MinHash signatures: numHashes min-values per doc over per-index
-    * rehashes of each shingle (`XXH64(shingleHash, seed=j)` — an
-    * independent hash family per j, deterministic across executors).
+  /** A long from `len` hex digits of md5(c) starting at `start` (1-based).
+    * The engine-portable hash primitive behind MinHash/SimHash: md5 is
+    * bit-identical in every SQL engine, so signatures built from its
+    * chunks can be replayed exactly by the DuckDB oracle
+    * (`CAST('0x'||substr(md5(s),start,len) AS BIGINT)`). Keep len ≤ 15 so
+    * the value fits a signed long with headroom for index arithmetic.
+    */
+  private[ops] def md5Chunk(m: Column, start: Int, len: Int): Column =
+    conv(substring(m, start, len), 16, 10).cast("long")
+
+  /** MinHash signatures: numHashes min-values per doc over a
+    * Carter–Wegman hash family `h_j(s) = h1(s) + j·h2(s)` with h1, h2 the
+    * two 52-bit md5 chunks of the shingle. Pairwise-independent per index
+    * j, deterministic across executors AND across engines (md5 + integer
+    * arithmetic — the DuckDB oracle replays the banding exactly; an
+    * xxhash64 family would be marginally faster but unverifiable).
+    * No overflow: h1 + j·h2 < 2^52 + 64·2^52 < 2^59.
     *
     * Shape note: a 64-column `min` aggregate compiles to a janino class so
     * large that codegen/JIT costs dominate (seconds of compile per query —
     * measured). The idiomatic escape hatch is a typed groupByKey/mapGroups
     * with a primitive accumulator: shingle hashing stays codegen'd in the
-    * projection, the shuffle carries (long, long) pairs, and the signature
-    * fold is a tight JVM loop. Id column must be integral.
+    * projection, the shuffle carries (long, long, long) triples, and the
+    * signature fold is a tight JVM loop. Id column must be integral.
     */
   def minhashSignatures(
       df: DataFrame,
@@ -132,15 +146,16 @@ object Dedup {
     val spark = shingles.sparkSession
     import spark.implicits._
     val sh = shingles
-      .select(col("sid").cast("long").as("sid"), xxhash64(col("s")).as("h"))
-      .as[(Long, Long)]
+      .select(col("sid").cast("long").as("sid"), md5(col("s")).as("m"))
+      .select(col("sid"), md5Chunk(col("m"), 1, 13).as("h1"), md5Chunk(col("m"), 14, 13).as("h2"))
+      .as[(Long, Long, Long)]
     sh.groupByKey(_._1)
       .mapGroups { (sid, it) =>
         val mins = Array.fill(numHashes)(Long.MaxValue)
-        it.foreach { case (_, h) =>
+        it.foreach { case (_, h1, h2) =>
           var j = 0
           while (j < numHashes) {
-            val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, j)
+            val v = h1 + (j + 1) * h2
             if (v < mins(j)) mins(j) = v
             j += 1
           }
@@ -150,8 +165,8 @@ object Dedup {
       .toDF("sid", "sig")
   }
 
-  /** LSH banding: hash r consecutive signature components per band, emit
-    * (band, bandHash) keys, self-join per bucket → candidate pairs.
+  /** LSH banding: group r consecutive signature components per band, emit
+    * (band, bandKey) keys, self-join per bucket → candidate pairs.
     * Probability a pair with Jaccard j collides: 1-(1-j^r)^b.
     */
   def lshCandidatePairs(
@@ -172,9 +187,13 @@ object Dedup {
     // sides — materialize once
     val sig = signaturesFromShingles(shingles, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the band key is the verbatim r-component tuple (a compact string —
+    // the signature values are ≤ 2^59 so a band key is ~70 bytes), NOT a
+    // hash of it: bucket membership is then exactly the signature-equality
+    // semantics the oracle replays, with no band-hash collision noise
     val bandCols = (0 until bands).map { bIdx =>
       val parts = (0 until r).map(k => element_at(col("sig"), bIdx * r + k + 1))
-      struct(lit(bIdx).as("band"), xxhash64(parts: _*).as("bh"))
+      struct(lit(bIdx).as("band"), concat_ws(",", parts: _*).as("bh"))
     }
     val buckets = sig
       .select(col("sid"), explode(array(bandCols: _*)).as("bk"))
@@ -311,13 +330,18 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the token multiset: per bit, sum ±1 across token
-    * hashes, bit set where the sum is positive.
+    * hashes, bit set where the sum is positive. The 64 token-hash bits are
+    * the two 32-bit md5 chunks of the token (bits 0-31 from chunk 2 = lo,
+    * bits 32-63 from chunk 1 = hi), and the signature is emitted as the
+    * same two 32-bit halves — md5 + bit arithmetic on values < 2^32 is
+    * exactly replayable by the DuckDB oracle (a single signed 64-bit
+    * signature would need `1<<63`, which ANSI engines reject).
     *
     * Same shape decision as minhashSignatures: token hashing is a
     * codegen'd projection, the 64-lane bit-count fold is a typed
     * mapGroups with a primitive array accumulator (a 64-column SQL
     * aggregate pays seconds of janino/JIT compile). One shuffle of
-    * (long, long) pairs on the doc id. Id column must be integral.
+    * (long, long, long) triples on the doc id. Id column must be integral.
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -327,27 +351,31 @@ object Dedup {
         col(idCol).cast("long").as("sid"),
         explode(TextOps.tokens(TextOps.normalize(col(textCol)))).as("t")
       )
-      .select(col("sid"), xxhash64(col("t")).as("h"))
-      .as[(Long, Long)]
+      .select(col("sid"), md5(col("t")).as("m"))
+      .select(col("sid"), md5Chunk(col("m"), 1, 8).as("hi"), md5Chunk(col("m"), 9, 8).as("lo"))
+      .as[(Long, Long, Long)]
     tok.groupByKey(_._1)
       .mapGroups { (sid, it) =>
         val acc = new Array[Int](64)
-        it.foreach { case (_, h) =>
+        it.foreach { case (_, hi, lo) =>
           var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          while (b < 32) {
+            if (((lo >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+            if (((hi >>> b) & 1L) == 1L) acc(b + 32) += 1 else acc(b + 32) -= 1
             b += 1
           }
         }
-        var sig = 0L
+        var sigLo = 0L
+        var sigHi = 0L
         var b = 0
-        while (b < 64) {
-          if (acc(b) > 0) sig |= (1L << b)
+        while (b < 32) {
+          if (acc(b) > 0) sigLo |= (1L << b)
+          if (acc(b + 32) > 0) sigHi |= (1L << b)
           b += 1
         }
-        (sid, sig)
+        (sid, sigHi, sigLo)
       }
-      .toDF("sid", "simhash")
+      .toDF("sid", "sig_hi", "sig_lo")
   }
 
 
@@ -367,14 +395,23 @@ object Dedup {
     val sig = simhash64(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val width = 64 / bands
+    require(width <= 32 && 32 % width == 0,
+      s"band width must divide the 32-bit signature halves (got width=$width)")
     val mask = (1L << width) - 1
+    // bands 0..(bands/2-1) slice the lo half, the rest slice hi — same
+    // bit coverage as a single 64-bit signature, split so every shift
+    // stays within a signed-long-safe 32-bit value on both engines
     val bandCols = (0 until bands).map { i =>
-      struct(lit(i).as("band"), shiftright(col("simhash"), i * width).bitwiseAND(lit(mask)).as("bh"))
+      val (half, off) =
+        if (i < bands / 2) (col("sig_lo"), i * width) else (col("sig_hi"), i * width - 32)
+      struct(lit(i).as("band"), shiftright(half, off).bitwiseAND(lit(mask)).as("bh"))
     }
-    val buckets = sig.select(col("sid"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("sid"), col("simhash"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val l = buckets.select(col("sid").as("id_a"), col("simhash").as("sig_a"), col("band"), col("bh"))
-    val rgt = buckets.select(col("sid").as("id_b"), col("simhash").as("sig_b"), col("band"), col("bh"))
+    val buckets = sig.select(col("sid"), col("sig_hi"), col("sig_lo"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("sid"), col("sig_hi"), col("sig_lo"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val l = buckets.select(
+      col("sid").as("id_a"), col("sig_hi").as("hi_a"), col("sig_lo").as("lo_a"), col("band"), col("bh"))
+    val rgt = buckets.select(
+      col("sid").as("id_b"), col("sig_hi").as("hi_b"), col("sig_lo").as("lo_b"), col("band"), col("bh"))
     // filter on the Hamming radius BEFORE the distinct: the radius test is
     // a per-row map over the joined band pairs, so applying it first
     // shrinks the distinct's shuffle from |all band collisions| to
@@ -384,7 +421,8 @@ object Dedup {
       .join(rgt, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
     materializeAndRelease(pairs, sig)

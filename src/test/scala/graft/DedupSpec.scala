@@ -95,7 +95,7 @@ class DedupSpec extends SparkSpec {
     val near = base.replace("efficiently", "quickly")
     val far = "unrelated text talking about cooking recipes and kitchen equipment entirely"
     val sig = Dedup.simhash64(docs(1L -> base, 2L -> base, 3L -> near, 4L -> far), "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2))).toMap
     assert(sig(1L) == sig(2L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
