@@ -478,14 +478,26 @@ object CoreQueries {
              |FROM lineitem GROUP BY 1""".stripMargin)
     ),
 
-    // ---- sketch aggregate: HLL (no exact oracle by construction) ----
+    // ---- sketch aggregate: HLL. The sketch value is approximate by
+    //      construction, so the oracle asserts its CONTRACT instead of
+    //      its value: per group, |approx − exact| ≤ 3·rsd·exact (rsd =
+    //      0.05, Spark's default) must hold — Spark emits the measured
+    //      verdict, DuckDB emits TRUE from the exact count, and the hash
+    //      compare fails iff the sketch ever drifts out of bound. ----
     "q_approx_count_distinct" -> QueryDef(
       (s, d) =>
         t(s, d, "lineitem")
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
-      None,
-      "HLL sketch — value is approximate, driver records rows-only check"
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("__approx"),
+            countDistinct(col("l_partkey")).as("__exact"))
+          .select(
+            col("l_returnflag"),
+            (abs(col("__approx") - col("__exact")).cast("double") <=
+              lit(3 * 0.05) * col("__exact").cast("double")).as("within_bound")),
+      Some("""SELECT l_returnflag, TRUE AS within_bound
+             |FROM lineitem GROUP BY 1""".stripMargin),
+      "HLL sketch checked against its 3·rsd error contract per group"
     ),
 
     // ---- tumbling time window (batch shape of the streaming agg) ----

@@ -9,6 +9,23 @@ import org.apache.spark.sql.functions._
 object ExtQueries {
   import Tables.t
 
+  /** The ±1 hyperplane component `Similarity.planeSign(plane, i)` resolves
+    * to, as a DuckDB array literal: Spark's `hash(lit(plane), i)` is
+    * Murmur3 with seed 42 folded left over the arguments, so the exact
+    * same values are computable here (oracle-construction time) from the
+    * same Murmur3 primitive. `pmod(h, 2) == 0` → +1 else −1.
+    */
+  private def srpSignArray(plane: Int, dim: Int): String = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    val planeSeed = Murmur3_x86_32.hashInt(plane, 42)
+    (0 until dim)
+      .map { i =>
+        val h = Murmur3_x86_32.hashInt(i, planeSeed)
+        if (((h % 2) + 2) % 2 == 0) "1" else "-1"
+      }
+      .mkString("[", ",", "]")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     // ---- exact dedup: hash-groupBy, one shuffle on the content hash ----
     "dedup_exact" -> QueryDef(
@@ -48,26 +65,86 @@ object ExtQueries {
     ),
 
     // ---- MinHash + LSH banding: the 100 TB candidate-generation path.
-    //      Probabilistic signatures — no SQL oracle; recall proven against
-    //      the exact Jaccard pairs in DedupSpec. ----
+    //      The whole chain is md5 + modular integer arithmetic (no RNG,
+    //      no engine-private hash), so the oracle replays it EXACTLY:
+    //      shingles → two 60-bit md5 chunks → 64 lanes of
+    //      (h1+(j+1)·h2) mod (2^61−1) via HUGEINT → per-lane mins →
+    //      md5 band keys → same-bucket pairs. ----
     "dedup_minhash_lsh" -> QueryDef(
       (s, d) =>
         Dedup.lshCandidatePairs(
           t(s, d, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 64, bands = 16
         ),
-      None,
-      "LSH candidates; recall vs exact pairs asserted in DedupSpec"
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+             |), h AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+             |    CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) AS h2
+             |  FROM sh
+             |), lanes AS (
+             |  SELECT doc_id, g.j,
+             |    MIN(CAST((CAST(h1 AS HUGEINT) + (g.j + 1) * CAST(h2 AS HUGEINT))
+             |              % 2305843009213693951 AS BIGINT)) AS mv
+             |  FROM h, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) g
+             |  GROUP BY 1, 2
+             |), bnd AS (
+             |  SELECT doc_id, j // 4 AS band,
+             |    CAST(('0x' || substr(md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY j)), 1, 15)) AS BIGINT) AS bh
+             |  FROM lanes GROUP BY doc_id, j // 4
+             |)
+             |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin),
+      "LSH candidate banding, replayed lane-exact by the oracle; recall also pinned in DedupSpec"
     ),
 
-    // ---- SimHash near-dup (banded Hamming-radius lookup) ----
+    // ---- SimHash near-dup (banded Hamming-radius lookup). Signature =
+    //      two 32-bit halves from per-token md5 chunks + ±1 bit votes —
+    //      all md5/bit/integer arithmetic, replayed exactly by the
+    //      oracle (token multiset, 64 vote lanes, banding, Hamming). ----
     "dedup_simhash" -> QueryDef(
       // maxHamming must stay < bands for pigeonhole completeness (8 bands
       // of 8 bits find every pair within hamming 7)
       (s, d) =>
-        Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 6, bands = 8),
-      None,
-      "64-bit SimHash, banded; spec-tested"
+        Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 6, bands = 8)
+          .withColumn("hamming", col("hamming").cast("long")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(
+             |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '')) AS tk
+             |  FROM documents
+             |), h AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS hi,
+             |    CAST(('0x' || substr(md5(tk), 9, 8)) AS BIGINT) AS lo
+             |  FROM toks
+             |), votes AS (
+             |  SELECT doc_id, g.b,
+             |    SUM(CASE WHEN ((lo >> g.b) & 1) = 1 THEN 1 ELSE -1 END) AS vlo,
+             |    SUM(CASE WHEN ((hi >> g.b) & 1) = 1 THEN 1 ELSE -1 END) AS vhi
+             |  FROM h, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) g
+             |  GROUP BY 1, 2
+             |), sig AS (
+             |  SELECT doc_id,
+             |    CAST(SUM(CASE WHEN vlo > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig_lo,
+             |    CAST(SUM(CASE WHEN vhi > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig_hi
+             |  FROM votes GROUP BY 1
+             |), bnd AS (
+             |  SELECT doc_id, sig_hi, sig_lo, g.i AS band,
+             |    CASE WHEN g.i < 4 THEN (sig_lo >> (g.i * 8)) & 255
+             |         ELSE (sig_hi >> (g.i * 8 - 32)) & 255 END AS bh
+             |  FROM sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS i) g
+             |)
+             |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) AS BIGINT) AS hamming
+             |FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) <= 6""".stripMargin),
+      "64-bit SimHash, banded Hamming-radius lookup, oracle-replayed bit-exact"
     ),
 
     // ---- embedding near-dup, exact all-pairs form: the small-sf oracle
@@ -244,16 +321,34 @@ object ExtQueries {
       "IVF with a Lloyd-trained codebook; the k-means step itself is oracle-replayed"
     ),
 
-    // ---- ANN scale path: SRP-LSH bucketed top-k (approximate — recall
-    //      vs brute force asserted in SimilaritySpec) ----
+    // ---- ANN scale path: SRP-LSH bucketed top-k. The hyperplane signs
+    //      are deterministic Murmur3 values (Similarity.planeSign) — the
+    //      oracle embeds the SAME ±1 sign vectors as literals (computed
+    //      here with the same Murmur3 primitive Spark's hash() uses, over
+    //      the fixture's fixed dim=64) and replays bucket assignment +
+    //      exact within-bucket cosine rank. Recall vs brute force is
+    //      additionally spec-tested. ----
     "ann_lsh_topk" -> QueryDef(
       (s, d) =>
         Similarity.annLshTopK(
           t(s, d, "embeddings"), "vec_id", "embedding",
           k = 5, queryPred = col("cid") < 50, nPlanes = 6
         ).withColumn("rank", col("rank").cast("long")),
-      None,
-      "bucketed ANN; recall spec-tested vs brute force"
+      Some {
+        val bucketExpr = (0 until 6).map { p =>
+          s"(CASE WHEN list_inner_product(v, CAST(${srpSignArray(p, 64)} AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM base)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+           |  FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 50
+           |) WHERE rank <= 5""".stripMargin
+      },
+      "bucketed ANN: SRP buckets + within-bucket exact rank, both oracle-replayed"
     ),
 
     // ---- deterministic sampling / splitting (training-data pipeline):
@@ -1291,10 +1386,10 @@ object Ext2Queries {
 
     // THE scalable dedup recipe: LSH candidates → exact Jaccard verify on
     // candidates only. The oracle is the full exact-Jaccard pair set: LSH
-    // banding is deterministic (xxhash64, no RNG), and at 64 hashes / 16
-    // bands its recall on ≥0.8-Jaccard pairs is exact on the fixtures
-    // (asserted in DedupSpec), so candidates ⊇ true pairs and the verified
-    // output equals the exact set.
+    // banding is deterministic (md5-chunk double hashing mod 2^61−1, no
+    // RNG), and at 64 hashes / 16 bands its recall on ≥0.8-Jaccard pairs
+    // is exact on the fixtures (candidates ⊇ exact pairs pinned in
+    // DedupSpec), so the verified output equals the exact set.
     "dedup_minhash_verified" -> QueryDef(
       (s, d) =>
         Dedup.lshVerifiedPairs(
