@@ -200,11 +200,19 @@ object Dedup {
   }
 
   private def candidatesFromShingles(shingles: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val r = numHashes / bands
     // signatures are tiny (docs × numHashes longs) and feed both join
     // sides — materialize once
     val sig = signaturesFromShingles(shingles, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materializeAndRelease(bandedPairs(sig, numHashes, bands), sig)
+  }
+
+  /** Same-bucket pairs from a persisted signature frame: band keys,
+    * bucket self-join, `id_a < id_b` dedup. Shared by the plain candidate
+    * path and the estimate-carrying path.
+    */
+  private def bandedPairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
     // the band key is a fixed-width 60-bit md5 chunk of the r-component
     // tuple, not the tuple itself: the self-join below shuffles 8-byte
     // longs instead of ~70-byte strings (pure shuffle-byte savings on the
@@ -221,12 +229,47 @@ object Dedup {
       .select(col("sid"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val l = buckets.select(col("sid").as("id_a"), col("band"), col("bh"))
     val rgt = buckets.select(col("sid").as("id_b"), col("band"), col("bh"))
-    val cands = l
-      .join(rgt, Seq("band", "bh"))
+    l.join(rgt, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    materializeAndRelease(cands, sig)
+  }
+
+  /** LSH candidate pairs annotated with the MinHash Jaccard ESTIMATE —
+    * the fraction of the numHashes signature lanes on which the two
+    * documents agree. This is the sketch-only dedup scorer: at 100 TB the
+    * estimate ranks/filters candidates WITHOUT touching the documents'
+    * shingle sets again (the estimate join moves docs×numHashes longs,
+    * not the corpus), and only survivors go to the exact verifier.
+    * Estimator contract: E[matched/numHashes] = Jaccard, σ ≈
+    * sqrt(J(1−J)/numHashes) — at 64 lanes, ±0.06 at J=0.5.
+    */
+  def lshCandidatePairsWithEst(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sig = signaturesFromShingles(shingleRows(df, idCol, textCol, shingleN), numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = bandedPairs(sig, numHashes, bands)
+    val sa = sig.select(col("sid").as("id_a"), col("sig").as("sa"))
+    val sb = sig.select(col("sid").as("id_b"), col("sig").as("sb"))
+    val out = cands
+      .join(sa, Seq("id_a"))
+      .join(sb, Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+          .cast("long")
+          .as("matched")
+      )
+      .withColumn("est_jaccard", col("matched").cast("double") / lit(numHashes.toDouble))
+    materializeAndRelease(out, sig)
   }
 
   /** Connected components over a near-duplicate pair graph (the final

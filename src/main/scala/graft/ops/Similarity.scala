@@ -155,6 +155,57 @@ object Similarity {
       .select(col("cid").as("vec_id"), col("centroid_id"))
   }
 
+  /** Product-quantization encode: split each vector into `subspaces`
+    * contiguous `subDim`-wide subvectors and assign every subvector the id
+    * of its most-cosine-similar code from that subspace's codebook (the
+    * first `nCodes` vectors' subvectors — deterministic, same convention
+    * as [[clusterAssign]]; production feeds trained per-subspace
+    * codebooks). Output is long-format `(id, subspace, code)` — the PQ
+    * code word, m·log2(k) bits per vector, the standard memory-compressed
+    * representation for billion-scale ANN re-ranking.
+    *
+    * Scale shape: the codebook is subspaces×nCodes rows (tiny —
+    * broadcast), the corpus is scanned once post-explode, and the argmax
+    * is a window over the nCodes-row (id, subspace) group — no shuffle
+    * beyond the explode's ×subspaces fan-out, no corpus self-join. Ties
+    * break on the smaller code id; cosine is the sequential fold, so the
+    * assignment replays exactly in the oracle.
+    */
+  def pqEncode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      subspaces: Int,
+      subDim: Int,
+      nCodes: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ArrayDot.ensureRegistered(emb.sparkSession)
+    val subCols = (0 until subspaces).map { s =>
+      struct(lit(s).as("s"), slice(col("v"), s * subDim + 1, subDim).as("sv"))
+    }
+    val subs = emb
+      .select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("v"))
+      .select(col("vid"), explode(array(subCols: _*)).as("e"))
+      .select(col("vid"), col("e.s").as("s"), col("e.sv").as("sv"))
+      .withColumn("snrm", sqrt(fastDot(col("sv"), col("sv"))))
+    val codebook = subs
+      .filter(col("vid") < nCodes)
+      .select(col("vid").as("code"), col("s"), col("sv").as("cv"), col("snrm").as("cnrm"))
+    val w = Window.partitionBy("vid", "s").orderBy(col("sim").desc, col("code").asc)
+    subs
+      .join(broadcast(codebook), Seq("s"))
+      .select(
+        col("vid"),
+        col("s"),
+        col("code"),
+        (fastDot(col("sv"), col("cv")) / (col("snrm") * col("cnrm"))).as("sim")
+      )
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid").as(idCol), col("s").cast("long").as("subspace"), col("code").cast("long").as("code"))
+  }
+
   /** Deterministic pseudo-random Rademacher hyperplane component for
     * (plane, dim): ±1 from a hash — no RNG state, identical on every
     * executor.

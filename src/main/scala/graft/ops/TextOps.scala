@@ -100,6 +100,60 @@ object TextOps {
         col("n_chars")
       )
 
+  /** Gopher-style document quality gate (Rae et al. 2021, "Scaling
+    * Language Models", table A1 — the public word-count / word-length /
+    * stopword rules, plus a top-token-dominance repetition rule in the
+    * spirit of its duplicate-n-gram filters). Everything is computed from
+    * ONE token explode + two hash aggregations; all signals are exact
+    * integer counts until a single final double division each, so the
+    * verdicts are bitwise-portable across engines.
+    *
+    * Emitted per document: word count, mean word length, type-token
+    * ratio, top-token mass fraction, stopword count, and the composite
+    * `keep` verdict. Documents with zero tokens emit no row (nothing to
+    * measure — same totality rule as [[lmQuality]]).
+    */
+  def gopherQuality(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minStopwords: Int = 2,
+      maxTopFrac: Double = 0.1,
+      stopwords: Seq[String] = defaultStopwords
+  ): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("sid"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("sid", "t")
+      .agg(count(lit(1)).as("c"))
+    val perDoc = tf
+      .groupBy("sid")
+      .agg(
+        sum(col("c")).as("n_words"),
+        sum(col("c") * length(col("t"))).as("word_chars"),
+        count(lit(1)).as("n_types"),
+        max(col("c")).as("top_count"),
+        sum(when(col("t").isin(stopwords.map(_.asInstanceOf[Any]): _*), col("c")).otherwise(0L))
+          .as("n_stop")
+      )
+    val meanLen = col("word_chars").cast("double") / col("n_words").cast("double")
+    val topFrac = col("top_count").cast("double") / col("n_words").cast("double")
+    perDoc.select(
+      col("sid").as(idCol),
+      col("n_words"),
+      meanLen.as("mean_word_len"),
+      (col("n_types").cast("double") / col("n_words").cast("double")).as("ttr"),
+      topFrac.as("top_frac"),
+      col("n_stop"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords &&
+        meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+        col("n_stop") >= minStopwords && topFrac <= maxTopFrac).as("keep")
+    )
+  }
+
   /** Unigram-LM quality proxy with bitwise-portable arithmetic: per
     * document, the total and average corpus document-frequency of its
     * tokens, plus the rare-token count. High avg_df ⇒ the doc is made of

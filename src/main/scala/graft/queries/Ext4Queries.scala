@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.ops.{Dedup, GlobalRank, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Fourth wave of extension operators — the curation/packaging layer of a
+  * pretraining-data pipeline: document quality gating (Gopher rules),
+  * sketch-based similarity scoring (MinHash Jaccard estimates), vector
+  * compression (product quantization), deterministic corpus shuffling
+  * into training shards, and per-source corpus observability.
+  */
+object Ext4Queries {
+  import Tables.t
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Gopher-style quality gate: word-count / mean-word-length /
+    //      stopword / top-token-dominance rules from one token explode,
+    //      integer counts + one division per ratio → portable verdicts ----
+    "text_gopher_rules" -> QueryDef(
+      (s, d) => TextOps.gopherQuality(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t
+             |  FROM documents
+             |), tf AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+             |d AS (
+             |  SELECT doc_id,
+             |    CAST(SUM(c) AS BIGINT) AS n_words,
+             |    CAST(SUM(c * length(t)) AS BIGINT) AS word_chars,
+             |    COUNT(*) AS n_types,
+             |    MAX(c) AS top_count,
+             |    CAST(SUM(CASE WHEN t IN ('the','a','an','of','and','to','in','is','it','for')
+             |             THEN c ELSE 0 END) AS BIGINT) AS n_stop
+             |  FROM tf GROUP BY 1)
+             |SELECT doc_id, n_words,
+             |  CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+             |  CAST(n_types AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
+             |  CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_frac,
+             |  n_stop,
+             |  (n_words BETWEEN 50 AND 100000
+             |    AND CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) BETWEEN 3.0 AND 10.0
+             |    AND n_stop >= 2
+             |    AND CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1) AS keep
+             |FROM d""".stripMargin),
+      "Gopher word-count/word-length/stopword/repetition gate, integer-exact"
+    ),
+
+    // ---- sketch-only dedup scoring: candidate pairs annotated with the
+    //      MinHash Jaccard estimate (matching lanes / 64) — ranks and
+    //      filters candidates without re-touching shingle sets ----
+    "dedup_minhash_est" -> QueryDef(
+      (s, d) =>
+        Dedup.lshCandidatePairsWithEst(
+          t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16
+        ),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+             |), h AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+             |    CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) AS h2
+             |  FROM sh
+             |), lanes AS (
+             |  SELECT doc_id, g.j,
+             |    MIN(CAST((CAST(h1 AS HUGEINT) + (g.j + 1) * CAST(h2 AS HUGEINT))
+             |              % 2305843009213693951 AS BIGINT)) AS mv
+             |  FROM h, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) g
+             |  GROUP BY 1, 2
+             |), bnd AS (
+             |  SELECT doc_id, j // 4 AS band,
+             |    CAST(('0x' || substr(md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY j)), 1, 15)) AS BIGINT) AS bh
+             |  FROM lanes GROUP BY doc_id, j // 4
+             |), pairs AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+             |SELECT p.id_a, p.id_b,
+             |  CAST(SUM(CASE WHEN la.mv = lb.mv THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+             |  CAST(SUM(CASE WHEN la.mv = lb.mv THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard
+             |FROM pairs p
+             |JOIN lanes la ON la.doc_id = p.id_a
+             |JOIN lanes lb ON lb.doc_id = p.id_b AND lb.j = la.j
+             |GROUP BY 1, 2""".stripMargin),
+      "MinHash lane-agreement Jaccard estimate per LSH candidate pair"
+    ),
+
+    // ---- product quantization: 64 dims → 4 subspaces × 16 dims, each
+    //      assigned its most-similar of 8 fixed codes — the compressed
+    //      code-word representation for billion-scale ANN ----
+    "emb_pq_encode" -> QueryDef(
+      (s, d) =>
+        Similarity.pqEncode(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          subspaces = 4, subDim = 16, nCodes = 8
+        ),
+      Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sub AS (
+             |  SELECT vec_id, g.s, list_slice(v, g.s * 16 + 1, g.s * 16 + 16) AS sv
+             |  FROM base, LATERAL (SELECT unnest(generate_series(0, 3)) AS s) g
+             |), cb AS (SELECT vec_id AS code, s, sv AS cv FROM sub WHERE vec_id < 8),
+             |j AS (
+             |  SELECT a.vec_id, a.s, cb.code,
+             |    row_number() OVER (PARTITION BY a.vec_id, a.s
+             |      ORDER BY list_cosine_similarity(a.sv, cb.cv) DESC, cb.code) AS rn
+             |  FROM sub a JOIN cb ON cb.s = a.s)
+             |SELECT vec_id, CAST(s AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
+             |FROM j WHERE rn = 1""".stripMargin),
+      "PQ encode: per-subspace nearest-code assignment, oracle-replayed"
+    ),
+
+    // ---- deterministic global shuffle into training shards: md5-keyed
+    //      permutation via the partitioned global rank (no single-task
+    //      window), then round-robin shard + in-shard position ----
+    "q_shuffle_shard" -> QueryDef(
+      (s, d) => {
+        val ranked = GlobalRank.globalRank(
+          t(s, d, "documents").select(col("doc_id")),
+          Seq(md5(concat(lit("shuf:"), col("doc_id").cast("string"))).asc, col("doc_id").asc),
+          "rnk",
+          parts = 16
+        )
+        ranked.select(
+          col("doc_id"),
+          ((col("rnk") - 1) % 8).cast("long").as("shard"),
+          floor((col("rnk") - 1) / lit(8.0)).cast("long").as("pos")
+        )
+      },
+      Some("""SELECT doc_id,
+             |  CAST((rn - 1) % 8 AS BIGINT) AS shard,
+             |  CAST((rn - 1) // 8 AS BIGINT) AS pos
+             |FROM (
+             |  SELECT doc_id, row_number() OVER (
+             |    ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)""".stripMargin),
+      "hash-keyed deterministic corpus shuffle into 8 training shards"
+    ),
+
+    // ---- per-source corpus observability: volume, exact-dup rate, size,
+    //      language spread — the report a curation run publishes ----
+    "q_corpus_report" -> QueryDef(
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_distinct"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs")
+          )
+          .select(
+            col("source"),
+            col("n_docs"),
+            col("n_distinct"),
+            ((col("n_docs") - col("n_distinct")).cast("double") / col("n_docs").cast("double"))
+              .as("dup_rate"),
+            (col("sum_chars").cast("double") / col("n_docs").cast("double")).as("avg_chars"),
+            col("n_langs")
+          ),
+      Some("""SELECT source,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+             |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_rate,
+             |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+             |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+             |FROM documents GROUP BY 1""".stripMargin),
+      "per-source curation report: volume, dup rate, size, language spread"
+    )
+  )
+}

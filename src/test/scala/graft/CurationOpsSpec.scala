@@ -1,0 +1,122 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextOps}
+import graft.queries.{Ext4Queries, Tables}
+import org.apache.spark.sql.functions._
+
+/** Specs for the curation/packaging wave (Ext4Queries): Gopher quality
+  * gate, MinHash Jaccard estimates, PQ encoding, shuffle-sharding, and
+  * the corpus report.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.t(spark, sf("sf0.001"), "documents")
+  private def embs = Tables.t(spark, sf("sf0.001"), "embeddings")
+
+  test("gopherQuality: keep verdict is exactly the conjunction of its emitted signals") {
+    val out = TextOps.gopherQuality(docs, "doc_id", "text").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nWords = r.getAs[Long]("n_words")
+      val meanLen = r.getAs[Double]("mean_word_len")
+      val topFrac = r.getAs[Double]("top_frac")
+      val nStop = r.getAs[Long]("n_stop")
+      val expected = nWords >= 50 && nWords <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 && nStop >= 2 && topFrac <= 0.1
+      assert(r.getAs[Boolean]("keep") == expected, s"verdict mismatch on $r")
+    }
+    // the gate must discriminate on the fixture — an all-true or all-false
+    // verdict would mean the thresholds test nothing
+    val verdicts = out.map(_.getAs[Boolean]("keep")).toSet
+    assert(verdicts == Set(true, false), s"gate does not discriminate: $verdicts")
+  }
+
+  test("gopherQuality: n_words matches the whitespace token count") {
+    val expected = docs
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .as[(Long, Long)].collect().toMap
+    val got = TextOps.gopherQuality(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_words"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("lshCandidatePairsWithEst: same pair set as the plain candidate path, est in [0,1]") {
+    val plain = Dedup
+      .lshCandidatePairs(docs, "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16)
+      .as[(Long, Long)].collect().toSet
+    val withEst = Dedup
+      .lshCandidatePairsWithEst(docs, "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16)
+      .collect()
+    assert(withEst.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet == plain)
+    withEst.foreach { r =>
+      val m = r.getAs[Long]("matched")
+      val est = r.getAs[Double]("est_jaccard")
+      assert(m >= 0 && m <= 64)
+      assert(est == m.toDouble / 64.0)
+    }
+  }
+
+  test("lshCandidatePairsWithEst: estimates are high on true >=0.8-Jaccard pairs") {
+    val exact = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", 3, 4, 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val est = Dedup
+      .lshCandidatePairsWithEst(docs, "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    exact.foreach { p =>
+      assert(est.contains(p), s"true pair $p missing from candidates")
+      // E[est] = J >= 0.8, sigma ~= 0.05 at 64 lanes — 0.6 is a 4-sigma floor
+      assert(est(p) >= 0.6, s"true pair $p estimated at ${est(p)}")
+    }
+  }
+
+  test("pqEncode: one code per (vector, subspace), codes in range, codebook self-encodes") {
+    val out = Similarity
+      .pqEncode(embs, "vec_id", "embedding", subspaces = 4, subDim = 16, nCodes = 8)
+      .as[(Long, Long, Long)].collect()
+    val nVecs = embs.count()
+    assert(out.length == nVecs * 4)
+    assert(out.map { case (v, s, _) => (v, s) }.distinct.length == out.length)
+    assert(out.forall { case (_, s, c) => s >= 0 && s < 4 && c >= 0 && c < 8 })
+    // a codebook vector's own subvector has cosine 1 with its code —
+    // argmax must pick itself (tie-break can't beat sim 1.0 + smaller id
+    // only matters on exact duplicates, absent in the fixture)
+    out.filter(_._1 < 8).foreach { case (v, s, c) =>
+      assert(c == v, s"codebook vector $v subspace $s encoded as $c")
+    }
+  }
+
+  test("q_shuffle_shard: balanced shards, dense in-shard positions, total preservation") {
+    val out = Ext4Queries.defs.toMap.apply("q_shuffle_shard")
+      .fn(spark, sf("sf0.001"))
+      .as[(Long, Long, Long)].collect()
+    val n = docs.count()
+    assert(out.length == n)
+    assert(out.map(_._1).distinct.length == n)
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    val sizes = byShard.values.map(_.length).toSet
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    byShard.foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.toList == (0L until rows.length.toLong).toList, s"holes in shard $shard")
+    }
+  }
+
+  test("q_corpus_report: totals reconcile with the raw table") {
+    val rep = Ext4Queries.defs.toMap.apply("q_corpus_report").fn(spark, sf("sf0.001")).collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_docs"))
+      val dr = r.getAs[Double]("dup_rate")
+      assert(dr >= 0.0 && dr <= 1.0)
+      assert(r.getAs[Double]("avg_chars") > 0.0)
+    }
+  }
+}
