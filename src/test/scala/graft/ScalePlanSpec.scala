@@ -25,6 +25,19 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("pqEncode broadcasts the codebook (no shuffle join on the 4-value subspace key)") {
+    val plan = graft.ops.Similarity
+      .pqEncode(
+        graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings"),
+        "vec_id", "embedding", subspaces = 4, subDim = 16, nCodes = 8)
+      .queryExecution.executedPlan.toString
+    // joining corpus subvectors to the codebook on the subspace id (4
+    // distinct values) as a shuffle join would serialize each subspace
+    // onto one task; the subspaces×nCodes codebook must ship broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("globalRank plans a partitioned window, never the single-partition global sort") {
     val df = graft.ops.GlobalRank.globalRankLazy(
       graft.queries.Tables.t(spark, sf("sf0.001"), "orders").select("o_orderkey", "o_totalprice"),
