@@ -119,29 +119,48 @@ object Dedup {
     conv(substring(m, start, len), 16, 10).cast("long")
 
   /** 2^61 − 1: the Mersenne prime the MinHash family reduces over. Both
-    * engines can do the arithmetic exactly — the JVM fold by incremental
-    * addition (below), DuckDB by HUGEINT `%`.
+    * engines can do the arithmetic exactly — the JVM fold by a
+    * multiplyHigh Mersenne reduction (below), DuckDB by HUGEINT `%`.
     */
   private[ops] val MersennePrime61: Long = (1L << 61) - 1
 
-  /** MinHash signatures: numHashes min-values per doc over the
-    * double-hashing family `h_j(s) = (h1(s) + (j+1)·h2(s)) mod (2^61−1)`
-    * with h1, h2 the two 60-bit md5 chunks of the shingle
-    * (Kirsch–Mitzenmacher construction over a Mersenne-prime field).
-    * The modular wraparound is what makes the per-index functions behave
-    * independently: WITHOUT it the family is a plain affine function of j
-    * whose per-index mins are dominated by the smallest h2 — all lanes
-    * correlate, LSH recall/precision collapse (measured: a true
-    * ≥0.8-Jaccard pair missing all 16 bands while false candidates grew
-    * 8×). Deterministic across executors AND across engines (md5 +
-    * integer arithmetic — the DuckDB oracle replays the banding exactly;
-    * an xxhash64 family would be marginally faster but unverifiable).
+  /** Per-lane Carter–Wegman coefficients `(a_j, b_j)`, derived
+    * deterministically from md5 of fixed seed strings (no RNG state —
+    * identical on every executor and at oracle-construction time, where
+    * they are embedded as a VALUES table). `a_j = chunk+1 ∈ [1, 2^60]`
+    * (nonzero, < p), `b_j = chunk ∈ [0, 2^60)`.
+    *
+    * Independent per-lane coefficients matter: the cheaper shared-seed
+    * double-hashing form `h1 + (j+1)·h2 mod p` keeps banding recall but
+    * makes a pair's lane DISAGREEMENTS cluster (the comparison value is
+    * an arithmetic progression in j, so one element beats another on a
+    * structured run of lanes) — measured 10σ overdispersion of the lane-
+    * agreement Jaccard estimator on near-identical docs. With an
+    * independent affine map per lane the agreement indicators behave
+    * binomially (pinned by CurationOpsSpec's 4σ estimator test).
+    */
+  private[graft] def laneCoeffs(numHashes: Int): Array[(Long, Long)] = {
+    def chunk60(seed: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(seed.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    Array.tabulate(numHashes)(j => (chunk60(s"graft-minhash-a:$j") + 1, chunk60(s"graft-minhash-b:$j")))
+  }
+
+  /** MinHash signatures: numHashes min-values per doc over the affine
+    * family `h_j(s) = (a_j·h(s) + b_j) mod (2^61−1)` with h the 60-bit
+    * md5 chunk of the shingle and per-lane constants from [[laneCoeffs]]
+    * (the classic universal-hash MinHash over a Mersenne-prime field).
+    * Deterministic across executors AND across engines (md5 + integer
+    * arithmetic — the DuckDB oracle replays the banding exactly with the
+    * same constants; an xxhash64 family would be marginally faster but
+    * unverifiable).
     *
     * Shape note: a 64-column `min` aggregate compiles to a janino class so
     * large that codegen/JIT costs dominate (seconds of compile per query —
     * measured). The idiomatic escape hatch is a typed groupByKey/mapGroups
     * with a primitive accumulator: shingle hashing stays codegen'd in the
-    * projection, the shuffle carries (long, long, long) triples, and the
+    * projection, the shuffle carries (long, long) pairs, and the
     * signature fold is a tight JVM loop. Id column must be integral.
     */
   def minhashSignatures(
@@ -157,24 +176,29 @@ object Dedup {
     val spark = shingles.sparkSession
     import spark.implicits._
     val p = MersennePrime61
+    val coeffs = laneCoeffs(numHashes)
+    val as = coeffs.map(_._1)
+    val bs = coeffs.map(_._2)
     val sh = shingles
       .select(col("sid").cast("long").as("sid"), md5(col("s")).as("m"))
-      .select(col("sid"), md5Chunk(col("m"), 1, 15).as("h1"), md5Chunk(col("m"), 16, 15).as("h2"))
-      .as[(Long, Long, Long)]
+      .select(col("sid"), md5Chunk(col("m"), 1, 15).as("h"))
+      .as[(Long, Long)]
     sh.groupByKey(_._1)
       .mapGroups { (sid, it) =>
         val mins = Array.fill(numHashes)(Long.MaxValue)
-        it.foreach { case (_, h1, h2) =>
-          // h_j = (h1 + (j+1)·h2) mod p by incremental addition: h1, h2
-          // are 60-bit (< p), so acc + h2 < 2p < 2^62 never overflows a
-          // signed long and one conditional subtraction is an exact mod —
-          // valid for ANY numHashes, no multiply, no 128-bit intermediate.
-          var acc = h1
+        it.foreach { case (_, h) =>
           var j = 0
           while (j < numHashes) {
-            acc += h2
-            if (acc >= p) acc -= p
-            if (acc < mins(j)) mins(j) = acc
+            // (a·h + b) mod p exactly, no 128-bit type: with the product
+            // a·h = hi·2^64 + lo and 2^61 ≡ 1 (mod p), the residue is
+            // hi·8 + (lo >>> 61) + (lo & p) (each term < 2^61, sum < 2^63
+            // — no signed overflow), then ≤3 conditional subtractions.
+            val a = as(j)
+            val hi = Math.multiplyHigh(a, h)
+            val lo = a * h
+            var v = (hi << 3) + (lo >>> 61) + (lo & p) + bs(j)
+            while (v >= p) v -= p
+            if (v < mins(j)) mins(j) = v
             j += 1
           }
         }

@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side machinery here is real — binary columns, typed
   * `Dataset[T]` with case-class encoders, `mapPartitions` batch-shaped
-  * decode, frame sampling via array ops. The actual media *decode* is a
-  * clearly-marked deterministic fake (`FakeDecode`): the container has no
-  * image/audio libraries, so the stub derives "metadata" from the bytes in
-  * a reproducible way. Swapping `FakeDecode.decode` for a JNI/javacv call
-  * changes nothing else.
+  * decode, frame sampling via array ops. Image decode is real too:
+  * [[ImageIoDecode]] reads true dimensions/format from PNG/JPEG/GIF/BMP
+  * headers via the JDK's `javax.imageio` (no external libraries).
+  * Audio/video decode stays behind the same seam as a clearly-marked
+  * deterministic fake ([[FakeDecode]] — no codec libraries in this
+  * container); swapping in a JNI/javacv call changes nothing else. The
+  * registered oracle queries use FakeDecode so DuckDB can replay the
+  * metadata byte-exactly; ImageIoDecode is gated by the same contract
+  * spec plus real generated-image tests.
   *
   * Scale notes: binary payloads dominate row size → keep them out of
   * shuffles (derive metadata early, project blobs away before wide ops);
@@ -60,6 +64,44 @@ object Multimodal {
       val h = if (bytes.length > 1) ((bytes(1) & 0xff) % 64) + 1 else 0
       val tag = if (bytes.length % 2 == 0) "imgA" else "imgB"
       (w, h, tag)
+    }
+  }
+
+  /** REAL image decoder over the JDK's built-in `javax.imageio` — no
+    * external libraries. Decodable payloads (PNG/JPEG/GIF/BMP — whatever
+    * the JVM's registered ImageReaders handle) return their true pixel
+    * dimensions and format name; undecodable bytes fall back to the same
+    * deterministic byte-derived pseudo-metadata as [[FakeDecode]] with an
+    * `undecodable` tag, keeping the decoder total and
+    * contract-compliant (positive dims for non-empty payloads).
+    * Audio/video remain env-blocked (no codec libraries in the JVM) —
+    * they stay behind the same seam.
+    */
+  object ImageIoDecode extends MediaDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, String) = {
+      if (bytes.isEmpty) return (0, 0, "empty")
+      try {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (readers.hasNext) {
+            val r = readers.next()
+            try {
+              r.setInput(in)
+              // header-only read: width/height/format come from the
+              // image header without decoding pixel data — this is the
+              // metadata-extraction fast path a 100 TB scan wants
+              (r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase)
+            } finally r.dispose()
+          } else fallback(bytes)
+        } finally if (in != null) in.close()
+      } catch { case _: Exception => fallback(bytes) }
+    }
+
+    private def fallback(bytes: Array[Byte]): (Int, Int, String) = {
+      val (w, h, _) = FakeDecode.decode(bytes)
+      (w, h, "undecodable")
     }
   }
 

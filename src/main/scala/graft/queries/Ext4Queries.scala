@@ -55,37 +55,16 @@ object Ext4Queries {
           t(s, d, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 64, bands = 16
         ),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
-             |  FROM documents
-             |), sh AS (
-             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
-             |), h AS (
-             |  SELECT doc_id,
-             |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
-             |    CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) AS h2
-             |  FROM sh
-             |), lanes AS (
-             |  SELECT doc_id, g.j,
-             |    MIN(CAST((CAST(h1 AS HUGEINT) + (g.j + 1) * CAST(h2 AS HUGEINT))
-             |              % 2305843009213693951 AS BIGINT)) AS mv
-             |  FROM h, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) g
-             |  GROUP BY 1, 2
-             |), bnd AS (
-             |  SELECT doc_id, j // 4 AS band,
-             |    CAST(('0x' || substr(md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY j)), 1, 15)) AS BIGINT) AS bh
-             |  FROM lanes GROUP BY doc_id, j // 4
-             |), pairs AS (
-             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-             |SELECT p.id_a, p.id_b,
-             |  CAST(SUM(CASE WHEN la.mv = lb.mv THEN 1 ELSE 0 END) AS BIGINT) AS matched,
-             |  CAST(SUM(CASE WHEN la.mv = lb.mv THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard
-             |FROM pairs p
-             |JOIN lanes la ON la.doc_id = p.id_a
-             |JOIN lanes lb ON lb.doc_id = p.id_b AND lb.j = la.j
-             |GROUP BY 1, 2""".stripMargin),
+      Some(s"""WITH ${ExtQueries.minhashCtes(64, 16)}, pairs AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+              |SELECT p.id_a, p.id_b,
+              |  CAST(SUM(CASE WHEN la.mv = lb.mv THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+              |  CAST(SUM(CASE WHEN la.mv = lb.mv THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard
+              |FROM pairs p
+              |JOIN lanes la ON la.doc_id = p.id_a
+              |JOIN lanes lb ON lb.doc_id = p.id_b AND lb.j = la.j
+              |GROUP BY 1, 2""".stripMargin),
       "MinHash lane-agreement Jaccard estimate per LSH candidate pair"
     ),
 

@@ -26,6 +26,41 @@ object ExtQueries {
       .mkString("[", ",", "]")
   }
 
+  /** Shared DuckDB CTE prefix replaying the MinHash chain lane-exactly:
+    * 3-gram shingles → 60-bit md5 chunk → per-lane `(a_j·h + b_j) mod
+    * (2^61−1)` mins (the per-lane constants are embedded verbatim from
+    * [[graft.ops.Dedup.laneCoeffs]] as a VALUES table — same literal-
+    * embedding precedent as [[srpSignArray]]) → md5 band keys.
+    */
+  private[queries] def minhashCtes(numHashes: Int, bands: Int): String = {
+    val r = numHashes / bands
+    val values = graft.ops.Dedup
+      .laneCoeffs(numHashes)
+      .zipWithIndex
+      .map { case ((a, b), j) => s"($j,$a,$b)" }
+      .mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+       |), h AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+       |  FROM sh
+       |), coeffs(j, a, b) AS (VALUES $values),
+       |lanes AS (
+       |  SELECT doc_id, c.j,
+       |    MIN(CAST((c.a * CAST(h.h AS HUGEINT) + c.b) % 2305843009213693951 AS BIGINT)) AS mv
+       |  FROM h, coeffs c
+       |  GROUP BY 1, 2
+       |), bnd AS (
+       |  SELECT doc_id, j // $r AS band,
+       |    CAST(('0x' || substr(md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY j)), 1, 15)) AS BIGINT) AS bh
+       |  FROM lanes GROUP BY doc_id, j // $r
+       |)""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     // ---- exact dedup: hash-groupBy, one shuffle on the content hash ----
     "dedup_exact" -> QueryDef(
@@ -67,39 +102,18 @@ object ExtQueries {
     // ---- MinHash + LSH banding: the 100 TB candidate-generation path.
     //      The whole chain is md5 + modular integer arithmetic (no RNG,
     //      no engine-private hash), so the oracle replays it EXACTLY:
-    //      shingles → two 60-bit md5 chunks → 64 lanes of
-    //      (h1+(j+1)·h2) mod (2^61−1) via HUGEINT → per-lane mins →
-    //      md5 band keys → same-bucket pairs. ----
+    //      shingles → 60-bit md5 chunk → 64 lanes of (a_j·h + b_j) mod
+    //      (2^61−1) via HUGEINT → per-lane mins → md5 band keys →
+    //      same-bucket pairs (CTEs shared with dedup_minhash_est). ----
     "dedup_minhash_lsh" -> QueryDef(
       (s, d) =>
         Dedup.lshCandidatePairs(
           t(s, d, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 64, bands = 16
         ),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
-             |  FROM documents
-             |), sh AS (
-             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
-             |), h AS (
-             |  SELECT doc_id,
-             |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
-             |    CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) AS h2
-             |  FROM sh
-             |), lanes AS (
-             |  SELECT doc_id, g.j,
-             |    MIN(CAST((CAST(h1 AS HUGEINT) + (g.j + 1) * CAST(h2 AS HUGEINT))
-             |              % 2305843009213693951 AS BIGINT)) AS mv
-             |  FROM h, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) g
-             |  GROUP BY 1, 2
-             |), bnd AS (
-             |  SELECT doc_id, j // 4 AS band,
-             |    CAST(('0x' || substr(md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY j)), 1, 15)) AS BIGINT) AS bh
-             |  FROM lanes GROUP BY doc_id, j // 4
-             |)
-             |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin),
+      Some(s"""WITH ${minhashCtes(64, 16)}
+              |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin),
       "LSH candidate banding, replayed lane-exact by the oracle; recall also pinned in DedupSpec"
     ),
 
@@ -1386,9 +1400,9 @@ object Ext2Queries {
 
     // THE scalable dedup recipe: LSH candidates → exact Jaccard verify on
     // candidates only. The oracle is the full exact-Jaccard pair set: LSH
-    // banding is deterministic (md5-chunk double hashing mod 2^61−1, no
-    // RNG), and at 64 hashes / 16 bands its recall on ≥0.8-Jaccard pairs
-    // is exact on the fixtures (candidates ⊇ exact pairs pinned in
+    // banding is deterministic (per-lane affine md5 hashing mod 2^61−1,
+    // no RNG), and at 64 hashes / 16 bands its recall on ≥0.8-Jaccard
+    // pairs is exact on the fixtures (candidates ⊇ exact pairs pinned in
     // DedupSpec), so the verified output equals the exact set.
     "dedup_minhash_verified" -> QueryDef(
       (s, d) =>

@@ -76,6 +76,36 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("lshCandidatePairsWithEst: lane agreement is an unbiased Jaccard estimator (4-sigma per pair, tight mean)") {
+    // The statistical min-wise-independence check: for a sound family,
+    // matched ~ Binomial(64, J) per pair, so est must sit within 4 sigma
+    // of the EXACT Jaccard (from integer shingle evidence) pair by pair,
+    // and the signed error must average out near zero across pairs. A
+    // correlated family (the round-5 bug) concentrates matched at the
+    // extremes and fails both.
+    val exact = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", 3, 1, 2) // J >= 0.5: wide J range
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (a, b, i, sa, sb) => (a, b) -> i.toDouble / (sa + sb - i) }.toMap
+    val est = Dedup
+      .lshCandidatePairsWithEst(docs, "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    val common = exact.keySet.intersect(est.keySet)
+    assert(common.size >= 10, s"need enough overlapping pairs, got ${common.size}")
+    val errs = common.toSeq.map { p =>
+      val j = exact(p)
+      val sigma = math.sqrt(j * (1 - j) / 64).max(1.0 / 64)
+      val err = est(p) - j
+      assert(math.abs(err) <= 4 * sigma, s"pair $p: est ${est(p)} vs J $j (${err / sigma} sigma)")
+      err
+    }
+    val meanErr = errs.sum / errs.size
+    assert(math.abs(meanErr) < 0.05, s"biased estimator: mean error $meanErr over ${errs.size} pairs")
+  }
+
   test("pqEncode: one code per (vector, subspace), codes in range, codebook self-encodes") {
     val out = Similarity
       .pqEncode(embs, "vec_id", "embedding", subspaces = 4, subDim = 16, nCodes = 8)

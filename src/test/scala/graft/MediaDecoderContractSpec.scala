@@ -10,7 +10,34 @@ import org.scalatest.funsuite.AnyFunSuite
 class MediaDecoderContractSpec extends AnyFunSuite {
 
   private val implementations: Seq[(String, Multimodal.MediaDecoder)] =
-    Seq("FakeDecode" -> Multimodal.FakeDecode)
+    Seq("FakeDecode" -> Multimodal.FakeDecode, "ImageIoDecode" -> Multimodal.ImageIoDecode)
+
+  /** An in-memory image encoded via the JDK's own writers — real bytes in
+    * the named format, no fixtures or external tools needed.
+    */
+  private def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos), s"JDK cannot encode $format")
+    bos.toByteArray
+  }
+
+  test("ImageIoDecode: true header dimensions and format for real PNG/JPEG/BMP/GIF bytes") {
+    Seq("png", "jpeg", "bmp", "gif").foreach { fmt =>
+      val (w, h, tag) = Multimodal.ImageIoDecode.decode(imageBytes(37, 21, fmt))
+      assert((w, h) == (37, 21), s"$fmt decoded as ${w}x$h")
+      assert(tag == fmt, s"$fmt tagged $tag")
+    }
+  }
+
+  test("ImageIoDecode: non-image bytes fall back deterministically with an undecodable tag") {
+    val junk = "not an image at all".getBytes("UTF-8")
+    val (w, h, tag) = Multimodal.ImageIoDecode.decode(junk)
+    assert(tag == "undecodable")
+    assert(w > 0 && h > 0)
+    assert(Multimodal.ImageIoDecode.decode(junk.clone()) == ((w, h, tag)))
+  }
 
   private val payloads: Seq[Array[Byte]] = Seq(
     Array.emptyByteArray,

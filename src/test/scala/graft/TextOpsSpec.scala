@@ -96,6 +96,25 @@ class TextOpsSpec extends SparkSpec {
     assert(decoded(2L).fake_width == 0)
   }
 
+  test("multimodal: real JDK image decode runs distributed through extractMeta") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, png(8, 4)),
+      Multimodal.MediaRecord(2L, png(3, 9)),
+      Multimodal.MediaRecord(3L, "plain text bytes".getBytes("UTF-8"))
+    ).toDS().repartition(2) // >1 partition: decode must work per-executor-task
+    val out = Multimodal.extractMeta(spark, recs, Multimodal.ImageIoDecode)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).fake_width == 8 && out(1L).fake_height == 4 && out(1L).format_tag == "png")
+    assert(out(2L).fake_width == 3 && out(2L).fake_height == 9 && out(2L).format_tag == "png")
+    assert(out(3L).format_tag == "undecodable")
+  }
+
   test("lmQuality: doc-frequency sums, rare counts, and the single-division mean") {
     // corpus: "the" in all 3 docs (df=3), "cat"/"dog" in one each (df=1),
     // "sat" in two (df=2); doc 4 is empty and yields no row
