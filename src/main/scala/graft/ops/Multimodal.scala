@@ -105,6 +105,34 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder over the JDK's built-in `javax.sound.sampled` —
+    * no external libraries. Decodable payloads (WAV/AIFF/AU — the JVM's
+    * registered AudioFileReaders) return (frameLength, channels,
+    * formatType) from the file header alone; undecodable bytes fall back
+    * like [[ImageIoDecode]]. Width carries the frame count and height the
+    * channel count — the two integers a sampling/segmentation pipeline
+    * partitions on. Video alone stays env-blocked (no container/codec
+    * parsers in the JDK).
+    */
+  object AudioDecode extends MediaDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, String) = {
+      if (bytes.isEmpty) return (0, 0, "empty")
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val frames = aff.getFrameLength
+        val channels = aff.getFormat.getChannels
+        (if (frames > 0) frames else 1,
+          if (channels > 0) channels else 1,
+          aff.getType.toString.toLowerCase)
+      } catch {
+        case _: Exception =>
+          val (w, h, _) = FakeDecode.decode(bytes)
+          (w, h, "undecodable")
+      }
+    }
+  }
+
   /** Attach a binary media column. On the fixtures the document text bytes
     * stand in for an image payload; in production this is the raw blob
     * column of the table.

@@ -119,6 +119,41 @@ object Ext4Queries {
       "hash-keyed deterministic corpus shuffle into 8 training shards"
     ),
 
+    // ---- temperature-balanced mixture sampling (alpha = 0.5): per-source
+    //      keep rate sqrt(n_min/n_s) up-weights small sources relative to
+    //      big ones — the standard multilingual/multi-domain pretraining
+    //      rebalance. Rates are sqrt+divide of exact integer counts (both
+    //      correctly-rounded IEEE ops → identical doubles on both
+    //      engines); keeps are deterministic md5 uniforms, so the sample
+    //      is exactly reproducible. One agg + one broadcast join. ----
+    "q_mixture_temperature" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+        val nmin = counts.agg(min(col("n_s")).as("n_min"))
+        val rates = counts
+          .crossJoin(broadcast(nmin))
+          .select(
+            col("source"),
+            (sqrt(col("n_min").cast("double")) / sqrt(col("n_s").cast("double"))).as("keep_rate"))
+        val u = conv(substring(md5(concat(lit("mixtemp:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+        docs
+          .join(broadcast(rates), "source")
+          .filter(u < col("keep_rate"))
+          .select(col("doc_id"), col("source"))
+      },
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+             |m AS (SELECT MIN(n_s) AS n_min FROM c),
+             |r AS (SELECT source, sqrt(CAST(n_min AS DOUBLE)) / sqrt(CAST(n_s AS DOUBLE)) AS keep_rate
+             |      FROM c, m)
+             |SELECT d.doc_id, d.source
+             |FROM documents d JOIN r ON r.source = d.source
+             |WHERE CAST(('0x' || substr(md5('mixtemp:' || CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+             |      / 4503599627370496.0 < r.keep_rate""".stripMargin),
+      "temperature (alpha=0.5) source rebalance, deterministic md5 keeps"
+    ),
+
     // ---- per-source corpus observability: volume, exact-dup rate, size,
     //      language spread — the report a curation run publishes ----
     "q_corpus_report" -> QueryDef(

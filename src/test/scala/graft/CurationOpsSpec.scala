@@ -139,6 +139,25 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_mixture_temperature: smallest source kept whole, rates monotone in size, deterministic") {
+    val fn = Ext4Queries.defs.toMap.apply("q_mixture_temperature").fn
+    val kept = fn(spark, sf("sf0.001")).as[(Long, String)].collect()
+    val total = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val keptBySource = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val minSource = total.minBy(_._2)._1
+    // keep_rate(min source) = 1 → every doc of the smallest source survives
+    assert(keptBySource(minSource) == total(minSource))
+    // empirical keep fraction tracks sqrt(n_min/n_s) (binomial tolerance)
+    total.foreach { case (src, n) =>
+      val rate = math.sqrt(total(minSource).toDouble / n)
+      val got = keptBySource.getOrElse(src, 0L).toDouble / n
+      val tol = 4 * math.sqrt(rate * (1 - rate) / n) + 1.0 / n
+      assert(math.abs(got - rate) <= tol, s"$src: kept $got vs rate $rate (n=$n)")
+    }
+    // deterministic: second run returns the identical set
+    assert(fn(spark, sf("sf0.001")).as[(Long, String)].collect().toSet == kept.toSet)
+  }
+
   test("q_corpus_report: totals reconcile with the raw table") {
     val rep = Ext4Queries.defs.toMap.apply("q_corpus_report").fn(spark, sf("sf0.001")).collect()
     assert(rep.map(_.getAs[Long]("n_docs")).sum == docs.count())

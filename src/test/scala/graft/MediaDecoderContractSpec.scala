@@ -10,7 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class MediaDecoderContractSpec extends AnyFunSuite {
 
   private val implementations: Seq[(String, Multimodal.MediaDecoder)] =
-    Seq("FakeDecode" -> Multimodal.FakeDecode, "ImageIoDecode" -> Multimodal.ImageIoDecode)
+    Seq(
+      "FakeDecode" -> Multimodal.FakeDecode,
+      "ImageIoDecode" -> Multimodal.ImageIoDecode,
+      "AudioDecode" -> Multimodal.AudioDecode)
 
   /** An in-memory image encoded via the JDK's own writers — real bytes in
     * the named format, no fixtures or external tools needed.
@@ -29,6 +32,35 @@ class MediaDecoderContractSpec extends AnyFunSuite {
       assert((w, h) == (37, 21), s"$fmt decoded as ${w}x$h")
       assert(tag == fmt, s"$fmt tagged $tag")
     }
+  }
+
+  /** A real PCM WAV file encoded by the JDK's own writer. */
+  private def wavBytes(frames: Int, channels: Int, sampleRate: Float): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    (0 until pcm.length).foreach(i => pcm(i) = ((i * 7) & 0x7f).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("AudioDecode: true frame/channel counts and type for real WAV bytes") {
+    val (frames, channels, tag) = Multimodal.AudioDecode.decode(wavBytes(480, 2, 16000f))
+    assert(frames == 480, s"frames $frames")
+    assert(channels == 2, s"channels $channels")
+    assert(tag == "wave", s"tag $tag")
+    val mono = Multimodal.AudioDecode.decode(wavBytes(100, 1, 8000f))
+    assert(mono == ((100, 1, "wave")), mono)
+  }
+
+  test("AudioDecode: non-audio bytes fall back deterministically with an undecodable tag") {
+    val junk = "definitely not audio".getBytes("UTF-8")
+    val (w, h, tag) = Multimodal.AudioDecode.decode(junk)
+    assert(tag == "undecodable")
+    assert(w > 0 && h > 0)
+    assert(Multimodal.AudioDecode.decode(junk.clone()) == ((w, h, tag)))
   }
 
   test("ImageIoDecode: non-image bytes fall back deterministically with an undecodable tag") {
