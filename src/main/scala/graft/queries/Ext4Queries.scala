@@ -154,6 +154,48 @@ object Ext4Queries {
       "temperature (alpha=0.5) source rebalance, deterministic md5 keeps"
     ),
 
+    // ---- streaming exact dedup: dropDuplicatesWithinWatermark drained
+    //      AvailableNow. Only the key set is emitted (which physical row
+    //      survives same-batch dedup is arrival-order dependent; the set
+    //      is deterministic and equals batch DISTINCT). ----
+    "q_stream_dedup" -> QueryDef(
+      (s, d) =>
+        graft.streaming.EventStream.dedupRunOnce(s, s"$d/events.parquet", "10 minutes"),
+      Some("SELECT DISTINCT user_id, event_type FROM events"),
+      "watermark-bounded streaming dedup; surviving key set = batch DISTINCT"
+    ),
+
+    // ---- sketch aggregate #2: approximate percentile, checked against
+    //      its rank-error contract (like q_approx_count_distinct's 3·rsd
+    //      bound): the returned value's exact-rank interval must overlap
+    //      the target rank ± n/accuracy. Spark emits the measured
+    //      verdict, DuckDB emits TRUE from the exact ranks. ----
+    "q_approx_percentile" -> QueryDef(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val apx = li
+          .groupBy("l_returnflag")
+          .agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__apx"),
+            count(lit(1)).as("__n"))
+        li.join(broadcast(apx), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(col("l_extendedprice") <= col("__apx"), 1L).otherwise(0L)).as("__le"),
+            sum(when(col("l_extendedprice") < col("__apx"), 1L).otherwise(0L)).as("__lt"),
+            max(col("__n")).as("__n"))
+          .select(
+            col("l_returnflag"),
+            (col("__le").cast("double") >= lit(0.5) * col("__n").cast("double")
+              - col("__n").cast("double") / 1000.0 - 2.0 &&
+              (col("__lt") + 1).cast("double") <= lit(0.5) * col("__n").cast("double")
+              + col("__n").cast("double") / 1000.0 + 2.0).as("within_bound"))
+      },
+      Some("""SELECT l_returnflag, TRUE AS within_bound
+             |FROM lineitem GROUP BY 1""".stripMargin),
+      "approx median checked against its n/accuracy rank-error contract"
+    ),
+
     // ---- per-source corpus observability: volume, exact-dup rate, size,
     //      language spread — the report a curation run publishes ----
     "q_corpus_report" -> QueryDef(

@@ -306,6 +306,25 @@ object EventStream {
     drainToTable(spark, sessionizeStream(in, gapMs).toDF(), "sess", "append", srcPath)
   }
 
+  /** [[dedupWithinWatermark]] driven end-to-end through an AvailableNow
+    * drain over the events fixture: one survivor per (user_id,
+    * event_type) key, re-deliveries within the watermark dropped. Only
+    * the KEY columns are emitted: which physical row survives a
+    * same-batch dedup depends on partition arrival order (not
+    * deterministic), but the surviving key set is — it equals the batch
+    * DISTINCT the oracle replays.
+    */
+  def dedupRunOnce(spark: SparkSession, srcPath: String, watermarkDelay: String): DataFrame = {
+    val in = streamEvents(spark, srcPath)
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"),
+        col("ts"))
+    val deduped = dedupWithinWatermark(in, "ts", watermarkDelay, Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+    drainToTable(spark, deduped, "dedup", "append", srcPath)
+  }
+
   /** Stream a parquet events fixture (file or directory; the fixture's
     * TIMESTAMP(NANOS) column is read as a long and truncated to µs,
     * exactly like the batch loader graft.queries.Tables.t). The file
