@@ -155,6 +155,52 @@ object Similarity {
       .select(col("cid").as("vec_id"), col("centroid_id"))
   }
 
+  /** SemDeDup-style semantic dedup: quantize the corpus into coarse cells
+    * (nearest-centroid assignment, same convention as [[clusterAssign]]),
+    * then prune within each cell — a row is dropped when a LOWER-id row in
+    * the same cell has cosine ≥ threshold. Emits every input row with its
+    * cell and keep/drop verdict, so the caller can filter or audit.
+    *
+    * Scale shape: the pairwise stage runs per cell via a shuffled hash
+    * join on `centroid_id` — never a global cross join. k grows with the
+    * corpus, holding cell population (and the per-cell O(m²) verify)
+    * bounded. Cross-cell near-dups are deliberately out of scope: that is
+    * the SemDeDup trade-off (recall bounded by the quantizer) that makes
+    * the method linear-ish and lets it run over web-scale corpora.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      threshold: Double
+  ): DataFrame = {
+    val base = prepBase(emb, idCol, vecCol)
+    val assigned = clusterAssign(emb, idCol, vecCol, k)
+    val cells = assigned
+      .join(base, col("vec_id") === col("cid"))
+      .select(col("vec_id"), col("centroid_id"), col("v"), col("nrm"))
+    val a = cells.select(
+      col("vec_id").as("id_a"), col("centroid_id").as("cell"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = cells.select(
+      col("vec_id").as("id_b"), col("centroid_id").as("cell"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a
+      .join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(fastDot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+      .withColumn("is_dup", lit(true))
+    assigned
+      .join(dropped, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("centroid_id"),
+        coalesce(!col("is_dup"), lit(true)).as("kept"))
+  }
+
   /** Product-quantization encode: split each vector into `subspaces`
     * contiguous `subDim`-wide subvectors and assign every subvector the id
     * of its most-cosine-similar code from that subspace's codebook (the

@@ -92,6 +92,36 @@ object Ext4Queries {
       "PQ encode: per-subspace nearest-code assignment, oracle-replayed"
     ),
 
+    // ---- SemDeDup: coarse-quantize into cells (nearest of 8 fixed
+    //      centroids, same convention as emb_cluster_assign), then drop
+    //      any row whose cell holds a lower-id row at cosine ≥ 0.35.
+    //      The O(m²) verify never leaves a cell — the linear-ish recipe
+    //      for semantic dedup over web-scale embedding corpora ----
+    "dedup_semantic" -> QueryDef(
+      (s, d) =>
+        Similarity.semanticDedup(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, threshold = 0.35
+        ).withColumn("centroid_id", col("centroid_id").cast("long")),
+      Some("""WITH cl AS (
+             |  SELECT vid AS vec_id, cid AS centroid_id FROM (
+             |    SELECT v.vec_id AS vid, c.vec_id AS cid,
+             |      row_number() OVER (PARTITION BY v.vec_id
+             |        ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+             |                 c.vec_id) AS rn
+             |    FROM embeddings v, embeddings c WHERE c.vec_id < 8
+             |  ) WHERE rn = 1),
+             |m AS (SELECT cl.vec_id, cl.centroid_id, CAST(e.embedding AS DOUBLE[]) AS v
+             |      FROM cl JOIN embeddings e USING (vec_id)),
+             |drp AS (SELECT DISTINCT b.vec_id FROM m a JOIN m b
+             |        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+             |        WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+             |SELECT m.vec_id, CAST(m.centroid_id AS BIGINT) AS centroid_id,
+             |       m.vec_id NOT IN (SELECT vec_id FROM drp) AS kept
+             |FROM m""".stripMargin),
+      "SemDeDup: per-cell cosine pruning after coarse quantization"
+    ),
+
     // ---- deterministic global shuffle into training shards: md5-keyed
     //      permutation via the partitioned global rank (no single-task
     //      window), then round-robin shard + in-shard position ----

@@ -161,4 +161,24 @@ class SimilaritySpec extends SparkSpec {
     val recall = hits.sum.toDouble / hits.size
     assert(recall > 0.25, s"ANN recall@5 = $recall (2 planes, random 64-dim data)")
   }
+
+  test("semanticDedup equals brute-force per-cell pruning; keeps exactly one per dup chain") {
+    val df = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding", k = 8, threshold = 0.35)
+      .as[(Long, Long, Boolean)].collect()
+    val n = df.count()
+    assert(out.length == n, "one verdict per input row")
+    // reference computation: exact pairs restricted to same-cell members
+    val cells = Similarity.clusterAssign(df, "vec_id", "embedding", 8)
+      .as[(Long, Long)].collect().toMap
+    val exactPairs = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.35)
+      .as[(Long, Long)].collect()
+      .filter { case (a, b) => cells(a) == cells(b) }
+    val expectedDropped = exactPairs.map(_._2).toSet
+    val gotDropped = out.filter(!_._3).map(_._1).toSet
+    assert(gotDropped == expectedDropped)
+    assert(out.forall { case (id, cell, _) => cells(id) == cell })
+    // the survivor set must still cover every cell that had members
+    assert(out.filter(_._3).map(_._2).toSet == cells.values.toSet)
+  }
 }
