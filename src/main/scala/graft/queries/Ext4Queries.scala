@@ -92,6 +92,32 @@ object Ext4Queries {
       "PQ encode: per-subspace nearest-code assignment, oracle-replayed"
     ),
 
+    // ---- hashing-trick linear classifier (fastText-style scoring with
+    //      a deterministic md5 weight table): token → 52-bit md5 chunk
+    //      mod 4096 bucket → md5-derived integer weight in [-1000,1000],
+    //      BIGINT sum per doc — integer-exact in both engines ----
+    "text_hash_classifier" -> QueryDef(
+      (s, d) => TextOps.hashClassifier(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(
+             |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '')) AS t
+             |  FROM documents
+             |), w AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT) % 4096 AS b
+             |  FROM toks
+             |), sc AS (
+             |  SELECT doc_id,
+             |    COUNT(*) AS n_tokens,
+             |    SUM(CAST(('0x' || substr(md5('graft-clf:' || CAST(b AS VARCHAR)), 1, 13)) AS BIGINT) % 2001 - 1000) AS score_raw
+             |  FROM w GROUP BY 1)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(score_raw AS BIGINT) AS score_raw, score_raw > 0 AS label
+             |FROM sc""".stripMargin),
+      "hashing-trick linear scorer with md5-derived weights, integer-exact"
+    ),
+
     // ---- SemDeDup: coarse-quantize into cells (nearest of 8 fixed
     //      centroids, same convention as emb_cluster_assign), then drop
     //      any row whose cell holds a lower-id row at cosine ≥ 0.35.

@@ -211,4 +211,29 @@ class TextOpsSpec extends SparkSpec {
     assert(frames.filter(_._1 == 1L).map(_._3).toSet == Set(0, 64, 128))
     assert(!frames.exists(_._1 == 2L))
   }
+
+  test("hashClassifier: score equals an independent JVM replay of the md5 weight table") {
+    // independent replay (MessageDigest, not Catalyst) of bucket+weight
+    def chunk52(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    def weight(tok: String): Long = {
+      val b = chunk52(tok) % 4096
+      chunk52(s"graft-clf:$b") % 2001 - 1000
+    }
+    val df = Seq(
+      (1L, "The quick brown fox, the lazy dog!"),
+      (2L, ""),                       // totality: no tokens
+      (3L, "spark spark spark")       // occurrences counted, not types
+    ).toDF("doc_id", "text")
+    val out = TextOps.hashClassifier(df, "doc_id", "text")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val exp1 = Seq("the", "quick", "brown", "fox", "the", "lazy", "dog").map(weight).sum
+    assert(out(1L) == ((7L, exp1, exp1 > 0)))
+    assert(out(2L) == ((0L, 0L, false)))
+    assert(out(3L) == ((3L, 3 * weight("spark"), 3 * weight("spark") > 0)))
+  }
 }
