@@ -515,4 +515,67 @@ object Dedup {
       .distinct()
     materializeAndRelease(pairs, sig)
   }
+
+  /** Sub-document (paragraph/line-level) corpus dedup, the CCNet recipe:
+    * split every document into fixed `chunkTokens`-token chunks, keep only
+    * the corpus-wide FIRST occurrence of each distinct chunk (ordered by
+    * (doc id, chunk index)), and reassemble the surviving chunks into a
+    * cleaned text. Boilerplate that repeats across millions of pages
+    * (headers, footers, license blurbs) disappears from every copy but
+    * the first.
+    *
+    * Scale shape: exactly two shuffles — one hash-shuffle on the chunk
+    * hash for the first-occurrence argmin (map-side partial min), one on
+    * the doc id for reassembly. No self-join, no pair space, state is one
+    * (hash → argmin key) row per DISTINCT chunk. The chunk index is
+    * packed with the doc id into one long (doc_id·4096 + idx) so the
+    * argmin shuffles an 8-byte key, not a struct.
+    *
+    * Documents whose token count is zero vanish (no chunks) — same
+    * totality contract as the oracle's explode.
+    */
+  def chunkDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 8
+  ): DataFrame = {
+    val maxChunks = 4096L // packing bound: idx must fit the low bits
+    val ts = TextOps.tokens(TextOps.normalize(col(textCol)))
+    // Column./ is true division (0.5 for one token at width 2) — floor()
+    // it back to the integer ceil-div, and guard the sequence() bound:
+    // Spark's sequence(0, -1) counts DOWN (see shinglesFromTokens)
+    val nChunks = floor((size(col("__ts")) + (chunkTokens - 1)) / chunkTokens).cast("int")
+    val chunks = df
+      .select(col(idCol).as("__id"), ts.as("__ts"))
+      .select(
+        col("__id"),
+        when(nChunks > 0, sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast("array<int>")).as("__cis"),
+        col("__ts"))
+      .select(col("__id"), explode(col("__cis")).as("ci"), col("__ts"))
+      .select(
+        col("__id"), col("ci"),
+        concat_ws(" ", slice(col("__ts"), col("ci") * chunkTokens + 1, lit(chunkTokens))).as("chunk"))
+      .select(
+        col("__id"), col("ci"), col("chunk"),
+        md5(col("chunk")).as("h"),
+        (col("__id") * maxChunks + col("ci")).as("okey"))
+    val firstSeen = chunks.groupBy("h").agg(min(col("okey")).as("first_okey"))
+    chunks
+      .join(firstSeen, "h")
+      .withColumn("kept", col("okey") === col("first_okey"))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("total_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_chunks"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("ci"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ").as("cleaned_text"))
+      .select(
+        col("__id").as(idCol),
+        col("total_chunks"), col("kept_chunks"), col("cleaned_text"))
+  }
 }

@@ -92,6 +92,34 @@ object Ext4Queries {
       "PQ encode: per-subspace nearest-code assignment, oracle-replayed"
     ),
 
+    // ---- CCNet-style sub-document dedup: 8-token chunks, corpus-wide
+    //      first-occurrence keep ordered by (doc_id, chunk idx), text
+    //      reassembled from survivors. Two shuffles (chunk hash, doc id);
+    //      no pair space ----
+    "dedup_paragraph" -> QueryDef(
+      (s, d) => Dedup.chunkDedup(t(s, d, "documents"), "doc_id", "text", chunkTokens = 8),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(
+             |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
+             |  FROM documents),
+             |ci AS (
+             |  SELECT doc_id, ts, unnest(generate_series(0, (len(ts) + 7) // 8 - 1)) AS ci
+             |  FROM d),
+             |ch AS (
+             |  SELECT doc_id, ci,
+             |    array_to_string(list_slice(ts, ci * 8 + 1, ci * 8 + 8), ' ') AS chunk,
+             |    doc_id * 4096 + ci AS okey
+             |  FROM ci),
+             |fo AS (SELECT md5(chunk) AS h, MIN(okey) AS first_okey FROM ch GROUP BY 1)
+             |SELECT ch.doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS total_chunks,
+             |  CAST(SUM(CASE WHEN ch.okey = fo.first_okey THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+             |  COALESCE(string_agg(CASE WHEN ch.okey = fo.first_okey THEN ch.chunk END, ' ' ORDER BY ch.ci), '') AS cleaned_text
+             |FROM ch JOIN fo ON fo.h = md5(ch.chunk)
+             |GROUP BY 1""".stripMargin),
+      "sub-document chunk dedup: corpus-wide first-occurrence, text rebuilt"
+    ),
+
     // ---- hashing-trick linear classifier (fastText-style scoring with
     //      a deterministic md5 weight table): token → 52-bit md5 chunk
     //      mod 4096 bucket → md5-derived integer weight in [-1000,1000],

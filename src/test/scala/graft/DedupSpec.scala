@@ -124,4 +124,24 @@ class DedupSpec extends SparkSpec {
       .as[Seq[String]].collect()
     assert(out.forall(_.isEmpty))
   }
+
+  test("chunkDedup: corpus-wide first occurrence survives, text reassembled in order") {
+    // chunk size 2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [c d]
+    // repeated within doc 3 itself would also dedup — covered by doc 4
+    val df = docs(
+      1L -> "a b c d",
+      2L -> "a b x y",
+      3L -> "c d",
+      4L -> "p q p q p",   // [p q][p q][p] — 2nd chunk dups the 1st
+      5L -> ""             // zero tokens → no chunks → absent from output
+    )
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d")))      // first owner of both chunks
+    assert(out(2L) == ((2L, 1L, "x y")))          // "a b" already owned by doc 1
+    assert(out(3L) == ((1L, 0L, "")))             // "c d" already owned by doc 1
+    assert(out(4L) == ((3L, 2L, "p q p")))        // in-doc repeat dropped once
+    assert(!out.contains(5L))
+  }
 }
