@@ -252,6 +252,69 @@ object Similarity {
       .select(col("vid").as(idCol), col("s").cast("long").as("subspace"), col("code").cast("long").as("code"))
   }
 
+  /** PQ asymmetric-distance top-k (ADC): queries stay full-precision,
+    * the corpus is represented only by its PQ code word, and each
+    * candidate's score is the query's dot product with the candidate's
+    * RECONSTRUCTION — Σ over subspaces of a per-(query, subspace, code)
+    * lookup-table entry. The billion-scale ANN re-rank recipe: the LUT is
+    * |queries|·subspaces·nCodes rows (independent of corpus size,
+    * broadcast), the corpus side touches only its m small code columns
+    * (m·log2(k) bits per vector, not the raw floats), and the per-query
+    * result is bounded by the map-side TopKAgg. The ADC sum is a
+    * fixed-order chain (p0 + p1 + …), never a shuffled SUM — FP addition
+    * stays deterministic and oracle-replayable.
+    */
+  def pqAdcTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      queryPred: Column,
+      subspaces: Int,
+      subDim: Int,
+      nCodes: Int
+  ): DataFrame = {
+    ArrayDot.ensureRegistered(emb.sparkSession)
+    val base = emb.select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("v"))
+    // wide code word: one row per corpus vector, one column per subspace
+    val codes = pqEncode(emb, idCol, vecCol, subspaces, subDim, nCodes)
+    val codeAggs = (0 until subspaces)
+      .map(s => max(when(col("subspace") === s, col("code"))).as(s"c$s"))
+    val wide = codes
+      .groupBy(col(idCol).cast("long").as("vid"))
+      .agg(codeAggs.head, codeAggs.tail: _*)
+    // per-subspace codebook (same convention as pqEncode: first nCodes
+    // vectors' subvectors) and the per-query lookup table over it
+    val cbCols = (0 until subspaces).map { s =>
+      struct(lit(s).as("s"), slice(col("v"), s * subDim + 1, subDim).as("cv"))
+    }
+    val cb = base
+      .filter(col("cid") < nCodes)
+      .select(col("cid").as("code"), explode(array(cbCols: _*)).as("e"))
+      .select(col("code"), col("e.s").as("s"), col("e.cv").as("cv"))
+    val queries = base.filter(queryPred).select(col("cid").as("query_id"), col("v").as("qv"))
+    val lut = queries
+      .crossJoin(broadcast(cb))
+      .select(
+        col("query_id"), col("s"), col("code"),
+        fastDot(slice(col("qv"), col("s") * subDim + 1, lit(subDim)), col("cv")).as("p"))
+    // score: corpus codes × queries, one broadcast LUT join per subspace,
+    // fixed-order partial-sum chain
+    var scored = wide.crossJoin(broadcast(queries.select(col("query_id"))))
+    for (s <- 0 until subspaces) {
+      val l = lut
+        .filter(col("s") === s)
+        .select(col("query_id"), col("code").as(s"c$s"), col("p").as(s"p$s"))
+      scored = scored.join(broadcast(l), Seq("query_id", s"c$s"))
+    }
+    val adc = (0 until subspaces).map(s => col(s"p$s")).reduce(_ + _)
+    rankTopK(
+      scored
+        .filter(col("vid") =!= col("query_id"))
+        .select(col("query_id"), col("vid").as("neighbor_id"), adc.as("sim")),
+      k)
+  }
+
   /** Deterministic pseudo-random Rademacher hyperplane component for
     * (plane, dim): ±1 from a hash — no RNG state, identical on every
     * executor.
