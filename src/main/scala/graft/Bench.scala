@@ -27,7 +27,12 @@ object Bench {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 1).count()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated name filter (local iteration only; the
+    // driver never sets it and times the full inventory)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // isolate per-query timing: drop caches left by previous queries AND
       // their localCheckpoint result blocks — clearCache() does not touch
       // checkpoint RDD blocks, and leaving their release to the

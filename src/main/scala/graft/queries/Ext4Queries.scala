@@ -330,6 +330,56 @@ object Ext4Queries {
       "approx median checked against its n/accuracy rank-error contract"
     ),
 
+    // ---- hybrid retrieval: reciprocal-rank fusion of the lexical
+    //      (df-capped inverted index) and dense (exact cosine) top-20
+    //      lists, integer-scaled so the fusion replays exactly. Both
+    //      retrievers stay in their own scale shape; fusion only sees
+    //      ≤2·poolK bounded rows per query ----
+    "q_hybrid_rrf" -> QueryDef(
+      (s, d) =>
+        graft.ops.Retrieval.hybridRrfTopK(
+          t(s, d, "documents"), t(s, d, "embeddings"),
+          "doc_id", "text", "vec_id", "embedding",
+          k = 5, poolK = 20, rrfK = 60, queryMax = 50L, maxDf = 50
+        ),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '')) AS t
+             |  FROM documents
+             |), tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |kept AS (SELECT t FROM tf GROUP BY t HAVING COUNT(*) <= 50),
+             |idx AS (SELECT tf.doc_id, tf.t, tf.tf FROM tf JOIN kept USING (t)),
+             |sscored AS (
+             |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id, SUM(a.tf * b.tf) AS score
+             |  FROM idx a JOIN idx b ON a.t = b.t AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2),
+             |srk AS (
+             |  SELECT query_id, neighbor_id, rs FROM (
+             |    SELECT query_id, neighbor_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rs
+             |    FROM sscored) WHERE rs <= 20),
+             |drk AS (
+             |  SELECT query_id, neighbor_id, rd FROM (
+             |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+             |                 c.vec_id) AS rd
+             |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             |    WHERE q.vec_id < 50) WHERE rd <= 20),
+             |fused AS (
+             |  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+             |         COALESCE(s.neighbor_id, d.neighbor_id) AS neighbor_id,
+             |         COALESCE(1000000 // (60 + s.rs), 0) + COALESCE(1000000 // (60 + d.rd), 0) AS rrf_score
+             |  FROM (SELECT * FROM srk WHERE query_id < 50) s
+             |  FULL OUTER JOIN drk d
+             |    ON s.query_id = d.query_id AND s.neighbor_id = d.neighbor_id)
+             |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, CAST(rrf_score AS BIGINT) AS rrf_score
+             |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rank
+             |      FROM fused)
+             |WHERE rank <= 5""".stripMargin),
+      "reciprocal-rank fusion of lexical and dense top-k, integer-exact"
+    ),
+
     // ---- per-source corpus observability: volume, exact-dup rate, size,
     //      language spread — the report a curation run publishes ----
     "q_corpus_report" -> QueryDef(
