@@ -38,6 +38,68 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("pqAdcTopK ships every LUT join broadcast; corpus codes never shuffle for scoring") {
+    val plan = graft.ops.Similarity
+      .pqAdcTopK(
+        graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings"),
+        "vec_id", "embedding", k = 5, queryPred = col("cid") < 30,
+        subspaces = 4, subDim = 16, nCodes = 8)
+      .queryExecution.executedPlan.toString
+    // the per-(query, subspace, code) lookup tables are corpus-size-
+    // independent — each of the 4 scoring joins must be a broadcast hash
+    // join so the PQ-coded corpus is scored in one scan without moving.
+    // Exactly ONE nested-loop product is allowed: the deliberate
+    // corpus × query-batch expansion against the broadcast query list
+    // (the same shape cosineTopK uses — the batch is small by contract).
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 4, s"expected >=4 broadcast LUT joins, got $bhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // nested-loop products are allowed only against broadcast sides that
+    // are corpus-size-independent: the query batch (1) and the
+    // queries × codebook LUT build, whose subtree is replayed once per
+    // subspace branch (4) — never a corpus-sized side
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 5, s"unexpected nested-loop joins, got $bnlj:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("chunkDedup shuffles exactly twice (chunk-hash argmin + doc regroup), no pair join") {
+    val q = graft.ops.Dedup.chunkDedup(
+      graft.queries.Tables.t(spark, sf("sf0.001"), "documents"),
+      "doc_id", "text", chunkTokens = 8)
+    val plan = q.queryExecution.executedPlan.toString
+    // sub-document dedup must stay linear: hash-shuffle on the chunk
+    // hash (argmin), hash-shuffle back on the doc id (reassembly), and
+    // the first-occurrence lookup joined without a sort-merge of the
+    // full chunk set (the argmin side is one row per DISTINCT chunk)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"expected <=3 hash exchanges (argmin, join, regroup), got $exchanges:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("semanticDedup pairs via a hash join on the cell key, never a nested-loop cross") {
+    val plan = graft.ops.Similarity
+      .semanticDedup(
+        graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings"),
+        "vec_id", "embedding", k = 8, threshold = 0.35)
+      .queryExecution.executedPlan.toString
+    // the O(m²) stage must be confined to same-cell members by an
+    // equi-join on the cell key — never a corpus-wide cross. The one
+    // allowed nested-loop product is clusterAssign's corpus × 8-centroid
+    // broadcast (k rows by construction).
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop product is clusterAssign's corpus × 8-centroid
+    // broadcast; its subtree is replayed in up to 3 plan branches
+    // (pair sides a/b + the final verdict join) — AQE's ReusedExchange
+    // collapses the replays at runtime
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 3, s"only the centroid product may nest-loop, got $bnlj:\n$plan")
+    assert(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell".r.findFirstIn(plan).isDefined,
+      s"pair stage must equi-join on the cell key:\n$plan")
+  }
+
   test("globalRank plans a partitioned window, never the single-partition global sort") {
     val df = graft.ops.GlobalRank.globalRankLazy(
       graft.queries.Tables.t(spark, sf("sf0.001"), "orders").select("o_orderkey", "o_totalprice"),
