@@ -380,6 +380,52 @@ object Ext4Queries {
       "reciprocal-rank fusion of lexical and dense top-k, integer-exact"
     ),
 
+    // ---- cross-source leakage report: verified near-dup pairs rolled up
+    //      by unordered source pair — which feeds are copying which. The
+    //      pair set is the composed LSH→exact-verify chain (its oracle =
+    //      exact Jaccard pairs, proven by dedup_minhash_verified); the
+    //      rollup adds two id-keyed joins + one small agg ----
+    "q_cross_source_leakage" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.lshVerifiedPairs(
+          docs, "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16,
+          thresholdNum = 4, thresholdDen = 5)
+        val srcA = docs.select(col("doc_id").as("id_a"), col("source").as("src_a"))
+        val srcB = docs.select(col("doc_id").as("id_b"), col("source").as("src_b"))
+        pairs.select("id_a", "id_b")
+          .join(srcA, "id_a").join(srcB, "id_b")
+          .select(
+            least(col("src_a"), col("src_b")).as("src_lo"),
+            greatest(col("src_a"), col("src_b")).as("src_hi"))
+          .groupBy("src_lo", "src_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+             |), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), vp AS (
+             |  SELECT id_a, id_b
+             |  FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |  WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4)
+             |SELECT least(da.source, db.source) AS src_lo,
+             |       greatest(da.source, db.source) AS src_hi,
+             |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+             |FROM vp JOIN documents da ON da.doc_id = vp.id_a
+             |        JOIN documents db ON db.doc_id = vp.id_b
+             |GROUP BY 1, 2""".stripMargin),
+      "near-dup pair counts by unordered source pair — the leakage matrix"
+    ),
+
     // ---- per-source corpus observability: volume, exact-dup rate, size,
     //      language spread — the report a curation run publishes ----
     "q_corpus_report" -> QueryDef(
