@@ -202,4 +202,61 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** UniMax-style budget allocation: split a total training budget across
+    * sources as uniformly as possible, with each source capped at
+    * `maxEpochs` passes over its own units (tokens/chars). The classic
+    * water-filling solution, computed in closed form: sort sources by
+    * capacity ascending, find the largest saturated prefix k (every
+    * source the level would overflow gets exactly its cap), and give each
+    * remaining source the integer water level
+    * floor((budget − Σ_sat caps) ÷ (n − k)). All comparisons and the
+    * level itself are exact integer arithmetic — engine-portable with no
+    * FP in the decision path; the only double is the reported
+    * epochs_used ratio.
+    *
+    * Scale shape: one corpus aggregation to per-source totals, then every
+    * window/join runs over |sources| rows — a set that is small by
+    * definition (a mixture has tens of sources, not millions), so the
+    * single-partition window is bounded regardless of corpus size.
+    */
+  def unimaxAllocation(
+      df: DataFrame,
+      srcCol: String,
+      unitWeight: Column,
+      budget: Long,
+      maxEpochs: Int
+  ): DataFrame = {
+    val caps = df
+      .groupBy(col(srcCol).as("source"))
+      .agg(sum(unitWeight).as("n_units"))
+      .select(col("source"), col("n_units"), (col("n_units") * maxEpochs).as("cap"))
+    val w = Window.orderBy(col("cap").asc, col("source").asc)
+    val ranked = caps
+      .select(
+        col("source"), col("n_units"), col("cap"),
+        row_number().over(w).as("i"),
+        sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("p"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      // prefix is saturated while handing every remaining source this
+      // source's cap still fits the unspent budget
+      .withColumn("sat_i",
+        when(col("cap") * (col("n") - col("i") + 1) <= lit(budget) - (col("p") - col("cap")), col("i"))
+          .otherwise(lit(0L)))
+    val kRow = ranked.agg(
+      max(col("sat_i")).as("k"),
+      max(when(col("sat_i") === col("i"), col("p")).otherwise(lit(0L))).as("pk"))
+    ranked
+      .crossJoin(broadcast(kRow))
+      .withColumn("level",
+        when(col("n") > col("k"), floor((lit(budget) - col("pk")) / (col("n") - col("k"))))
+          .otherwise(lit(0L)))
+      .select(
+        col("source"),
+        col("n_units").cast("long").as("n_units"),
+        col("cap").cast("long").as("cap"),
+        when(col("i") <= col("k"), col("cap")).otherwise(col("level")).cast("long").as("alloc"),
+        (when(col("i") <= col("k"), col("cap")).otherwise(col("level")).cast("double") /
+          col("n_units").cast("double")).as("epochs_used"))
+  }
 }

@@ -380,6 +380,40 @@ object Ext4Queries {
       "reciprocal-rank fusion of lexical and dense top-k, integer-exact"
     ),
 
+    // ---- UniMax budget allocation: water-fill a 550k-char training
+    //      budget across sources, each capped at 4 epochs of its own
+    //      units. Closed-form saturated-prefix + integer water level —
+    //      no FP in the decision path, windows run over |sources| rows ----
+    "q_unimax_budget" -> QueryDef(
+      (s, d) =>
+        graft.ops.Sampling.unimaxAllocation(
+          t(s, d, "documents"), "source", col("n_chars"),
+          budget = 550000L, maxEpochs = 4),
+      Some("""WITH caps AS (
+             |  SELECT source, SUM(n_chars) AS n_units, SUM(n_chars) * 4 AS cap
+             |  FROM documents GROUP BY 1),
+             |rk AS (
+             |  SELECT source, n_units, cap,
+             |    row_number() OVER (ORDER BY cap, source) AS i,
+             |    SUM(cap) OVER (ORDER BY cap, source ROWS UNBOUNDED PRECEDING) AS p,
+             |    COUNT(*) OVER () AS n
+             |  FROM caps),
+             |fl AS (
+             |  SELECT *, CASE WHEN cap * (n - i + 1) <= 550000 - (p - cap) THEN i ELSE 0 END AS sat_i
+             |  FROM rk),
+             |kk AS (
+             |  SELECT MAX(sat_i) AS k,
+             |         COALESCE(MAX(CASE WHEN sat_i = i THEN p END), 0) AS pk
+             |  FROM fl)
+             |SELECT source,
+             |  CAST(n_units AS BIGINT) AS n_units,
+             |  CAST(cap AS BIGINT) AS cap,
+             |  CAST(CASE WHEN i <= k THEN cap ELSE (550000 - pk) // (n - k) END AS BIGINT) AS alloc,
+             |  CAST(CASE WHEN i <= k THEN cap ELSE (550000 - pk) // (n - k) END AS DOUBLE) / n_units AS epochs_used
+             |FROM fl, kk""".stripMargin),
+      "epoch-capped water-filling of a training budget across sources"
+    ),
+
     // ---- cross-source leakage report: verified near-dup pairs rolled up
     //      by unordered source pair — which feeds are copying which. The
     //      pair set is the composed LSH→exact-verify chain (its oracle =

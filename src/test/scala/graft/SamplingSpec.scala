@@ -118,4 +118,24 @@ class SamplingSpec extends SparkSpec {
     // a negative is a ring successor: pairing must be asymmetric for k<arc
     assert(neg.exists { case (id, _, n) => !neg.exists(p => p._1 == n && p._3 == id) })
   }
+
+  test("unimaxAllocation: water-filling saturates small sources, levels the rest") {
+    // caps at 2 epochs: a=20, b=60, c=100, d=200. budget 150:
+    //   a saturated (20·4=80 ≤ 150); b not (60·3=180 > 130)
+    //   level = (150−20)/3 = 43 → allocs: a=20, b=43, c=43, d=43
+    val df = Seq(
+      ("a", 10L), ("b", 30L), ("c", 50L), ("d", 100L)
+    ).flatMap { case (s, u) => Seq((s, u)) }.toDF("source", "units")
+    val out = Sampling.unimaxAllocation(df, "source", col("units"), budget = 150L, maxEpochs = 2)
+      .select("source", "alloc").as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 20L, "b" -> 43L, "c" -> 43L, "d" -> 43L))
+    // budget exceeding total capacity: everyone saturates at cap
+    val all = Sampling.unimaxAllocation(df, "source", col("units"), budget = 10000L, maxEpochs = 2)
+      .select("source", "alloc").as[(String, Long)].collect().toMap
+    assert(all == Map("a" -> 20L, "b" -> 60L, "c" -> 100L, "d" -> 200L))
+    // tiny budget: nobody saturates, uniform level floor(150/4)... here 5/4=1
+    val tiny = Sampling.unimaxAllocation(df, "source", col("units"), budget = 5L, maxEpochs = 2)
+      .select("source", "alloc").as[(String, Long)].collect().toMap
+    assert(tiny == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
+  }
 }
