@@ -380,6 +380,125 @@ object Ext4Queries {
       "reciprocal-rank fusion of lexical and dense top-k, integer-exact"
     ),
 
+    // ---- the curation funnel: Gopher quality gate → hash classifier →
+    //      exact dedup → fuzzy (LSH-verified CC) dedup, with cumulative
+    //      survivor counts per stage — the observability artifact a
+    //      curation run ends with. Pure composition of gates that are
+    //      each independently oracle-proven; one extra pass computes all
+    //      four per-doc flags and a 5-row rollup ----
+    "q_curation_funnel" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val gq = TextOps.gopherQuality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("keep").as("g_quality"))
+        val clf = TextOps.hashClassifier(docs, "doc_id", "text")
+          .select(col("doc_id"), col("label").as("g_clf"))
+        val ex = docs.select(col("doc_id"), md5(col("text")).as("__h"))
+        val exKeep = ex.groupBy("__h").agg(min("doc_id").as("__keeper"))
+        val g3 = ex.join(exKeep, "__h")
+          .select(col("doc_id"), (col("doc_id") === col("__keeper")).as("g_exact"))
+        val pairs = Dedup.lshVerifiedPairs(
+          docs, "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16,
+          thresholdNum = 4, thresholdDen = 5)
+        val kl = Dedup.keepList(docs, "doc_id", pairs.select("id_a", "id_b"), iterations = 4)
+          .select(col("doc_id"), col("is_canonical").as("g_fuzzy"))
+        graft.ops.Caching.release(pairs)
+        val flags = gq.join(clf, "doc_id").join(g3, "doc_id").join(kl, "doc_id")
+        val agg = flags.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("g_quality"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g_quality") && col("g_clf"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("g_quality") && col("g_clf") && col("g_exact"), 1L).otherwise(0L)).as("n3"),
+          sum(when(col("g_quality") && col("g_clf") && col("g_exact") && col("g_fuzzy"), 1L)
+            .otherwise(0L)).as("n4"))
+        agg.select(explode(array(
+          struct(lit(0L).as("stage"), lit("ingest").as("stage_name"), col("n0").as("n_docs")),
+          struct(lit(1L).as("stage"), lit("quality_gate").as("stage_name"), col("n1").as("n_docs")),
+          struct(lit(2L).as("stage"), lit("classifier").as("stage_name"), col("n2").as("n_docs")),
+          struct(lit(3L).as("stage"), lit("exact_dedup").as("stage_name"), col("n3").as("n_docs")),
+          struct(lit(4L).as("stage"), lit("fuzzy_dedup").as("stage_name"), col("n4").as("n_docs"))
+        )).as("r"))
+          .select(col("r.stage"), col("r.stage_name"), col("r.n_docs"))
+      },
+      Some("""WITH gt AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t
+             |  FROM documents
+             |), gtf AS (SELECT doc_id, t, COUNT(*) AS c FROM gt GROUP BY 1, 2),
+             |gd AS (
+             |  SELECT doc_id, SUM(c) AS n_words, SUM(c * length(t)) AS wc, MAX(c) AS top_count,
+             |    SUM(CASE WHEN t IN ('the','a','an','of','and','to','in','is','it','for') THEN c ELSE 0 END) AS n_stop
+             |  FROM gtf GROUP BY 1),
+             |gflag AS (
+             |  SELECT doc_id,
+             |    (n_words BETWEEN 50 AND 100000
+             |      AND CAST(wc AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+             |      AND n_stop >= 2
+             |      AND CAST(top_count AS DOUBLE) / n_words <= 0.1) AS g_quality
+             |  FROM gd),
+             |ct AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '')) AS t
+             |  FROM documents),
+             |cw AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT) % 4096 AS b FROM ct),
+             |cflag AS (
+             |  SELECT doc_id,
+             |    SUM(CAST(('0x' || substr(md5('graft-clf:' || CAST(b AS VARCHAR)), 1, 13)) AS BIGINT) % 2001 - 1000) > 0 AS g_clf
+             |  FROM cw GROUP BY 1),
+             |eflag AS (
+             |  SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS g_exact
+             |  FROM documents),
+             |toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+             |),
+             |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), pairs AS (
+             |  SELECT id_a, id_b FROM pr
+             |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |  WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4
+             |), e AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+             |l1 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l0 l LEFT JOIN e ON e.src = l.node LEFT JOIN l0 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l2 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l1 l LEFT JOIN e ON e.src = l.node LEFT JOIN l1 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l3 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l2 l LEFT JOIN e ON e.src = l.node LEFT JOIN l2 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l4 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l3 l LEFT JOIN e ON e.src = l.node LEFT JOIN l3 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |fflag AS (
+             |  SELECT d.doc_id, COALESCE(cc.label, d.doc_id) = d.doc_id AS g_fuzzy
+             |  FROM documents d LEFT JOIN l4 cc ON cc.node = d.doc_id),
+             |fl AS (
+             |  SELECT g.doc_id, g.g_quality, c.g_clf, e2.g_exact, f.g_fuzzy
+             |  FROM gflag g JOIN cflag c USING (doc_id)
+             |  JOIN eflag e2 USING (doc_id) JOIN fflag f USING (doc_id))
+             |SELECT CAST(0 AS BIGINT) AS stage, 'ingest' AS stage_name, CAST(COUNT(*) AS BIGINT) AS n_docs FROM fl
+             |UNION ALL SELECT 1, 'quality_gate', CAST(COUNT(*) FILTER (WHERE g_quality) AS BIGINT) FROM fl
+             |UNION ALL SELECT 2, 'classifier', CAST(COUNT(*) FILTER (WHERE g_quality AND g_clf) AS BIGINT) FROM fl
+             |UNION ALL SELECT 3, 'exact_dedup', CAST(COUNT(*) FILTER (WHERE g_quality AND g_clf AND g_exact) AS BIGINT) FROM fl
+             |UNION ALL SELECT 4, 'fuzzy_dedup', CAST(COUNT(*) FILTER (WHERE g_quality AND g_clf AND g_exact AND g_fuzzy) AS BIGINT) FROM fl""".stripMargin),
+      "per-stage survivor counts through the composed curation pipeline"
+    ),
+
     // ---- UniMax budget allocation: water-fill a 550k-char training
     //      budget across sources, each capped at 4 epochs of its own
     //      units. Closed-form saturated-prefix + integer water level —
