@@ -299,6 +299,22 @@ object Ext4Queries {
       "watermark-bounded streaming dedup; surviving key set = batch DISTINCT"
     ),
 
+    // ---- stream-static enrichment: streaming events broadcast-join a
+    //      batch-computed dimension, then tumbling-window counts. The
+    //      join is stateless (static side re-broadcast per micro-batch);
+    //      only the window agg holds bounded state ----
+    "q_stream_enrich" -> QueryDef(
+      (s, d) =>
+        graft.streaming.EventStream.enrichRunOnce(s, s"$d/events.parquet", "1 hour"),
+      Some("""WITH dim AS (SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY 1)
+             |SELECT date_trunc('hour', ts) AS ws, event_type,
+             |  COUNT(*) AS n,
+             |  MAX(dim.type_total) AS type_total
+             |FROM events JOIN dim USING (event_type)
+             |GROUP BY 1, 2""".stripMargin),
+      "stream-static broadcast enrichment + tumbling counts, batch-equivalent"
+    ),
+
     // ---- sketch aggregate #2: approximate percentile, checked against
     //      its rank-error contract (like q_approx_count_distinct's 3·rsd
     //      bound): the returned value's exact-rank interval must overlap

@@ -433,6 +433,39 @@ object EventStream {
       col("value").as("last_value"))
   }
 
+  /** Stream-static enrichment: the streaming events join a BROADCAST
+    * static dimension (per-type totals computed batch-side once) before a
+    * tumbling-window count. The stream-static join is stateless — the
+    * static side is planned as a broadcast hash join re-executed per
+    * micro-batch, so no join state accumulates and no watermark is needed
+    * for the join itself (only the windowed agg holds state, bounded by
+    * the window). This is the standard "attach reference data to a live
+    * stream" shape; at scale the dimension ships once per executor, not
+    * per row. Complete-mode drain → batch-equivalent result.
+    */
+  def enrichRunOnce(
+      spark: SparkSession,
+      srcPath: String,
+      windowLen: String
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val ev = streamEvents(spark, srcPath)
+    val static = graft.queries.Tables
+      .t(spark, new java.io.File(srcPath).getParent, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("type_total"))
+    val agg = ev
+      .join(broadcast(static), "event_type")
+      .groupBy(window(col("ts"), windowLen), col("event_type"), col("type_total"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("ws"),
+        col("event_type"),
+        col("n"),
+        col("type_total"))
+    drainToTable(spark, agg, "enrich", "complete", srcPath)
+  }
+
   private def drainToTable(
       spark: SparkSession,
       out: DataFrame,
