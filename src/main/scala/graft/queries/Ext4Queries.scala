@@ -595,6 +595,54 @@ object Ext4Queries {
       "near-dup pair counts by unordered source pair — the leakage matrix"
     ),
 
+    // ---- collocation mining: top token pairs by lift (the exp(PMI)
+    //      co-occurrence ratio n_ab·N / (n_a·n_b)) over per-doc distinct
+    //      tokens with a minimum support. All counts exact integers; the
+    //      one division is deterministic IEEE; the global top-20 plans as
+    //      a per-partition TakeOrdered merge, not a full sort ----
+    "q_token_lift" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = docs.select(
+          col("doc_id"),
+          explode(array_distinct(TextOps.tokens(TextOps.normalize(col("text"))))).as("t"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val dfq = toks.groupBy("t").agg(count(lit(1)).as("n_t"))
+        val pr = toks.select(col("doc_id"), col("t").as("ta"))
+          .join(toks.select(col("doc_id"), col("t").as("tb")), "doc_id")
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+        pr
+          .join(dfq.select(col("t").as("ta"), col("n_t").as("n_a")), "ta")
+          .join(dfq.select(col("t").as("tb"), col("n_t").as("n_b")), "tb")
+          .crossJoin(broadcast(nDocs))
+          .select(
+            col("ta").as("token_a"), col("tb").as("token_b"), col("n_ab"),
+            (col("n_ab").cast("double") * col("n_docs").cast("double") /
+              (col("n_a") * col("n_b")).cast("double")).as("lift"))
+          .orderBy(col("lift").desc, col("token_a").asc, col("token_b").asc)
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '')) AS t
+             |  FROM documents
+             |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |dfq AS (SELECT t, COUNT(*) AS n_t FROM toks GROUP BY 1),
+             |pr AS (
+             |  SELECT a.t AS ta, b.t AS tb, COUNT(*) AS n_ab
+             |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.t < b.t
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+             |SELECT ta AS token_a, tb AS token_b, CAST(n_ab AS BIGINT) AS n_ab,
+             |  CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(da.n_t * db.n_t AS DOUBLE) AS lift
+             |FROM pr, n
+             |JOIN dfq da ON da.t = ta
+             |JOIN dfq db ON db.t = tb
+             |ORDER BY lift DESC, token_a, token_b LIMIT 20""".stripMargin),
+      "top token-pair collocations by integer-exact lift with min support"
+    ),
+
     // ---- per-source corpus observability: volume, exact-dup rate, size,
     //      language spread — the report a curation run publishes ----
     "q_corpus_report" -> QueryDef(
