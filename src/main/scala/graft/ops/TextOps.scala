@@ -241,6 +241,80 @@ object TextOps {
     Caching.materializeAndRelease(out, tf)
   }
 
+  /** Fixed-point BM25 lexical retrieval: per-doc top-k neighbors scored
+    * by the BM25 term formula with two portability substitutions that
+    * keep the ranking engine-exact:
+    *
+    *  - the idf factor is the RATIONAL (N − df + 0.5)/(df + 0.5) (the
+    *    argument of BM25's ln, a strictly monotone stand-in) — ln()
+    *    itself is libm-dependent and not bitwise-portable;
+    *  - each term's contribution is quantized to floor(1e9 · contrib)
+    *    BEFORE the per-pair sum, so the aggregation is an order-free
+    *    BIGINT sum instead of a shuffle-order-dependent FP sum.
+    *
+    * Every input to the contribution (tf, df, dl, N, avgdl) is an exact
+    * integer or a single division of exact integers, and the expression
+    * tree is mirrored verbatim in the oracle — deterministic doubles,
+    * deterministic floor, deterministic ranking.
+    *
+    * Scale shape: identical to [[sparseTopK]] — df-capped inverted-index
+    * join (blocking on shared terms, never the doc-pair space), one
+    * aggregation per candidate pair, bounded per-query window.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      maxDf: Int = 50
+  ): DataFrame = {
+    // standard constants k1=1.2, b=0.75, written as the SAME decimal
+    // literals the oracle uses: a Scala-side `k1 + 1.0` can land one ulp
+    // away from the SQL literal 2.2 (round-half-even at the binade
+    // boundary), which would shift quantized contributions
+    val k1 = lit(1.2); val onePlusK1 = lit(2.2); val b75 = lit(0.75); val oneMinusB = lit(0.25)
+    val tf = df
+      .select(col(idCol).as("sid"), explode(tokens(normalize(col(textCol)))).as("t"))
+      .groupBy("sid", "t").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy("sid").agg(sum(col("tf")).as("dl"))
+    val stats = df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("tot_tok")))
+      .select(
+        col("n_docs"),
+        (col("tot_tok").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val kept = tf.groupBy("t").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") <= maxDf)
+    val cand = tf.join(kept, "t")
+      .select(col("t"), col("sid").as("nid"), col("tf"), col("df_docs"))
+    val qry = tf.select(col("t"), col("sid").as("qid"))
+    val contrib =
+      ((col("n_docs") - col("df_docs")).cast("double") + lit(0.5)) /
+        (col("df_docs").cast("double") + lit(0.5)) *
+        (col("tf").cast("double") * onePlusK1) /
+        (col("tf").cast("double") +
+          k1 * (oneMinusB + b75 * col("dl").cast("double") / col("avgdl")))
+    val scored = qry
+      .join(cand, "t")
+      .filter(col("qid") =!= col("nid"))
+      .join(dl.select(col("sid").as("nid"), col("dl")), "nid")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("nid"), floor(lit(1e9) * contrib).cast("long").as("c"))
+      .groupBy("qid", "nid")
+      .agg(sum(col("c")).as("score_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score_fp").desc, col("nid").asc)
+    val out = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("qid").as(idCol),
+        col("nid").as("neighbor_id"),
+        col("score_fp"),
+        col("rank").cast("long").as("rank"))
+    Caching.materializeAndRelease(out, tf)
+  }
+
   /** Repetition statistics: per document, total / distinct word-n-gram
     * counts, the hottest n-gram's frequency, and the repetition ratio
     * (1 − distinct/total) — the Gopher-style "repeated n-gram" quality

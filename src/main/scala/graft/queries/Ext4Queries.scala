@@ -503,7 +503,11 @@ object Ext4Queries {
              |fflag AS (
              |  SELECT d.doc_id, COALESCE(cc.label, d.doc_id) = d.doc_id AS g_fuzzy
              |  FROM documents d LEFT JOIN l4 cc ON cc.node = d.doc_id),
-             |fl AS (
+             |fl AS MATERIALIZED (
+             |  -- MATERIALIZED is load-bearing: fl is referenced once per
+             |  -- funnel stage below, and inlining would re-run the whole
+             |  -- shingle self-join + CC chain five times (observed to
+             |  -- exhaust DuckDB temp disk at sf0.1)
              |  SELECT g.doc_id, g.g_quality, c.g_clf, e2.g_exact, f.g_fuzzy
              |  FROM gflag g JOIN cflag c USING (doc_id)
              |  JOIN eflag e2 USING (doc_id) JOIN fflag f USING (doc_id))
@@ -593,6 +597,42 @@ object Ext4Queries {
              |        JOIN documents db ON db.doc_id = vp.id_b
              |GROUP BY 1, 2""".stripMargin),
       "near-dup pair counts by unordered source pair — the leakage matrix"
+    ),
+
+    // ---- fixed-point BM25 retrieval: rational idf (the ln argument, a
+    //      monotone stand-in — ln itself is libm-dependent) and per-term
+    //      contributions quantized to floor(1e9·x) BEFORE the pair sum,
+    //      so scoring is an order-free BIGINT aggregation. Expression
+    //      tree mirrored verbatim in the oracle ----
+    "text_bm25_topk" -> QueryDef(
+      (s, d) => TextOps.bm25TopK(t(s, d, "documents"), "doc_id", "text", k = 5, maxDf = 50),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '')) AS t
+             |  FROM documents
+             |), tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+             |st AS (
+             |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             |    CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl),
+             |kept AS (SELECT t, COUNT(*) AS df_docs FROM tf GROUP BY 1 HAVING COUNT(*) <= 50),
+             |sc AS (
+             |  SELECT q.doc_id AS qid, c.doc_id AS nid,
+             |    SUM(CAST(FLOOR(1000000000.0 * (
+             |      (CAST(st.n_docs - k2.df_docs AS DOUBLE) + 0.5) / (CAST(k2.df_docs AS DOUBLE) + 0.5)
+             |      * (CAST(c.tf AS DOUBLE) * 2.2)
+             |      / (CAST(c.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d2.dl AS DOUBLE) / st.avgdl))
+             |    )) AS BIGINT)) AS score_fp
+             |  FROM tf q
+             |  JOIN kept k2 ON k2.t = q.t
+             |  JOIN tf c ON c.t = q.t AND c.doc_id <> q.doc_id
+             |  JOIN dl d2 ON d2.doc_id = c.doc_id, st
+             |  GROUP BY 1, 2)
+             |SELECT qid AS doc_id, nid AS neighbor_id,
+             |  CAST(score_fp AS BIGINT) AS score_fp, CAST(rank AS BIGINT) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, nid) AS rank FROM sc)
+             |WHERE rank <= 5""".stripMargin),
+      "BM25-weighted top-k lexical neighbors, fixed-point and order-free"
     ),
 
     // ---- collocation mining: top token pairs by lift (the exp(PMI)

@@ -212,6 +212,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!frames.exists(_._1 == 2L))
   }
 
+  test("bm25TopK: rare-term overlap outranks common-term overlap; short docs beat long") {
+    val df = (Seq(
+      (0L, "rare common"),
+      (1L, "rare zzz"),                    // shares the rare term
+      (2L, "common yyy xxx"),              // shares only the common term
+      (3L, "common rare rare")             // shares both, rare twice
+    ) ++ (4L to 9L).map(i => (i, s"common filler$i"))) // inflate df(common)
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(df, "doc_id", "text", k = 3, maxDf = 10)
+      .filter(col("doc_id") === 0L)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Long)].collect()
+    // doc 3 (rare tf=2 + common) > doc 1 (rare) > doc 4 (common only —
+    // among the common-sharers the 2-token docs outrank 3-token doc 2 by
+    // length normalization, and the id tie-break picks the lowest)
+    assert(out.map(_._2).toSeq == Seq(3L, 1L, 4L), out.mkString(", "))
+    // scores strictly ordered (fixed-point BIGINT, no FP ties)
+    assert(out.map(_._3).toSeq == out.map(_._3).sortBy(-_).toSeq)
+  }
+
   test("hashClassifier: score equals an independent JVM replay of the md5 weight table") {
     // independent replay (MessageDigest, not Catalyst) of bucket+weight
     def chunk52(s: String): Long = {
