@@ -77,13 +77,31 @@ object Dedup {
       thresholdDen: Int,
       maxShingleFreq: Option[Int] = None
   ): DataFrame = {
-    // The shingle table feeds three consumers (both join sides + sizes);
-    // without materialization the (interpreted-HOF) shingling runs three
-    // times. Cache it — at cluster scale the same role is played by a
-    // checkpoint of the inverted index. Shingles are hashed to 64-bit keys
-    // before the join: the self-join shuffles 8-byte longs instead of
-    // multi-word strings (intersection counts are preserved — a collision
-    // would need ~2^32 distinct shingles per corpus to become likely).
+    val (inter, sizes, sh) = shingleInterSizes(df, idCol, textCol, n, maxShingleFreq)
+    materializeAndRelease(jaccardThreshold(inter, sizes, thresholdNum, thresholdDen), sh)
+  }
+
+  /** Shared inverted-index build: pairwise shingle-intersection counts
+    * (id_a < id_b) + per-doc shingle-set sizes. The shingle table feeds
+    * three consumers (both join sides + sizes); without materialization
+    * the (interpreted-HOF) shingling runs three times. Cache it — at
+    * cluster scale the same role is played by a checkpoint of the
+    * inverted index. Shingles are hashed to 64-bit keys before the join:
+    * the self-join shuffles 8-byte longs instead of multi-word strings
+    * (intersection counts are preserved — a collision would need ~2^32
+    * distinct shingles per corpus to become likely). Sizes MUST come from
+    * the same (possibly df-capped) shingle set as the intersections —
+    * mixing capped inter with uncapped sizes would systematically
+    * underestimate overlap and drop all-heavy-shingle pairs. Caller
+    * releases the returned cached shingle table.
+    */
+  private def shingleInterSizes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleFreq: Option[Int]
+  ): (DataFrame, DataFrame, DataFrame) = {
     val sh = shingleRows(df, idCol, textCol, n)
       .select(col("sid"), xxhash64(col("s")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -94,9 +112,6 @@ object Dedup {
         sh.join(broadcast(freq.select("s")), "s")
       case None => sh
     }
-    // sizes MUST come from the same (possibly capped) shingle set as the
-    // intersections — mixing capped inter with uncapped sizes would
-    // systematically underestimate Jaccard and drop all-heavy-shingle pairs
     val sizes = shFiltered.groupBy("sid").agg(count(lit(1)).as("sz"))
     val a = shFiltered.select(col("sid").as("id_a"), col("s"))
     val b = shFiltered.select(col("sid").as("id_b"), col("s"))
@@ -105,7 +120,38 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    materializeAndRelease(jaccardThreshold(inter, sizes, thresholdNum, thresholdDen), sh)
+    (inter, sizes, sh)
+  }
+
+  /** Directional n-gram CONTAINMENT pairs: |A∩B| / |A| ≥ num/den — the
+    * asymmetric overlap that catches a short document embedded inside a
+    * longer one (quotes, excerpts, page-in-page boilerplate), which
+    * symmetric Jaccard misses once the size ratio grows. Emits one row
+    * per (contained, container) DIRECTION that clears the threshold, so
+    * a mutually-overlapping pair can appear twice. Same inverted-index
+    * blocking and integer-exact arithmetic as [[ngramJaccardPairs]].
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      thresholdNum: Int,
+      thresholdDen: Int,
+      maxShingleFreq: Option[Int] = None
+  ): DataFrame = {
+    val (inter, sizes, sh) = shingleInterSizes(df, idCol, textCol, n, maxShingleFreq)
+    val withSizes = inter
+      .join(sizes.select(col("sid").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("sid").as("id_b"), col("sz").as("sz_b")), "id_b")
+    def dir(cid: String, ctr: String, szc: String, szr: String) = withSizes
+      .filter(col("inter") * thresholdDen >= col(szc) * thresholdNum)
+      .select(
+        col(cid).as("contained_id"), col(ctr).as("container_id"),
+        col("inter"), col(szc).as("size_contained"), col(szr).as("size_container"))
+    materializeAndRelease(
+      dir("id_a", "id_b", "sz_a", "sz_b").unionAll(dir("id_b", "id_a", "sz_b", "sz_a")),
+      sh)
   }
 
   /** A long from `len` hex digits of md5(c) starting at `start` (1-based).

@@ -599,6 +599,39 @@ object Ext4Queries {
       "near-dup pair counts by unordered source pair — the leakage matrix"
     ),
 
+    // ---- directional containment dedup: |A∩B|/|A| ≥ 0.8 over word
+    //      3-grams — catches short docs embedded in long ones (quotes,
+    //      excerpts) that symmetric Jaccard misses at size skew ----
+    "dedup_containment" -> QueryDef(
+      (s, d) =>
+        Dedup.containmentPairs(
+          t(s, d, "documents"), "doc_id", "text",
+          n = 3, thresholdNum = 4, thresholdDen = 5, maxShingleFreq = Some(50)),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sh0 AS (
+             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+             |), keep AS (SELECT s FROM (SELECT s, COUNT(*) AS c FROM sh0 GROUP BY 1) WHERE c <= 50),
+             |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+             |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), ws AS (
+             |  SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+             |  FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+             |SELECT id_a AS contained_id, id_b AS container_id, inter,
+             |       sz_a AS size_contained, sz_b AS size_container
+             |FROM ws WHERE inter * 5 >= sz_a * 4
+             |UNION ALL
+             |SELECT id_b, id_a, inter, sz_b, sz_a
+             |FROM ws WHERE inter * 5 >= sz_b * 4""".stripMargin),
+      "asymmetric n-gram containment pairs via the shared inverted index"
+    ),
+
     // ---- fixed-point BM25 retrieval: rational idf (the ln argument, a
     //      monotone stand-in — ln itself is libm-dependent) and per-term
     //      contributions quantized to floor(1e9·x) BEFORE the pair sum,

@@ -125,6 +125,18 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_.isEmpty))
   }
 
+  test("containmentPairs flags a short doc embedded in a long one that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon"                     // 3 shingles
+    val long = short + " zeta eta theta iota kappa lambda mu nu xi" // superset + noise
+    val df = docs(1L -> long, 2L -> short, 3L -> "totally different words here now")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", n = 3, 4, 5)
+      .select("contained_id", "container_id").as[(Long, Long)].collect().toSet
+    assert(cont == Set((2L, 1L)), cont.toString) // directional: 2 ⊂ 1 only
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, 4, 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(jac.isEmpty, "size-skewed subset must be invisible to Jaccard >= 0.8")
+  }
+
   test("chunkDedup: corpus-wide first occurrence survives, text reassembled in order") {
     // chunk size 2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [c d]
     // repeated within doc 3 itself would also dedup — covered by doc 4
