@@ -599,6 +599,77 @@ object Ext4Queries {
       "near-dup pair counts by unordered source pair — the leakage matrix"
     ),
 
+    // ---- mutual-kNN graph: edges where each endpoint ranks the other
+    //      in its cosine top-5 — the symmetrized neighbor graph that
+    //      graph-based clustering/dedup consumes (mutuality prunes
+    //      hub-induced false edges). Subgraph over vec_id < 100; ranks
+    //      computed against the FULL corpus ----
+    "emb_mutual_knn" -> QueryDef(
+      (s, d) => {
+        val knn = Similarity.cosineTopK(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 5, queryPred = col("cid") < 100
+        ).filter(col("neighbor_id") < 100)
+        val fwd = knn.select(
+          col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+          col("rank").cast("long").as("rank_ab"))
+        val rev = knn.select(
+          col("neighbor_id").as("id_a"), col("query_id").as("id_b"),
+          col("rank").cast("long").as("rank_ba"))
+        fwd.join(rev, Seq("id_a", "id_b")).filter(col("id_a") < col("id_b"))
+      },
+      Some("""WITH r AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+             |               c.vec_id) AS rank
+             |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 100),
+             |k AS (SELECT qid, nid, rank FROM r WHERE rank <= 5 AND nid < 100)
+             |SELECT a.qid AS id_a, a.nid AS id_b,
+             |  CAST(a.rank AS BIGINT) AS rank_ab, CAST(b.rank AS BIGINT) AS rank_ba
+             |FROM k a JOIN k b ON b.qid = a.nid AND b.nid = a.qid
+             |WHERE a.qid < a.nid""".stripMargin),
+      "symmetrized cosine top-5 edges — the mutual-kNN dedup/cluster graph"
+    ),
+
+    // ---- shingle novelty: per doc, the fraction of its distinct word
+    //      3-grams whose corpus-wide FIRST owner (min doc id) it is —
+    //      "how much new content does this doc add", the contribution
+    //      score an ordered-ingest curation pass ranks by. One argmin
+    //      shuffle on the shingle + one regroup on the doc ----
+    "q_shingle_novelty" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val shd = docs
+          .select(col("doc_id"), TextOps.tokens(trim(col("text"))).as("__ts"))
+          .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("__ts"), 3)).as("s"))
+        val firstOwner = shd.groupBy("s").agg(min("doc_id").as("first_doc"))
+        shd.join(firstOwner, "s")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .select(
+            col("doc_id"), col("n_shingles"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_shingles").cast("double")).as("novelty"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+             |), fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+             |SELECT sh.doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             |  CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+             |FROM sh JOIN fo USING (s)
+             |GROUP BY 1""".stripMargin),
+      "per-doc fraction of corpus-first n-grams — ordered-ingest novelty"
+    ),
+
     // ---- directional containment dedup: |A∩B|/|A| ≥ 0.8 over word
     //      3-grams — catches short docs embedded in long ones (quotes,
     //      excerpts) that symmetric Jaccard misses at size skew ----
