@@ -599,6 +599,115 @@ object Ext4Queries {
       "near-dup pair counts by unordered source pair — the leakage matrix"
     ),
 
+    // ---- near-dup cluster-size distribution: group docs by their CC
+    //      canonical representative, histogram the cluster sizes — the
+    //      "how big do dup families get" observability that decides
+    //      whether dedup keeps one-per-cluster or caps per-cluster ----
+    "q_dedup_cluster_stats" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.lshVerifiedPairs(
+          docs, "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16,
+          thresholdNum = 4, thresholdDen = 5)
+        val kl = Dedup.keepList(docs, "doc_id", pairs.select("id_a", "id_b"), iterations = 4)
+        graft.ops.Caching.release(pairs)
+        kl.groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+             |),
+             |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), pairs AS (
+             |  SELECT id_a, id_b FROM pr
+             |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |  WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4
+             |), e AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+             |l1 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l0 l LEFT JOIN e ON e.src = l.node LEFT JOIN l0 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l2 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l1 l LEFT JOIN e ON e.src = l.node LEFT JOIN l1 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l3 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l2 l LEFT JOIN e ON e.src = l.node LEFT JOIN l2 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l4 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l3 l LEFT JOIN e ON e.src = l.node LEFT JOIN l3 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |cl AS (
+             |  SELECT COALESCE(cc.label, d.doc_id) AS canonical_id, COUNT(*) AS cluster_size
+             |  FROM documents d LEFT JOIN l4 cc ON cc.node = d.doc_id
+             |  GROUP BY 1)
+             |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+             |       CAST(COUNT(*) AS BIGINT) AS n_clusters
+             |FROM cl GROUP BY 1""".stripMargin),
+      "near-dup family size histogram over the CC keep-list"
+    ),
+
+    // ---- per-source quality calibration: z-score the hash-classifier
+    //      score WITHIN each source (exact integer moments, identical
+    //      IEEE formula both engines) — classifier scores from different
+    //      feeds become comparable before a global quality cut ----
+    "text_quality_calibrated" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scores = TextOps.hashClassifier(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .select(col("doc_id"), col("source"), col("score_raw"))
+        val stats = scores
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("score_raw").cast("decimal(38,0)")).cast("double").as("sy"),
+            sum((col("score_raw") * col("score_raw")).cast("decimal(38,0)")).cast("double").as("syy"))
+        scores
+          .join(broadcast(stats), "source")
+          .select(
+            col("doc_id"), col("source"), col("score_raw"),
+            ((col("score_raw").cast("double") - col("sy") / col("n")) /
+              (sqrt(col("n") * col("syy") - col("sy") * col("sy")) / col("n"))).as("z_source"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '')) AS t
+             |  FROM documents
+             |), w AS (
+             |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT) % 4096 AS b FROM toks
+             |), sc AS (
+             |  SELECT doc_id,
+             |    SUM(CAST(('0x' || substr(md5('graft-clf:' || CAST(b AS VARCHAR)), 1, 13)) AS BIGINT) % 2001 - 1000) AS score_raw
+             |  FROM w GROUP BY 1
+             |), sj AS (
+             |  SELECT sc.doc_id, d.source, sc.score_raw FROM sc JOIN documents d USING (doc_id)
+             |), st AS (
+             |  SELECT source, COUNT(*) AS n,
+             |    CAST(SUM(CAST(score_raw AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(score_raw * score_raw AS DECIMAL(38,0))) AS DOUBLE) AS syy
+             |  FROM sj GROUP BY 1)
+             |SELECT sj.doc_id, sj.source, CAST(sj.score_raw AS BIGINT) AS score_raw,
+             |  (CAST(sj.score_raw AS DOUBLE) - st.sy / st.n) /
+             |    (sqrt(st.n * st.syy - st.sy * st.sy) / st.n) AS z_source
+             |FROM sj JOIN st USING (source)""".stripMargin),
+      "within-source z-scored classifier quality via exact integer moments"
+    ),
+
     // ---- mutual-kNN graph: edges where each endpoint ranks the other
     //      in its cosine top-5 — the symmetrized neighbor graph that
     //      graph-based clustering/dedup consumes (mutuality prunes
