@@ -299,6 +299,79 @@ object Ext4Queries {
       "watermark-bounded streaming dedup; surviving key set = batch DISTINCT"
     ),
 
+    // ---- exact time-decayed engagement: half-life decay with the decay
+    //      factor bucketed to powers of two per week of age, so every
+    //      term is cents · 2^(10−k) — an exact BIGINT — and the final
+    //      ÷1024 is a dyadic (representation-exact) division. The
+    //      portable alternative to pow(0.5, age/halflife), which is
+    //      libm-dependent ----
+    "q_time_decay_score" -> QueryDef(
+      (s, d) =>
+        t(s, d, "events")
+          .withColumn("k",
+            greatest(lit(0), least(lit(10),
+              floor(datediff(lit("2024-03-01").cast("date"), to_date(col("ts"))) / 7))).cast("int"))
+          .withColumn("w", expr("shiftright(1024, k)"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .groupBy("user_id")
+          .agg(sum(col("cents") * col("w")).as("score_scaled"))
+          .select(
+            col("user_id"),
+            col("score_scaled"),
+            (col("score_scaled").cast("double") / 1024.0).as("decayed_score")),
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |    CAST(round(value * 100) AS BIGINT) AS cents,
+             |    (1024 >> GREATEST(0, LEAST(10,
+             |      CAST(FLOOR(date_diff('day', CAST(ts AS DATE), DATE '2024-03-01') / 7.0) AS INT)))) AS w
+             |  FROM events)
+             |SELECT user_id, CAST(SUM(cents * w) AS BIGINT) AS score_scaled,
+             |  CAST(SUM(cents * w) AS DOUBLE) / 1024.0 AS decayed_score
+             |FROM ev GROUP BY 1""".stripMargin),
+      "weekly power-of-two decay: integer-exact half-life scoring"
+    ),
+
+    // ---- hourly volume anomaly detection: z-score each (type, hour)
+    //      event count against that type's hourly distribution (exact
+    //      integer moments, identical IEEE formula both engines) and
+    //      flag |z| > 3 — the ops-side monitor a streaming ingest runs
+    //      batch-side for backfill audits ----
+    "q_event_anomaly" -> QueryDef(
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val stats = hourly
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("m"),
+            sum(col("n").cast("decimal(38,0)")).cast("double").as("sy"),
+            sum((col("n") * col("n")).cast("decimal(38,0)")).cast("double").as("syy"))
+        hourly
+          .join(broadcast(stats), "event_type")
+          .select(
+            col("event_type"), col("h"), col("n"),
+            ((col("n").cast("double") - col("sy") / col("m")) /
+              (sqrt(col("m") * col("syy") - col("sy") * col("sy")) / col("m"))).as("z_hour"))
+          .withColumn("is_anomaly", abs(col("z_hour")) > 3.0)
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2
+             |), st AS (
+             |  SELECT event_type, COUNT(*) AS m,
+             |    CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(n * n AS DECIMAL(38,0))) AS DOUBLE) AS syy
+             |  FROM hourly GROUP BY 1)
+             |SELECT hourly.event_type, hourly.h, CAST(hourly.n AS BIGINT) AS n,
+             |  (CAST(hourly.n AS DOUBLE) - st.sy / st.m) /
+             |    (sqrt(st.m * st.syy - st.sy * st.sy) / st.m) AS z_hour,
+             |  abs((CAST(hourly.n AS DOUBLE) - st.sy / st.m) /
+             |    (sqrt(st.m * st.syy - st.sy * st.sy) / st.m)) > 3.0 AS is_anomaly
+             |FROM hourly JOIN st USING (event_type)""".stripMargin),
+      "per-type hourly volume z-scores with 3-sigma anomaly flags"
+    ),
+
     // ---- stream-static enrichment: streaming events broadcast-join a
     //      batch-computed dimension, then tumbling-window counts. The
     //      join is stateless (static side re-broadcast per micro-batch);
