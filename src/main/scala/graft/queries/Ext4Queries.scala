@@ -299,6 +299,48 @@ object Ext4Queries {
       "watermark-bounded streaming dedup; surviving key set = batch DISTINCT"
     ),
 
+    // ---- market-basket lift on the FACT table: parts co-purchased in
+    //      the same order, ranked by integer-exact lift with min
+    //      support — the q_token_lift blocking pattern exercised at
+    //      lineitem scale (pairs per order are bounded by basket size,
+    //      never the part-catalog cross) ----
+    "q_basket_lift" -> QueryDef(
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        val nOrders = li.select("l_orderkey").distinct().agg(count(lit(1)).as("n_orders"))
+        val pf = li.groupBy("l_partkey").agg(count(lit(1)).as("n_p"))
+        val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 3)
+        pairs
+          .join(pf.select(col("l_partkey").as("pa"), col("n_p").as("n_a")), "pa")
+          .join(pf.select(col("l_partkey").as("pb"), col("n_p").as("n_b")), "pb")
+          .crossJoin(broadcast(nOrders))
+          .select(
+            col("pa").as("part_a"), col("pb").as("part_b"), col("n_ab"),
+            (col("n_ab").cast("double") * col("n_orders").cast("double") /
+              (col("n_a") * col("n_b")).cast("double")).as("lift"))
+          .orderBy(col("lift").desc, col("part_a").asc, col("part_b").asc)
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+             |pf AS (SELECT l_partkey, COUNT(*) AS n_p FROM li GROUP BY 1),
+             |pr AS (
+             |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+             |SELECT pa AS part_a, pb AS part_b, CAST(n_ab AS BIGINT) AS n_ab,
+             |  CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) / CAST(fa.n_p * fb.n_p AS DOUBLE) AS lift
+             |FROM pr, n
+             |JOIN pf fa ON fa.l_partkey = pa
+             |JOIN pf fb ON fb.l_partkey = pb
+             |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin),
+      "co-purchase part pairs by integer-exact lift over the fact table"
+    ),
+
     // ---- exact time-decayed engagement: half-life decay with the decay
     //      factor bucketed to powers of two per week of age, so every
     //      term is cents · 2^(10−k) — an exact BIGINT — and the final

@@ -100,6 +100,20 @@ class ScalePlanSpec extends SparkSpec {
       s"pair stage must equi-join on the cell key:\n$plan")
   }
 
+  test("bm25TopK blocks on the inverted index; only the 1-row stats ships nested-loop") {
+    val plan = graft.ops.TextOps
+      .bm25TopK(
+        graft.queries.Tables.t(spark, sf("sf0.001"), "documents"),
+        "doc_id", "text", k = 5, maxDf = 50)
+      .queryExecution.executedPlan.toString
+    // candidates come from equi-joins on the term (inverted index) and
+    // the doc id — never the doc-pair cross. The single allowed
+    // nested-loop product is the one-row (n_docs, avgdl) stats broadcast.
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the stats row may nest-loop, got $bnlj:\n$plan")
+  }
+
   test("globalRank plans a partitioned window, never the single-partition global sort") {
     val df = graft.ops.GlobalRank.globalRankLazy(
       graft.queries.Tables.t(spark, sf("sf0.001"), "orders").select("o_orderkey", "o_totalprice"),
