@@ -574,8 +574,10 @@ object Dedup {
     * hash for the first-occurrence argmin (map-side partial min), one on
     * the doc id for reassembly. No self-join, no pair space, state is one
     * (hash → argmin key) row per DISTINCT chunk. The chunk index is
-    * packed with the doc id into one long (doc_id·4096 + idx) so the
-    * argmin shuffles an 8-byte key, not a struct.
+    * packed with the doc id into one long (doc_id·2^20 + idx) so the
+    * argmin shuffles an 8-byte key, not a struct — ordering stays
+    * correct for docs up to 2^20 chunks (8M tokens at the default
+    * width) and ids below 2^43.
     *
     * Documents whose token count is zero vanish (no chunks) — same
     * totality contract as the oracle's explode.
@@ -586,7 +588,7 @@ object Dedup {
       textCol: String,
       chunkTokens: Int = 8
   ): DataFrame = {
-    val maxChunks = 4096L // packing bound: idx must fit the low bits
+    val maxChunks = 1L << 20 // packing bound: idx must fit the low bits
     val ts = TextOps.tokens(TextOps.normalize(col(textCol)))
     // Column./ is true division (0.5 for one token at width 2) — floor()
     // it back to the integer ceil-div, and guard the sequence() bound:

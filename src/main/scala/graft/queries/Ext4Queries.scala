@@ -108,7 +108,7 @@ object Ext4Queries {
              |ch AS (
              |  SELECT doc_id, ci,
              |    array_to_string(list_slice(ts, ci * 8 + 1, ci * 8 + 8), ' ') AS chunk,
-             |    doc_id * 4096 + ci AS okey
+             |    doc_id * 1048576 + ci AS okey
              |  FROM ci),
              |fo AS (SELECT md5(chunk) AS h, MIN(okey) AS first_okey FROM ch GROUP BY 1)
              |SELECT ch.doc_id,
