@@ -608,7 +608,16 @@ object Dedup {
       .select(
         col("__id"), col("ci"), col("chunk"),
         md5(col("chunk")).as("h"),
-        (col("__id") * maxChunks + col("ci")).as("okey"))
+        // packing precondition enforced loudly: a doc past 2^20 chunks,
+        // a negative id, or an id past 2^43 would silently corrupt the
+        // first-occurrence ordering — fail the job instead
+        when(
+          col("ci") >= maxChunks || col("__id") < 0 ||
+            col("__id") > (Long.MaxValue / maxChunks) - 1,
+          raise_error(concat(
+            lit("chunkDedup order-key packing violated: doc "),
+            col("__id").cast("string"), lit(" chunk "), col("ci").cast("string"))))
+          .otherwise(col("__id") * maxChunks + col("ci")).as("okey"))
     val firstSeen = chunks.groupBy("h").agg(min(col("okey")).as("first_okey"))
     chunks
       .join(firstSeen, "h")

@@ -140,9 +140,13 @@ object Ext4Queries {
              |    COUNT(*) AS n_tokens,
              |    SUM(CAST(('0x' || substr(md5('graft-clf:' || CAST(b AS VARCHAR)), 1, 13)) AS BIGINT) % 2001 - 1000) AS score_raw
              |  FROM w GROUP BY 1)
-             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-             |  CAST(score_raw AS BIGINT) AS score_raw, score_raw > 0 AS label
-             |FROM sc""".stripMargin),
+             |-- LEFT JOIN from documents: zero-token docs still get a
+             |-- verdict (n_tokens 0, score 0, label false) — the same
+             |-- totality the Spark side's per-row HOF fold has
+             |SELECT d.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(sc.score_raw, 0) AS BIGINT) AS score_raw,
+             |  COALESCE(sc.score_raw, 0) > 0 AS label
+             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin),
       "hashing-trick linear scorer with md5-derived weights, integer-exact"
     ),
 
@@ -572,10 +576,16 @@ object Ext4Queries {
              |    unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '')) AS t
              |  FROM documents),
              |cw AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT) % 4096 AS b FROM ct),
-             |cflag AS (
+             |csum AS (
              |  SELECT doc_id,
-             |    SUM(CAST(('0x' || substr(md5('graft-clf:' || CAST(b AS VARCHAR)), 1, 13)) AS BIGINT) % 2001 - 1000) > 0 AS g_clf
+             |    SUM(CAST(('0x' || substr(md5('graft-clf:' || CAST(b AS VARCHAR)), 1, 13)) AS BIGINT) % 2001 - 1000) AS s
              |  FROM cw GROUP BY 1),
+             |cflag AS (
+             |  -- LEFT JOIN: docs with raw tokens but zero NORMALIZED
+             |  -- tokens still reach the funnel (classifier is total on
+             |  -- the Spark side; score 0 → label false)
+             |  SELECT d.doc_id, COALESCE(csum.s, 0) > 0 AS g_clf
+             |  FROM documents d LEFT JOIN csum ON csum.doc_id = d.doc_id),
              |eflag AS (
              |  SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS g_exact
              |  FROM documents),
@@ -810,7 +820,10 @@ object Ext4Queries {
              |    SUM(CAST(('0x' || substr(md5('graft-clf:' || CAST(b AS VARCHAR)), 1, 13)) AS BIGINT) % 2001 - 1000) AS score_raw
              |  FROM w GROUP BY 1
              |), sj AS (
-             |  SELECT sc.doc_id, d.source, sc.score_raw FROM sc JOIN documents d USING (doc_id)
+             |  -- LEFT JOIN: zero-token docs carry score 0 and stay in
+             |  -- their source's moment statistics, as on the Spark side
+             |  SELECT d.doc_id, d.source, COALESCE(sc.score_raw, 0) AS score_raw
+             |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
              |), st AS (
              |  SELECT source, COUNT(*) AS n,
              |    CAST(SUM(CAST(score_raw AS DECIMAL(38,0))) AS DOUBLE) AS sy,

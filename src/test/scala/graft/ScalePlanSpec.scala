@@ -73,7 +73,10 @@ class ScalePlanSpec extends SparkSpec {
     // the first-occurrence lookup joined without a sort-merge of the
     // full chunk set (the argmin side is one row per DISTINCT chunk)
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges <= 3, s"expected <=3 hash exchanges (argmin, join, regroup), got $exchanges:\n$plan")
+    // exactly two: the chunk-hash exchange (shared by the argmin and the
+    // join probe side via exchange reuse) and the doc-id regroup — a
+    // third would mean the argmin lost its shared partitioning
+    assert(exchanges == 2, s"expected exactly 2 hash exchanges (chunk hash, doc regroup), got $exchanges:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
