@@ -118,6 +118,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("chunkDedup refuses ids outside the packing bound instead of corrupting order") {
+    val bad = docs(-1L -> "a b c d")
+    val ex = intercept[Exception] {
+      Dedup.chunkDedup(bad, "doc_id", "text", chunkTokens = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("packing violated")), ex.toString)
+  }
+
   test("wordShingles: short docs yield empty array (no descending-sequence bug)") {
     val out = docs(1L -> "one two", 2L -> "")
       .select(TextOps.wordShingles(col("text"), 3).as("s"))
