@@ -303,6 +303,45 @@ object Ext4Queries {
       "watermark-bounded streaming dedup; surviving key set = batch DISTINCT"
     ),
 
+    // ---- vocabulary growth (Heaps-law curve): distinct word BIGRAMS
+    //      seen after each 25-doc ingest prefix, from one argmin
+    //      (bigram → first doc) + a small cumulative window — the
+    //      corpus statistic that forecasts vocab/n-gram-table growth as
+    //      data scales (bigrams, because the fixture's unigram vocab
+    //      saturates inside the first bucket) ----
+    "q_vocab_growth" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(TextOps.normalize(col("text"))).as("__ts"))
+          .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("__ts"), 2)).as("tk"))
+        val firstDoc = toks.groupBy("tk").agg(min("doc_id").as("fd"))
+        val buckets = firstDoc
+          .groupBy(floor(col("fd") / 25).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("new_tokens"))
+        // windows over ceil(n_docs/25) rows — bounded by corpus/100,
+        // tiny; and cumulative sums are exact integers
+        val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        buckets.select(
+          ((col("bucket") + 1) * 25).as("docs_ingested"),
+          col("new_tokens"),
+          sum(col("new_tokens")).over(w).as("vocab_size"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), toks AS (
+             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS tk
+             |  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i) g
+             |), fo AS (SELECT tk, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+             |b AS (SELECT CAST(fd // 25 AS BIGINT) AS bucket, COUNT(*) AS new_tokens FROM fo GROUP BY 1)
+             |SELECT (bucket + 1) * 25 AS docs_ingested,
+             |  CAST(new_tokens AS BIGINT) AS new_tokens,
+             |  CAST(SUM(new_tokens) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+             |FROM b""".stripMargin),
+      "distinct-vocabulary growth per 25-doc ingest prefix (Heaps curve)"
+    ),
+
     // ---- market-basket lift on the FACT table: parts co-purchased in
     //      the same order, ranked by integer-exact lift with min
     //      support — the q_token_lift blocking pattern exercised at
