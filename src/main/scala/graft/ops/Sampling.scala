@@ -248,8 +248,12 @@ object Sampling {
       max(when(col("sat_i") === col("i"), col("p")).otherwise(lit(0L))).as("pk"))
     ranked
       .crossJoin(broadcast(kRow))
+      // `div` is SQL integer division — exact for any budget, unlike
+      // floor(double /) which can be off by 1 unit once budget−pk ≥ 2^53.
+      // Numerator is non-negative by construction (pk ≤ budget on the
+      // saturated prefix), so truncation equals floor.
       .withColumn("level",
-        when(col("n") > col("k"), floor((lit(budget) - col("pk")) / (col("n") - col("k"))))
+        when(col("n") > col("k"), expr(s"(CAST($budget AS BIGINT) - pk) div (n - k)"))
           .otherwise(lit(0L)))
       .select(
         col("source"),

@@ -111,18 +111,45 @@ object Similarity {
     rankTopK(joined, k)
   }
 
+  /** Largest corpus [[nearDupPairs]] will touch before failing loudly.
+    * 100k rows ≈ 5e9 candidate pairs — the outer edge of what an exact
+    * validator should ever chew through; the scale path is
+    * [[srpVerifiedPairs]].
+    */
+  val NearDupPairsMaxRows: Long = 100000L
+
   /** All pairs with cosine ≥ threshold. Blocked self-join (id_a < id_b on a
-    * range-free cross) — exact; for 100 TB use `annLshTopK`-style bucketing
-    * as a prefilter and this as the verifier on candidates.
+    * range-free cross) — EXACT and O(n²): this is the small-scale validator
+    * that grounds the bucketed paths ([[srpVerifiedPairs]], `annLshTopK`),
+    * never the production path.
+    *
+    * Guarded by construction: the plan carries a one-row corpus count
+    * (broadcast, lazy — fires whenever and wherever the plan is executed)
+    * and `raise_error`s before the pair fan-out if the corpus exceeds
+    * [[NearDupPairsMaxRows]], so no future caller can run the quadratic
+    * join at production scale by accident (same precedent as
+    * `Dedup.chunkDedup`'s packing guard).
     */
   def nearDupPairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double
+      threshold: Double,
+      maxRows: Long = NearDupPairsMaxRows
   ): DataFrame = {
     val base = prepBase(emb, idCol, vecCol)
-    val a = base.select(col("cid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val bound = base.agg(count(lit(1)).as("__n"))
+    val a = base
+      .crossJoin(broadcast(bound))
+      .select(
+        when(
+          col("__n") > maxRows,
+          raise_error(concat(
+            lit("nearDupPairs is the exact all-pairs validator (O(n^2)); corpus rows "),
+            col("__n").cast("string"),
+            lit(s" exceed the validation bound $maxRows - use srpVerifiedPairs at scale"))))
+          .otherwise(col("cid")).as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("cid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .filter(fastDot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
@@ -167,6 +194,15 @@ object Similarity {
     * bounded. Cross-cell near-dups are deliberately out of scope: that is
     * the SemDeDup trade-off (recall bounded by the quantizer) that makes
     * the method linear-ish and lets it run over web-scale corpora.
+    *
+    * Portability caveat: the keep/drop gate thresholds a raw FP cosine.
+    * The sequential-fold `fastDot` has replayed bitwise-equal to DuckDB's
+    * `list_cosine_similarity` on every fixture, but unlike the
+    * integer-exact Jaccard/BM25 gates this one is not engine-exact by
+    * construction — a pair landing within a ulp of the threshold could in
+    * principle flip between engines. If that ever bites, compare
+    * `floor(1e9 * cos)` on both sides (shrinks the sensitive set from
+    * "every representable double at the boundary" to the 1e-9 quanta).
     */
   def semanticDedup(
       emb: DataFrame,

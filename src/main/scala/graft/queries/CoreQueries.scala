@@ -329,15 +329,17 @@ object CoreQueries {
       Some("""SELECT c_custkey, c_name FROM customer
              |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin)
     ),
+    // Orders side is filtered so the anti-join is non-vacuous on this fixture
+    // (every customer has at least one order, but not one above the threshold).
     "q_anti_join" -> QueryDef(
       (s, d) => {
-        val o = t(s, d, "orders")
+        val o = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
         t(s, d, "customer")
           .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")
       },
       Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin)
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin)
     ),
 
     // ---- window functions ----

@@ -432,12 +432,15 @@ object Ext4Queries {
             count(lit(1)).as("m"),
             sum(col("n").cast("decimal(38,0)")).cast("double").as("sy"),
             sum((col("n") * col("n")).cast("decimal(38,0)")).cast("double").as("syy"))
+        // nullif(sd, 0): a zero-variance group (e.g. a type with one hourly
+        // bucket) yields NULL z instead of NaN/Inf — identical in both
+        // engines regardless of DuckDB's ieee_floating_point_ops setting.
         hourly
           .join(broadcast(stats), "event_type")
           .select(
             col("event_type"), col("h"), col("n"),
             ((col("n").cast("double") - col("sy") / col("m")) /
-              (sqrt(col("m") * col("syy") - col("sy") * col("sy")) / col("m"))).as("z_hour"))
+              nullif(sqrt(col("m") * col("syy") - col("sy") * col("sy")) / col("m"), lit(0.0))).as("z_hour"))
           .withColumn("is_anomaly", abs(col("z_hour")) > 3.0)
       },
       Some("""WITH hourly AS (
@@ -450,9 +453,9 @@ object Ext4Queries {
              |  FROM hourly GROUP BY 1)
              |SELECT hourly.event_type, hourly.h, CAST(hourly.n AS BIGINT) AS n,
              |  (CAST(hourly.n AS DOUBLE) - st.sy / st.m) /
-             |    (sqrt(st.m * st.syy - st.sy * st.sy) / st.m) AS z_hour,
+             |    nullif(sqrt(st.m * st.syy - st.sy * st.sy) / st.m, 0) AS z_hour,
              |  abs((CAST(hourly.n AS DOUBLE) - st.sy / st.m) /
-             |    (sqrt(st.m * st.syy - st.sy * st.sy) / st.m)) > 3.0 AS is_anomaly
+             |    nullif(sqrt(st.m * st.syy - st.sy * st.sy) / st.m, 0)) > 3.0 AS is_anomaly
              |FROM hourly JOIN st USING (event_type)""".stripMargin),
       "per-type hourly volume z-scores with 3-sigma anomaly flags"
     ),
@@ -563,8 +566,16 @@ object Ext4Queries {
     "q_curation_funnel" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val gq = TextOps.gopherQuality(docs, "doc_id", "text")
-          .select(col("doc_id"), col("keep").as("g_quality"))
+        // Left-join from the corpus so stage 0 ("ingest") counts every doc:
+        // gopherQuality derives from exploded tokens, so a zero-token doc
+        // has no quality row — default it to keep=false instead of silently
+        // dropping it from the funnel (totality matches the classifier flag).
+        val gq = docs.select("doc_id")
+          .join(
+            TextOps.gopherQuality(docs, "doc_id", "text")
+              .select(col("doc_id"), col("keep").as("__gk")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("__gk"), lit(false)).as("g_quality"))
         val clf = TextOps.hashClassifier(docs, "doc_id", "text")
           .select(col("doc_id"), col("label").as("g_clf"))
         val ex = docs.select(col("doc_id"), md5(col("text")).as("__h"))
@@ -604,12 +615,14 @@ object Ext4Queries {
              |    SUM(CASE WHEN t IN ('the','a','an','of','and','to','in','is','it','for') THEN c ELSE 0 END) AS n_stop
              |  FROM gtf GROUP BY 1),
              |gflag AS (
-             |  SELECT doc_id,
-             |    (n_words BETWEEN 50 AND 100000
-             |      AND CAST(wc AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
-             |      AND n_stop >= 2
-             |      AND CAST(top_count AS DOUBLE) / n_words <= 0.1) AS g_quality
-             |  FROM gd),
+             |  -- LEFT JOIN from documents: a zero-token doc has no gd row;
+             |  -- it ingests with g_quality=false rather than vanishing
+             |  SELECT d.doc_id,
+             |    COALESCE(gd.n_words BETWEEN 50 AND 100000
+             |      AND CAST(gd.wc AS DOUBLE) / gd.n_words BETWEEN 3.0 AND 10.0
+             |      AND gd.n_stop >= 2
+             |      AND CAST(gd.top_count AS DOUBLE) / gd.n_words <= 0.1, FALSE) AS g_quality
+             |  FROM documents d LEFT JOIN gd ON gd.doc_id = d.doc_id),
              |ct AS (
              |  SELECT doc_id,
              |    unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '')) AS t
@@ -841,12 +854,14 @@ object Ext4Queries {
             count(lit(1)).as("n"),
             sum(col("score_raw").cast("decimal(38,0)")).cast("double").as("sy"),
             sum((col("score_raw") * col("score_raw")).cast("decimal(38,0)")).cast("double").as("syy"))
+        // nullif(sd, 0): a zero-variance source yields NULL z, not NaN/Inf —
+        // engine-identical regardless of DuckDB's IEEE-division setting.
         scores
           .join(broadcast(stats), "source")
           .select(
             col("doc_id"), col("source"), col("score_raw"),
             ((col("score_raw").cast("double") - col("sy") / col("n")) /
-              (sqrt(col("n") * col("syy") - col("sy") * col("sy")) / col("n"))).as("z_source"))
+              nullif(sqrt(col("n") * col("syy") - col("sy") * col("sy")) / col("n"), lit(0.0))).as("z_source"))
       },
       Some("""WITH toks AS (
              |  SELECT doc_id,
@@ -870,7 +885,7 @@ object Ext4Queries {
              |  FROM sj GROUP BY 1)
              |SELECT sj.doc_id, sj.source, CAST(sj.score_raw AS BIGINT) AS score_raw,
              |  (CAST(sj.score_raw AS DOUBLE) - st.sy / st.n) /
-             |    (sqrt(st.n * st.syy - st.sy * st.sy) / st.n) AS z_source
+             |    nullif(sqrt(st.n * st.syy - st.sy * st.sy) / st.n, 0) AS z_source
              |FROM sj JOIN st USING (source)""".stripMargin),
       "within-source z-scored classifier quality via exact integer moments"
     ),

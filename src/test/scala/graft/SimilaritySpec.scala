@@ -50,6 +50,18 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("nearDupPairs raises loudly above the validation bound") {
+    val df = (0L until 8L).map(i => (i, Seq(1.0f, i.toFloat))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.nearDupPairs(df, "vec_id", "embedding", 0.5, maxRows = 4L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("validation bound")), ex.toString)
+    // the same corpus under the default bound still computes
+    assert(Similarity.nearDupPairs(df, "vec_id", "embedding", 0.5).count() >= 0)
+  }
+
   test("srpVerifiedPairs equals exact nearDupPairs on fixture; plan is a bucket hash join") {
     val df = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
     val exact = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.4)
