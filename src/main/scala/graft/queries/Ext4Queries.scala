@@ -582,13 +582,9 @@ object Ext4Queries {
         val exKeep = ex.groupBy("__h").agg(min("doc_id").as("__keeper"))
         val g3 = ex.join(exKeep, "__h")
           .select(col("doc_id"), (col("doc_id") === col("__keeper")).as("g_exact"))
-        val pairs = Dedup.lshVerifiedPairs(
-          docs, "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16,
-          thresholdNum = 4, thresholdDen = 5)
+        val pairs = SharedIntermediates.verifiedPairs(s, d)
         val kl = Dedup.keepList(docs, "doc_id", pairs.select("id_a", "id_b"), iterations = 4)
           .select(col("doc_id"), col("is_canonical").as("g_fuzzy"))
-        graft.ops.Caching.release(pairs)
         val flags = gq.join(clf, "doc_id").join(g3, "doc_id").join(kl, "doc_id")
         val agg = flags.agg(
           count(lit(1)).as("n0"),
@@ -738,10 +734,7 @@ object Ext4Queries {
     "q_cross_source_leakage" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.lshVerifiedPairs(
-          docs, "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16,
-          thresholdNum = 4, thresholdDen = 5)
+        val pairs = SharedIntermediates.verifiedPairs(s, d)
         val srcA = docs.select(col("doc_id").as("id_a"), col("source").as("src_a"))
         val srcB = docs.select(col("doc_id").as("id_b"), col("source").as("src_b"))
         pairs.select("id_a", "id_b")
@@ -783,12 +776,8 @@ object Ext4Queries {
     "q_dedup_cluster_stats" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.lshVerifiedPairs(
-          docs, "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16,
-          thresholdNum = 4, thresholdDen = 5)
+        val pairs = SharedIntermediates.verifiedPairs(s, d)
         val kl = Dedup.keepList(docs, "doc_id", pairs.select("id_a", "id_b"), iterations = 4)
-        graft.ops.Caching.release(pairs)
         kl.groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
           .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       },

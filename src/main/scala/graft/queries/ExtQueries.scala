@@ -563,25 +563,18 @@ object ExtQueries {
     "q_split_contamination" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.lshVerifiedPairs(
-          docs, "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16,
-          thresholdNum = 4, thresholdDen = 5)
+        val pairs = SharedIntermediates.verifiedPairs(s, d)
         val sp = graft.ops.Sampling
           .hashSplit(docs.select("doc_id"), col("doc_id"), "graft", 80, 10)
         val sa = sp.select(col("doc_id").as("id_a"), col("split").as("split_a"))
         val sb = sp.select(col("doc_id").as("id_b"), col("split").as("split_b"))
-        val out = pairs.select("id_a", "id_b")
+        pairs.select("id_a", "id_b")
           .join(sa, "id_a").join(sb, "id_b")
           .filter((col("split_a") === "train") =!= (col("split_b") === "train"))
           .select(
             when(col("split_a") === "train", col("id_a")).otherwise(col("id_b")).as("train_id"),
             when(col("split_a") === "train", col("id_b")).otherwise(col("id_a")).as("heldout_id"),
             when(col("split_a") === "train", col("split_b")).otherwise(col("split_a")).as("heldout_split"))
-        // materialize BEFORE releasing the pair blocks the lazy plan reads
-        val mat = graft.ops.Caching.materializeAndRelease(out)
-        graft.ops.Caching.release(pairs)
-        mat
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
@@ -988,17 +981,12 @@ object Ext2Queries {
       (s, d) => {
         // pair build = the LSH-verified path (candidates in O(docs×bands),
         // exact integer-Jaccard verify on candidates only — oracle-equal
-        // to the full exact pair set, see dedup_minhash_verified), so CC
-        // does not pay for a second full inverted-index self-join. The
-        // pair frame is fully consumed when connectedComponents returns
-        // (edges are eagerly checkpointed) — release it deterministically.
-        val pairs = Dedup.lshVerifiedPairs(
-          t(s, d, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16,
-          thresholdNum = 4, thresholdDen = 5)
-        val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"), iterations = 4)
-        graft.ops.Caching.release(pairs)
-        cc
+        // to the full exact pair set, see dedup_minhash_verified), built
+        // ONCE per session and read from its materialized parquet — so CC
+        // does not pay for a second full inverted-index self-join, nor for
+        // a rebuild when a sibling query already materialized the pairs.
+        val pairs = SharedIntermediates.verifiedPairs(s, d)
+        Dedup.connectedComponents(pairs.select("id_a", "id_b"), iterations = 4)
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
@@ -1045,13 +1033,8 @@ object Ext2Queries {
     "dedup_keep_list" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.lshVerifiedPairs(
-          docs, "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16,
-          thresholdNum = 4, thresholdDen = 5)
-        val out = Dedup.keepList(docs, "doc_id", pairs.select("id_a", "id_b"), iterations = 4)
-        graft.ops.Caching.release(pairs)
-        out
+        val pairs = SharedIntermediates.verifiedPairs(s, d)
+        Dedup.keepList(docs, "doc_id", pairs.select("id_a", "id_b"), iterations = 4)
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
@@ -1405,12 +1388,10 @@ object Ext2Queries {
     // pairs is exact on the fixtures (candidates ⊇ exact pairs pinned in
     // DedupSpec), so the verified output equals the exact set.
     "dedup_minhash_verified" -> QueryDef(
-      (s, d) =>
-        Dedup.lshVerifiedPairs(
-          t(s, d, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16,
-          thresholdNum = 4, thresholdDen = 5
-        ),
+      // the canonical pair build is shared (built once per session, read
+      // from its materialized parquet by every family member) — see
+      // SharedIntermediates.verifiedPairs
+      (s, d) => SharedIntermediates.verifiedPairs(s, d),
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
              |  FROM documents
