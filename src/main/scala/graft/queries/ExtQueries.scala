@@ -365,6 +365,132 @@ object ExtQueries {
       "bucketed ANN: SRP buckets + within-bucket exact rank, both oracle-replayed"
     ),
 
+    // ---- ANN recall observability: the integer-exact recall@k of each
+    //      approximate method (SRP-LSH buckets, IVF probes, PQ ADC)
+    //      against the exact brute-force top-k over the same queries —
+    //      THE metric that tunes nPlanes/nProbe/codebooks in production.
+    //      Every method is deterministic, so the oracle replays all four
+    //      pipelines and counts the same set intersections ----
+    "ann_recall_at_k" -> QueryDef(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val exact = graft.ops.Caching.materializeAndRelease(
+          Similarity.cosineTopK(emb, "vec_id", "embedding", k = 5, queryPred = col("cid") < 50)
+            .select("query_id", "neighbor_id"))
+        val approx = Similarity
+          .annLshTopK(emb, "vec_id", "embedding", k = 5, queryPred = col("cid") < 50, nPlanes = 6)
+          .select(lit("lsh").as("method"), col("query_id"), col("neighbor_id"))
+          .unionByName(Similarity
+            .ivfTopK(emb, "vec_id", "embedding", k = 5, queryPred = col("cid") < 50,
+              nClusters = 8, nProbe = 2)
+            .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id")))
+          .unionByName(Similarity
+            .pqAdcTopK(emb, "vec_id", "embedding", k = 5, queryPred = col("cid") < 50,
+              subspaces = 4, subDim = 16, nCodes = 8)
+            .select(lit("pq").as("method"), col("query_id"), col("neighbor_id")))
+        val tot = exact.agg(count(lit(1)).as("n_exact"))
+        approx
+          .join(exact.withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+          .groupBy("method")
+          .agg(
+            count(lit(1)).as("n_returned"),
+            sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+          .crossJoin(broadcast(tot))
+          .select(
+            col("method"), col("n_returned"), col("n_hits"),
+            col("n_exact"),
+            (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+      },
+      Some {
+        val bucketExpr = (0 until 6).map { p =>
+          s"(CASE WHEN list_inner_product(v, CAST(${srpSignArray(p, 64)} AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH base AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |exact AS MATERIALIZED (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+           |    FROM base q JOIN base c ON c.vec_id <> q.vec_id
+           |    WHERE q.vec_id < 50) WHERE rank <= 5),
+           |srp AS (SELECT vec_id, v, $bucketExpr AS bucket FROM base),
+           |lsh AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+           |    FROM srp q JOIN srp c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+           |    WHERE q.vec_id < 50) WHERE rank <= 5),
+           |cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8),
+           |iassign AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT b.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY b.vec_id
+           |        ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid) AS rn
+           |    FROM base b CROSS JOIN cent c) WHERE rn = 1),
+           |iprobes AS (
+           |  SELECT query_id, cid FROM (
+           |    SELECT q.vec_id AS query_id, c.cid,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid) AS rn
+           |    FROM base q CROSS JOIN cent c WHERE q.vec_id < 50) WHERE rn <= 2),
+           |ivf AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT p.query_id, a.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY p.query_id
+           |        ORDER BY list_cosine_similarity(qb.v, nb.v) DESC, a.vec_id) AS rank
+           |    FROM iprobes p
+           |    JOIN iassign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+           |    JOIN base qb ON qb.vec_id = p.query_id
+           |    JOIN base nb ON nb.vec_id = a.vec_id) WHERE rank <= 5),
+           |psub AS (
+           |  SELECT vec_id, g.s, list_slice(v, g.s * 16 + 1, g.s * 16 + 16) AS sv
+           |  FROM base, LATERAL (SELECT unnest(generate_series(0, 3)) AS s) g),
+           |pcb AS (SELECT vec_id AS code, s, sv AS cv FROM psub WHERE vec_id < 8),
+           |passign AS (
+           |  SELECT vec_id, s, code FROM (
+           |    SELECT a.vec_id, a.s, pcb.code,
+           |      row_number() OVER (PARTITION BY a.vec_id, a.s
+           |        ORDER BY list_cosine_similarity(a.sv, pcb.cv) DESC, pcb.code) AS rn
+           |    FROM psub a JOIN pcb ON pcb.s = a.s) WHERE rn = 1),
+           |pwide AS (
+           |  SELECT vec_id,
+           |    MAX(CASE WHEN s = 0 THEN code END) AS c0,
+           |    MAX(CASE WHEN s = 1 THEN code END) AS c1,
+           |    MAX(CASE WHEN s = 2 THEN code END) AS c2,
+           |    MAX(CASE WHEN s = 3 THEN code END) AS c3
+           |  FROM passign GROUP BY 1),
+           |pqq AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 50),
+           |plut AS (
+           |  SELECT pqq.query_id, pcb.s, pcb.code,
+           |    list_inner_product(list_slice(pqq.qv, pcb.s * 16 + 1, pcb.s * 16 + 16), pcb.cv) AS p
+           |  FROM pqq, pcb),
+           |pq AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT l0.query_id, w.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY l0.query_id
+           |        ORDER BY l0.p + l1.p + l2.p + l3.p DESC, w.vec_id) AS rank
+           |    FROM pwide w
+           |    JOIN plut l0 ON l0.s = 0 AND l0.code = w.c0
+           |    JOIN plut l1 ON l1.s = 1 AND l1.code = w.c1 AND l1.query_id = l0.query_id
+           |    JOIN plut l2 ON l2.s = 2 AND l2.code = w.c2 AND l2.query_id = l0.query_id
+           |    JOIN plut l3 ON l3.s = 3 AND l3.code = w.c3 AND l3.query_id = l0.query_id
+           |    WHERE w.vec_id <> l0.query_id) WHERE rank <= 5),
+           |ap AS (
+           |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+           |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf
+           |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pq)
+           |SELECT m.method, CAST(COUNT(*) AS BIGINT) AS n_returned,
+           |  CAST(COUNT(e.query_id) AS BIGINT) AS n_hits,
+           |  CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           |  CAST(COUNT(e.query_id) AS DOUBLE) / (SELECT COUNT(*) FROM exact) AS recall
+           |FROM ap m LEFT JOIN exact e
+           |  ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+           |GROUP BY 1""".stripMargin
+      },
+      "recall@k of LSH/IVF/PQ against exact brute-force top-k, integer-exact"
+    ),
+
     // ---- deterministic sampling / splitting (training-data pipeline):
     //      pure md5 math, stable across runs and engines, scan-speed ----
     "q_hash_split" -> QueryDef(
