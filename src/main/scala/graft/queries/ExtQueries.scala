@@ -1299,6 +1299,43 @@ object Ext2Queries {
              |   OR (epoch_us(a.session_end) // 1000) + 1800000 < wm.wm_ms""".stripMargin),
       "EventTimeTimeout sessionization driven end-to-end through an AvailableNow drain"
     ),
+
+    // the RESTART-RECOVERY proof: the same sessionization pipeline run as
+    // two separate query executions against one checkpoint — stop after a
+    // time-split prefix, add the rest, restart — with the merged parquet-
+    // sink output oracle-checked against the uninterrupted batch replay
+    // (same SQL as q_sessionize_stream; see EventStream.restartRunOnce for
+    // why the split cannot change the session set). This is the streaming
+    // analogue of the reference's WRITE_APPEND re-invocation pattern
+    // (main.py:31-33, data_load.py:44-50): offsets, state store, watermark,
+    // and sink commits all resume exactly-once.
+    "q_stream_restart" -> QueryDef(
+      (s, d) =>
+        graft.streaming.EventStream.restartRunOnce(
+          s, s"$d/events.parquet", gapMs = 30 * 60 * 1000L, watermarkDelay = "0 seconds"),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, round(value*100) AS v FROM events
+             |), wm AS (SELECT max(epoch_us(ts) // 1000) AS wm_ms FROM e
+             |), g AS (
+             |  SELECT user_id, ts, v,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+             |              > 1800000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e
+             |), s AS (
+             |  SELECT user_id, ts, v,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM g
+             |), agg AS (
+             |  SELECT user_id, sess, min(ts) AS session_start, max(ts) AS session_end,
+             |    CAST(COUNT(*) AS BIGINT) AS n_events, SUM(v) AS sum_value
+             |  FROM s GROUP BY 1, 2
+             |), mx AS (SELECT user_id, max(sess) AS m FROM agg GROUP BY 1)
+             |SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.sum_value
+             |FROM agg a JOIN mx ON mx.user_id = a.user_id, wm
+             |WHERE a.sess < mx.m
+             |   OR (epoch_us(a.session_end) // 1000) + 1800000 < wm.wm_ms""".stripMargin),
+      "checkpoint restart recovery: stop mid-corpus, restart, output equals the uninterrupted run"
+    ),
     // stream-stream event-time interval join in the gate: purchases to
     // same-user clicks in the 6 h window ending at the purchase — two
     // watermarked streaming sources + a time-range condition (the state-

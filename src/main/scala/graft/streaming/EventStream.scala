@@ -306,6 +306,99 @@ object EventStream {
     drainToTable(spark, sessionizeStream(in, gapMs).toDF(), "sess", "append", srcPath)
   }
 
+  /** Checkpoint restart-recovery proof: the [[sessionizeStream]] pipeline
+    * driven through TWO separate query executions against the SAME
+    * checkpoint — stop mid-corpus, then restart — with the output proven
+    * equal to the uninterrupted run.
+    *
+    * This is the streaming generalization of the reference's real
+    * incremental pattern (re-invocation over successive date windows with
+    * WRITE_APPEND, `/root/reference/main.py:31-33`, `data_load.py:44-50`):
+    * stage 1 sees only events up to a time split; the query STOPS; stage 2
+    * adds the rest of the corpus and restarts from the checkpoint. The
+    * file-source log skips already-processed files, the state store
+    * recovers every open session, the watermark resumes from the commit
+    * log, and the parquet sink's commit log makes the append exactly-once
+    * across the restart.
+    *
+    * Correctness across the split is by construction: run 1's final
+    * watermark is ≤ the split point while every stage-2 event is strictly
+    * later, so any session closed by run-1 timeout (last + gap < wm₁)
+    * could not have been extended by a stage-2 event (ts₂ > split ≥ wm₁ >
+    * last + gap), and any session still open is recovered and folded
+    * exactly as an uninterrupted run would. The merged output therefore
+    * equals the single-run [[sessionizeRunOnce]] semantics, and the
+    * DuckDB oracle is the same batch-replay SQL.
+    */
+  def restartRunOnce(
+      spark: SparkSession,
+      srcPath: String,
+      gapMs: Long,
+      watermarkDelay: String
+  ): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-restart-").toFile
+    val srcDir = new java.io.File(tmp, "src"); srcDir.mkdirs()
+    val outDir = new java.io.File(tmp, "out").getAbsolutePath
+    val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+
+    val full = graft.queries.Tables
+      .t(spark, new java.io.File(srcPath).getParent, "events")
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        col("ts"),
+        round(col("value") * 100).as("value"))
+    val bounds = full
+      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+      .head()
+    val splitUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
+
+    // stage a slice into a fresh dir, then move its part files into the
+    // watched source dir — a file "arrival" as the file source sees it
+    def arrive(batchName: String, pred: org.apache.spark.sql.Column): Unit = {
+      val stage = new java.io.File(tmp, s"stage-$batchName")
+      full.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      stage.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, i) =>
+          Files.move(f.toPath, new java.io.File(srcDir, s"$batchName-$i.parquet").toPath)
+      }
+    }
+
+    // one full query lifecycle: build from scratch (as a restarted job
+    // would), drain whatever is newly available, stop
+    def drainStage(stage: String): Unit = {
+      val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+      val in = spark.readStream
+        .schema(schema)
+        .parquet(srcDir.getAbsolutePath)
+        .withWatermark("ts", watermarkDelay)
+      val q = sessionizeStream(in, gapMs)
+        .toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"restart drain stage $stage of $srcPath did not finish within 120 s")
+      }
+    }
+
+    arrive("a", unix_micros(col("ts")) <= splitUs)
+    drainStage("1") // first invocation: prefix only, then STOP
+    arrive("b", unix_micros(col("ts")) > splitUs)
+    drainStage("2") // restarted invocation: recovers state + offsets + watermark
+    spark.read
+      .parquet(outDir)
+      .select(
+        col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** [[dedupWithinWatermark]] driven end-to-end through an AvailableNow
     * drain over the events fixture: one survivor per (user_id,
     * event_type) key, re-deliveries within the watermark dropped. Only

@@ -186,4 +186,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("restartRunOnce recovers a session straddling the stop/restart split") {
+    import spark.implicits._
+    // One user, four events 10 min apart starting at t0 plus a breaker at
+    // t0+600min. restartRunOnce splits the corpus at the time midpoint
+    // (t0+300min): stage 1 sees the four clustered events and STOPS with
+    // the session open in the state store; stage 2 restarts from the
+    // checkpoint and the breaker closes it. If state were lost across the
+    // restart, the merged output could not contain the 4-event session.
+    val t0 = 1700000000000000L // unix µs
+    val min = 60L * 1000000L
+    val events = Seq(0L, 10L, 20L, 30L, 600L).map(m => (1L, t0 + m * min, 2.0))
+    val dir = Files.createTempDirectory("stream-restart-fix").toString
+    events.toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = EventStream
+      .restartRunOnce(spark, s"$dir/events.parquet",
+        gapMs = 30 * 60 * 1000L, watermarkDelay = "0 seconds")
+      .as[UserSession].collect()
+    // exactly the one closed session, assembled across the restart; the
+    // trailing single-event session at +600min stays open (within gap of
+    // the final watermark) and is not emitted
+    assert(out.length == 1, out.mkString("; "))
+    assert(out.head.n_events == 4L)
+    assert(out.head.session_start.getTime == t0 / 1000L)
+    assert(out.head.session_end.getTime == t0 / 1000L + 30L * 60L * 1000L)
+    assert(out.head.sum_value == 800.0) // 4 × round(2.0·100)
+  }
 }
