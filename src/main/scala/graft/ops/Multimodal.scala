@@ -133,6 +133,41 @@ object Multimodal {
     }
   }
 
+  /** Deterministic real PNG payload of exactly w×h pixels, written with
+    * the JDK's ImageIO encoder. Pixels are a pure function of position, so
+    * equal (w, h) → equal bytes on every executor — the synthetic fixture
+    * that lets the REAL header decode path run inside the oracle gate
+    * (expected dims are known arithmetic, see `mm_decode_real`).
+    */
+  def synthPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic real WAV payload with exactly `frames` frames of
+    * `channels`-channel 16-bit PCM silence (JDK `javax.sound.sampled`
+    * writer) — the audio counterpart of [[synthPng]].
+    */
+  def synthWav(frames: Int, channels: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(8000f, 16, channels, true, false)
+    val data = new Array[Byte](frames * fmt.getFrameSize)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   /** Attach a binary media column. On the fixtures the document text bytes
     * stand in for an image payload; in production this is the raw blob
     * column of the table.

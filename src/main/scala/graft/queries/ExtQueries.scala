@@ -981,6 +981,43 @@ object ExtQueries {
              |WHERE octet_length(encode(text)) > 0""".stripMargin)
     ),
 
+    // ---- the REAL decoder path inside the oracle gate: per doc, a true
+    //      PNG (w×h from doc-id arithmetic, ImageIO-encoded) and a true
+    //      WAV (frames×channels, javax.sound-encoded) are synthesized on
+    //      the executors and decoded back through ImageIoDecode /
+    //      AudioDecode header reads. The decoders' outputs are the known
+    //      synthesis parameters, so DuckDB predicts them with pure
+    //      arithmetic — no stub anywhere in this path ----
+    "mm_decode_real" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+        ids.mapPartitions { it =>
+          it.flatMap { id =>
+            val png = Multimodal.ImageIoDecode.decode(
+              Multimodal.synthPng((id % 16 + 1).toInt, (id % 13 + 1).toInt))
+            val wav = Multimodal.AudioDecode.decode(
+              Multimodal.synthWav((id % 50 + 1).toInt, (id % 2 + 1).toInt))
+            Seq(
+              (id, "png", png._1.toLong, png._2.toLong, png._3),
+              (id, "wav", wav._1.toLong, wav._2.toLong, wav._3))
+          }
+        }.toDF("doc_id", "kind", "dim_a", "dim_b", "format_tag")
+      },
+      Some("""SELECT doc_id, 'png' AS kind,
+             |  CAST(doc_id % 16 + 1 AS BIGINT) AS dim_a,
+             |  CAST(doc_id % 13 + 1 AS BIGINT) AS dim_b,
+             |  'png' AS format_tag
+             |FROM documents
+             |UNION ALL
+             |SELECT doc_id, 'wav',
+             |  CAST(doc_id % 50 + 1 AS BIGINT),
+             |  CAST(doc_id % 2 + 1 AS BIGINT),
+             |  'wave'
+             |FROM documents""".stripMargin),
+      "real JDK PNG/WAV header decode round-trip, oracle-predicted dims"
+    ),
+
     // ---- typed-Dataset mapPartitions decode path. FakeDecode is pure
     //      byte math ((b0 & 0xff) % 64 + 1 etc.), so DuckDB can replay it
     //      exactly via hex-string byte extraction ----
