@@ -30,6 +30,17 @@ object Bench {
     // optional comma-separated name filter (local iteration only; the
     // driver never sets it and times the full inventory)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // optional shuffle/spill accounting (scale-proof runs only): a task
+    // listener accumulates bytes, snapshotted around each query. Listener
+    // delivery is asynchronous, so per-query deltas can bleed a late task
+    // into the next query — fine for the scaling record, which is why the
+    // extra line is opt-in and the driver contract line stays untouched.
+    val metrics = if (sys.env.contains("SPARK_GRAFT_BENCH_METRICS")) {
+      val l = new MetricsListener
+      spark.sparkContext.addSparkListener(l)
+      Some(l)
+    } else None
+    val perQueryMetrics = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -41,8 +52,16 @@ object Bench {
       // unpersist so the next timing starts from a clean block manager.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val before = metrics.map(_.snapshot())
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      metrics.foreach { l =>
+        val b = before.get
+        val a = l.snapshot()
+        perQueryMetrics(name) =
+          s"""{"shuffle_read":${a._1 - b._1},"shuffle_write":${a._2 - b._2},""" +
+            s""""mem_spill":${a._3 - b._3},"disk_spill":${a._4 - b._4}}"""
+      }
       // failed queries record -1 so the JSON can't masquerade as a fast pass
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
@@ -50,6 +69,32 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    metrics.foreach { _ =>
+      val ms = perQueryMetrics.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"bytes","queries":$ms,"sf":"$sfDir"}""")
+    }
     spark.stop()
+  }
+
+  /** Cumulative task-level shuffle/spill bytes (see the opt-in note at the
+    * registration site).
+    */
+  private final class MetricsListener extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    private val sr = new AtomicLong
+    private val sw = new AtomicLong
+    private val ms = new AtomicLong
+    private val ds = new AtomicLong
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ms.addAndGet(m.memoryBytesSpilled)
+        ds.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot(): (Long, Long, Long, Long) = (sr.get, sw.get, ms.get, ds.get)
   }
 }

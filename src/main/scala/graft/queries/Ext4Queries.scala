@@ -916,37 +916,48 @@ object Ext4Queries {
     // ---- shingle novelty: per doc, the fraction of its distinct word
     //      3-grams whose corpus-wide FIRST owner (min doc id) it is —
     //      "how much new content does this doc add", the contribution
-    //      score an ordered-ingest curation pass ranks by. One argmin
-    //      shuffle on the shingle + one regroup on the doc ----
+    //      score an ordered-ingest curation pass ranks by. JOIN-FREE
+    //      shape: numerators fall out of grouping the per-shingle argmin
+    //      frame BY ITS WINNER (no rejoin of the exploded corpus — the
+    //      earlier join-back shuffled the shingle stream twice and
+    //      spilled 50 GB at sf1), denominators are a per-doc count, and
+    //      the final join touches |docs| rows. Shingles shuffle as 60-bit
+    //      md5 chunks (8-byte keys, replayed exactly by the oracle), the
+    //      same primitive as the LSH band keys ----
     "q_shingle_novelty" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
         val shd = docs
           .select(col("doc_id"), TextOps.tokens(trim(col("text"))).as("__ts"))
           .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("__ts"), 3)).as("s"))
-        val firstOwner = shd.groupBy("s").agg(min("doc_id").as("first_doc"))
-        shd.join(firstOwner, "s")
-          .groupBy("doc_id")
-          .agg(
-            count(lit(1)).as("n_shingles"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("s")), 1, 13), 16, 10).cast("long").as("h"))
+        val den = shd.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        val num = shd.groupBy("h").agg(min("doc_id").as("first_doc"))
+          .groupBy(col("first_doc").as("doc_id"))
+          .agg(count(lit(1)).as("n_novel"))
+        den.join(num, Seq("doc_id"), "left")
           .select(
-            col("doc_id"), col("n_shingles"), col("n_novel"),
-            (col("n_novel").cast("double") / col("n_shingles").cast("double")).as("novelty"))
+            col("doc_id"), col("n_shingles"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            (coalesce(col("n_novel"), lit(0L)).cast("double") /
+              col("n_shingles").cast("double")).as("novelty"))
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
              |  FROM documents
              |), sh AS (
-             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  SELECT DISTINCT doc_id,
+             |    CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 13)) AS BIGINT) AS h
              |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
-             |), fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
-             |SELECT sh.doc_id,
-             |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
-             |  CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-             |  CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
-             |FROM sh JOIN fo USING (s)
-             |GROUP BY 1""".stripMargin),
+             |), den AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+             |fo AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+             |num AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel FROM fo GROUP BY 1)
+             |SELECT den.doc_id,
+             |  CAST(den.n_shingles AS BIGINT) AS n_shingles,
+             |  CAST(COALESCE(num.n_novel, 0) AS BIGINT) AS n_novel,
+             |  CAST(COALESCE(num.n_novel, 0) AS DOUBLE) / den.n_shingles AS novelty
+             |FROM den LEFT JOIN num USING (doc_id)""".stripMargin),
       "per-doc fraction of corpus-first n-grams — ordered-ingest novelty"
     ),
 

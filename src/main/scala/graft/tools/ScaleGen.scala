@@ -1,0 +1,137 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up fixture generator: replicate an existing sf directory by an
+  * integer factor with foreign-key-consistent id offsets, so the engine's
+  * scaling behavior can be measured at 10× the largest driver-provided
+  * fixture (`ScaleGen /root/testdata/sf0.1 /tmp/sf1 10` ≈ TPC-H sf1:
+  * 6M lineitem rows, 50k documents, 20k embeddings, 1M events).
+  *
+  * Replication is NOT verbatim — verbatim copies would change the
+  * workload's character, not just its size (every document would gain
+  * `factor−1` exact duplicates, exploding near-dup pair counts
+  * quadratically; every embedding would gain identical twins at
+  * cosine 1). Instead each copy k:
+  *  - suffixes every 3rd whitespace token of `text` with "xk": every
+  *    3-shingle contains a modified token, so copies share no shingles
+  *    and the near-dup pair density per document stays the fixture's;
+  *  - rotates `embedding` by k positions: norm-preserving, and a random
+  *    vector is near-orthogonal to its rotation, so no cross-copy
+  *    near-dup/ANN structure appears;
+  *  - offsets every key column (custkey/orderkey/partkey/suppkey/
+  *    user_id/event_id/doc_id/vec_id) by k × a table-specific stride,
+  *    consistently on both sides of every FK, so join selectivities are
+  *    preserved exactly.
+  * `region`/`nation` are dimension tables and copy verbatim (as at any
+  * real scale factor).
+  */
+object ScaleGen {
+
+  private val CUST = 10000000L
+  private val ORD = 100000000L
+  private val PART = 10000000L
+  private val SUPP = 1000000L
+  private val USER = 10000000L
+  private val EVENT = 100000000L
+  private val DOC = 10000000L
+  private val VEC = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scalegen")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(name: String): DataFrame = graft.queries.Tables.t(spark, src, name)
+    def copies(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(factor).toDF("__k"))
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scalegen] wrote $name")
+    }
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    write(
+      copies(read("customer"))
+        .withColumn("c_custkey", col("c_custkey") + col("__k") * CUST)
+        .drop("__k"),
+      "customer")
+
+    write(
+      copies(read("supplier"))
+        .withColumn("s_suppkey", col("s_suppkey") + col("__k") * SUPP)
+        .drop("__k"),
+      "supplier")
+
+    write(
+      copies(read("part"))
+        .withColumn("p_partkey", col("p_partkey") + col("__k") * PART)
+        .drop("__k"),
+      "part")
+
+    write(
+      copies(read("orders"))
+        .withColumn("o_orderkey", col("o_orderkey") + col("__k") * ORD)
+        .withColumn("o_custkey", col("o_custkey") + col("__k") * CUST)
+        .drop("__k"),
+      "orders")
+
+    write(
+      copies(read("lineitem"))
+        .withColumn("l_orderkey", col("l_orderkey") + col("__k") * ORD)
+        .withColumn("l_partkey", col("l_partkey") + col("__k") * PART)
+        .withColumn("l_suppkey", col("l_suppkey") + col("__k") * SUPP)
+        .drop("__k"),
+      "lineitem")
+
+    write(
+      copies(read("events"))
+        .withColumn("event_id", col("event_id") + col("__k") * EVENT)
+        .withColumn("user_id", col("user_id") + col("__k") * USER)
+        .drop("__k"),
+      "events")
+
+    write(
+      copies(read("documents"))
+        .withColumn("doc_id", col("doc_id") + col("__k") * DOC)
+        .withColumn(
+          "text",
+          when(col("__k") === 0, col("text")).otherwise(
+            concat_ws(
+              " ",
+              transform(
+                split(col("text"), "\\s+"),
+                (t, i) =>
+                  when(i % 3 === 0, concat(t, lit("x"), col("__k"))).otherwise(t)))))
+        .withColumn("n_chars", length(col("text")))
+        .drop("__k"),
+      "documents")
+
+    val dim = size(col("embedding"))
+    val k = col("__k").cast("int")
+    write(
+      copies(read("embeddings"))
+        .withColumn("vec_id", col("vec_id") + col("__k") * VEC)
+        .withColumn(
+          "embedding",
+          concat(
+            slice(col("embedding"), k + 1, dim - k),
+            slice(col("embedding"), lit(1), k)))
+        .drop("__k"),
+      "embeddings")
+
+    spark.stop()
+  }
+}
