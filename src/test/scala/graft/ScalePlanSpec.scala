@@ -81,6 +81,59 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("srpVerifiedPlan carries vectors through the bucket join (exactly one join, no re-attach)") {
+    val df = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
+    val (lazyPlan, base) =
+      graft.ops.Similarity.srpVerifiedPlan(df, "vec_id", "embedding", 0.4, 3, 24)
+    val plan = lazyPlan.queryExecution.executedPlan.toString
+    base.unpersist()
+    // re-attaching vectors to the candidate id pairs by two id joins
+    // shuffles |candidates| × the vector width (measured 20 GB × 2
+    // exchanges and 512 s at 10× the gate scale) — the verify must run
+    // inline on the single bucket self-join's output
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") || l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"expected exactly the bucket self-join, got $joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_fuzzy_match evaluates levenshtein once, on the distinct-name frame") {
+    val plan = graft.SparkEntry
+      .queries("q_fuzzy_match")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    // group-first entity resolution: every levenshtein site must sit in
+    // the distinct-name match build (two textual occurrences are the
+    // projection + its pushed threshold filter, both downstream of the
+    // (brand, name) distinct aggregate) — per-id-pair re-evaluation
+    // regressed to 65× time at 10× rows
+    assert(
+      plan.contains("HashAggregate(keys=[p_brand"),
+      s"distinct-name aggregate missing — levenshtein runs per id pair:\n$plan")
+    val levLines = plan.linesIterator.zipWithIndex.filter(_._1.contains("levenshtein")).toSeq
+    val exchangeIdx = plan.linesIterator.zipWithIndex
+      .filter(_._1.contains("BroadcastExchange")).map(_._2).toSeq
+    // every levenshtein occurrence lives inside a broadcast build side
+    // (the bounded name-pair relation), never on the probe path
+    assert(
+      levLines.forall { case (_, i) => exchangeIdx.exists(_ < i) },
+      s"levenshtein outside the broadcast match build:\n$plan")
+  }
+
+  test("q_shingle_novelty never joins the exploded shingle stream") {
+    val plan = graft.SparkEntry
+      .queries("q_shingle_novelty")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    // numerators come from grouping the per-shingle argmin frame by its
+    // winner, denominators from a per-doc count — the only join touches
+    // |docs| rows. Joining the shingle stream back to its argmin frame
+    // spilled 50 GB at 10× the gate scale.
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") || l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"expected exactly the |docs|-row rollup join, got $joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("semanticDedup pairs via a hash join on the cell key, never a nested-loop cross") {
     val plan = graft.ops.Similarity
       .semanticDedup(
