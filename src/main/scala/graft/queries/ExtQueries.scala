@@ -1113,6 +1113,49 @@ object Ext2Queries {
              |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)
     ),
 
+    // ---- count-min sketch heavy hitters: the bounded-state frequency
+    //      structure (4×1024 counters, independent of vocabulary size)
+    //      point-queried for the exact top-20 tokens. The sketch, the
+    //      probes, and the estimates are pure md5-chunk integer math, so
+    //      DuckDB replays the whole grid bit-exactly; `sound` pins the
+    //      CMS guarantee est ≥ true on every probe ----
+    "q_heavy_hitters_cms" -> QueryDef(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+        val sketch = graft.ops.Sketches.countMin(toks, col("token"), depth = 4, width = 1024)
+        val top = toks.groupBy("token").agg(count(lit(1)).as("true_n"))
+          .orderBy(col("true_n").desc, col("token").asc)
+          .limit(20)
+        graft.ops.Sketches.cmsEstimate(sketch, top, "token", depth = 4, width = 1024)
+          .select(
+            col("token"), col("true_n"), col("est_n"),
+            (col("est_n") >= col("true_n")).as("sound"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents),
+             |sk AS (
+             |  SELECT g.j,
+             |    CAST(('0x' || substr(md5('cms' || CAST(g.j AS VARCHAR) || ':' || token), 1, 13)) AS BIGINT) % 1024 AS b,
+             |    COUNT(*) AS c
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) g
+             |  GROUP BY 1, 2),
+             |top AS (
+             |  SELECT token, COUNT(*) AS true_n FROM toks
+             |  GROUP BY 1 ORDER BY true_n DESC, token LIMIT 20),
+             |pb AS (
+             |  SELECT token, true_n, g.j,
+             |    CAST(('0x' || substr(md5('cms' || CAST(g.j AS VARCHAR) || ':' || token), 1, 13)) AS BIGINT) % 1024 AS b
+             |  FROM top, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) g)
+             |SELECT pb.token, CAST(pb.true_n AS BIGINT) AS true_n,
+             |  CAST(MIN(COALESCE(sk.c, 0)) AS BIGINT) AS est_n,
+             |  MIN(COALESCE(sk.c, 0)) >= pb.true_n AS sound
+             |FROM pb LEFT JOIN sk ON sk.j = pb.j AND sk.b = pb.b
+             |GROUP BY pb.token, pb.true_n""".stripMargin),
+      "count-min sketch point queries vs exact counts, soundness pinned"
+    ),
+
     // as-of (temporal) join — an operator Spark lacks natively, composed
     // as union + carry-forward window: one shuffle of |L|+|R| on the key,
     // no point-in-time join explosion. Oracle = DuckDB's native ASOF JOIN.
