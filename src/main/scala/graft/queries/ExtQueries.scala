@@ -1156,6 +1156,55 @@ object Ext2Queries {
       "count-min sketch point queries vs exact counts, soundness pinned"
     ),
 
+    // ---- the CMS merge contract: sketches built independently on two
+    //      corpus shards, sum-merged, point-queried — estimates are
+    //      IDENTICAL to the whole-corpus sketch (counter addition is
+    //      exact), which is what lets 1000 executors sketch 100 TB
+    //      map-side and merge grids instead of shuffling occurrences.
+    //      Oracle = the whole-corpus replay, pinning that identity ----
+    "q_cms_merge" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def toks(part: org.apache.spark.sql.DataFrame) =
+          part.select(explode(TextOps.tokens(col("text"))).as("token"))
+        val skA = graft.ops.Sketches.countMin(
+          toks(docs.filter(col("doc_id") % 2 === 0)), col("token"), depth = 4, width = 1024)
+        val skB = graft.ops.Sketches.countMin(
+          toks(docs.filter(col("doc_id") % 2 === 1)), col("token"), depth = 4, width = 1024)
+        val merged = skA.unionByName(skB)
+          .groupBy("j", "b").agg(sum(col("c")).as("c"))
+        val top = toks(docs).groupBy("token").agg(count(lit(1)).as("true_n"))
+          .orderBy(col("true_n").desc, col("token").asc)
+          .limit(20)
+        graft.ops.Sketches.cmsEstimate(merged, top, "token", depth = 4, width = 1024)
+          .select(
+            col("token"), col("true_n"), col("est_n"),
+            (col("est_n") >= col("true_n")).as("sound"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents),
+             |sk AS (
+             |  SELECT g.j,
+             |    CAST(('0x' || substr(md5('cms' || CAST(g.j AS VARCHAR) || ':' || token), 1, 13)) AS BIGINT) % 1024 AS b,
+             |    COUNT(*) AS c
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) g
+             |  GROUP BY 1, 2),
+             |top AS (
+             |  SELECT token, COUNT(*) AS true_n FROM toks
+             |  GROUP BY 1 ORDER BY true_n DESC, token LIMIT 20),
+             |pb AS (
+             |  SELECT token, true_n, g.j,
+             |    CAST(('0x' || substr(md5('cms' || CAST(g.j AS VARCHAR) || ':' || token), 1, 13)) AS BIGINT) % 1024 AS b
+             |  FROM top, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) g)
+             |SELECT pb.token, CAST(pb.true_n AS BIGINT) AS true_n,
+             |  CAST(MIN(COALESCE(sk.c, 0)) AS BIGINT) AS est_n,
+             |  MIN(COALESCE(sk.c, 0)) >= pb.true_n AS sound
+             |FROM pb LEFT JOIN sk ON sk.j = pb.j AND sk.b = pb.b
+             |GROUP BY pb.token, pb.true_n""".stripMargin),
+      "shard-built CMS grids sum-merge to the whole-corpus sketch exactly"
+    ),
+
     // as-of (temporal) join — an operator Spark lacks natively, composed
     // as union + carry-forward window: one shuffle of |L|+|R| on the key,
     // no point-in-time join explosion. Oracle = DuckDB's native ASOF JOIN.
