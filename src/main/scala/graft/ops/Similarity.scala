@@ -624,10 +624,17 @@ object Similarity {
     // metadata-cheap bounded driver action, same sanction as the dim
     // probe in srpCandidatePairs.
     val n = base.count()
+    // ceil(log2(n/250)) in exact integer arithmetic: the FP form
+    // (Math.log ratio) sits on a rounding boundary exactly at
+    // n = 250·2^k — the gate corpus (2000 = 250·2^3) lands there, and a
+    // libm ulp either way would silently bump planes and change the
+    // oracle-pinned banding. 64 - nlz((n-1)/250) ≡ ceil(log2(⌈n/250⌉))
+    // ≡ ceil(log2(n/250)) for all integer n > 250 (2^k ≥ n/250 ⟺
+    // 2^k ≥ ⌈n/250⌉ since 2^k is an integer).
     val effPlanes = math.max(
       planesPerTable,
       if (n <= 250) planesPerTable
-      else math.ceil(math.log(n / 250.0) / math.log(2.0)).toInt)
+      else 64 - java.lang.Long.numberOfLeadingZeros((n - 1) / 250))
     // Vectors ride THROUGH the bucket self-join (the join input is
     // |corpus| × tables rows carrying one vector each — megabytes) so
     // the verify filter runs inline on the join output inside codegen.

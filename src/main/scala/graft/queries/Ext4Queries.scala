@@ -921,9 +921,13 @@ object Ext4Queries {
     //      frame BY ITS WINNER (no rejoin of the exploded corpus — the
     //      earlier join-back shuffled the shingle stream twice and
     //      spilled 50 GB at sf1), denominators are a per-doc count, and
-    //      the final join touches |docs| rows. Shingles shuffle as 60-bit
+    //      the final join touches |docs| rows. Shingles shuffle as 52-bit
     //      md5 chunks (8-byte keys, replayed exactly by the oracle), the
-    //      same primitive as the LSH band keys ----
+    //      same primitive as the LSH band keys. Per-doc distinctness is
+    //      taken on the HASH (dropDuplicates after hashing) so both
+    //      engines dedupe on the same domain — distincting on the string
+    //      here while the oracle distincts on h would diverge on a
+    //      within-doc 52-bit collision ----
     "q_shingle_novelty" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -932,6 +936,7 @@ object Ext4Queries {
           .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("__ts"), 3)).as("s"))
           .select(col("doc_id"),
             conv(substring(md5(col("s")), 1, 13), 16, 10).cast("long").as("h"))
+          .dropDuplicates("doc_id", "h")
         val den = shd.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
         val num = shd.groupBy("h").agg(min("doc_id").as("first_doc"))
           .groupBy(col("first_doc").as("doc_id"))

@@ -54,6 +54,13 @@ object SharedIntermediates {
   /** The canonical verified near-dup pair set over `documents` in `dir`
     * (shingleN=3, 64 hashes, 16 bands, Jaccard ≥ 4/5), built at most once
     * per (application, dir). Schema: id_a, id_b, inter, size_a, size_b.
+    *
+    * The memo key is the (applicationId, dir) PATH, not the fixture
+    * contents — if a fixture directory is regenerated in-place within one
+    * long-lived Spark application, call [[clear]] first or consumers read
+    * the stale materialization. Verify/Bench runs are one application per
+    * fixture, so the path key is sound there; only interactive sessions
+    * that rewrite fixtures need the explicit clear.
     */
   def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val key = (s.sparkContext.applicationId, dir)

@@ -43,6 +43,27 @@ final case class SessionState(
 
 object EventStream {
 
+  /** Temp trees created by [[restartRunOnce]], deleted at JVM exit (the
+    * returned frame reads the sink lazily, so eager deletion would break
+    * the consumer; see SharedIntermediates for the same contract).
+    */
+  private val tempTrees = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  sys.addShutdownHook {
+    tempTrees.keys.foreach { p =>
+      val path = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(path)) {
+        java.nio.file.Files
+          .walk(path)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+  }
+
+  private def registerForCleanup(dir: java.io.File): Unit =
+    tempTrees.put(dir.getAbsolutePath, ())
+
   /** µs-precision java.sql.Timestamp from unix microseconds (the
     * constructor alone truncates to ms; setNanos restores the full
     * sub-second fraction so session bounds round-trip exactly against
@@ -338,6 +359,11 @@ object EventStream {
   ): DataFrame = {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft-restart-").toFile
+    // The returned DataFrame reads the parquet sink lazily, so the tree
+    // cannot be deleted here; a registered query leaks ~an events-table
+    // copy per sweep otherwise. Same shutdown-hook contract as
+    // SharedIntermediates.
+    registerForCleanup(tmp)
     val srcDir = new java.io.File(tmp, "src"); srcDir.mkdirs()
     val outDir = new java.io.File(tmp, "out").getAbsolutePath
     val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
