@@ -76,8 +76,22 @@ object Dedup {
       thresholdNum: Int,
       thresholdDen: Int,
       maxShingleFreq: Option[Int] = None
+  ): DataFrame =
+    ngramJaccardPairsFromShingles(
+      shingleRows(df, idCol, textCol, n), thresholdNum, thresholdDen, maxShingleFreq)
+
+  /** [[ngramJaccardPairs]] over a pre-built `(sid, s)` shingle frame —
+    * the shape a shared/materialized shingle build feeds (see
+    * `SharedIntermediates.shingles`): the corpus is tokenized and
+    * shingled ONCE per pipeline run, not once per consumer.
+    */
+  def ngramJaccardPairsFromShingles(
+      shingles: DataFrame,
+      thresholdNum: Int,
+      thresholdDen: Int,
+      maxShingleFreq: Option[Int] = None
   ): DataFrame = {
-    val (inter, sizes, sh) = shingleInterSizes(df, idCol, textCol, n, maxShingleFreq)
+    val (inter, sizes, sh) = shingleInterSizes(shingles, maxShingleFreq)
     materializeAndRelease(jaccardThreshold(inter, sizes, thresholdNum, thresholdDen), sh)
   }
 
@@ -96,13 +110,10 @@ object Dedup {
     * releases the returned cached shingle table.
     */
   private def shingleInterSizes(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      n: Int,
+      shingles: DataFrame,
       maxShingleFreq: Option[Int]
   ): (DataFrame, DataFrame, DataFrame) = {
-    val sh = shingleRows(df, idCol, textCol, n)
+    val sh = shingles
       .select(col("sid"), xxhash64(col("s")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shFiltered = maxShingleFreq match {
@@ -139,8 +150,20 @@ object Dedup {
       thresholdNum: Int,
       thresholdDen: Int,
       maxShingleFreq: Option[Int] = None
+  ): DataFrame =
+    containmentPairsFromShingles(
+      shingleRows(df, idCol, textCol, n), thresholdNum, thresholdDen, maxShingleFreq)
+
+  /** [[containmentPairs]] over a pre-built `(sid, s)` shingle frame
+    * (shared-build shape, see [[ngramJaccardPairsFromShingles]]).
+    */
+  def containmentPairsFromShingles(
+      shingles: DataFrame,
+      thresholdNum: Int,
+      thresholdDen: Int,
+      maxShingleFreq: Option[Int] = None
   ): DataFrame = {
-    val (inter, sizes, sh) = shingleInterSizes(df, idCol, textCol, n, maxShingleFreq)
+    val (inter, sizes, sh) = shingleInterSizes(shingles, maxShingleFreq)
     val withSizes = inter
       .join(sizes.select(col("sid").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("sid").as("id_b"), col("sz").as("sz_b")), "id_b")
@@ -269,6 +292,18 @@ object Dedup {
     candidatesFromShingles(shingleRows(df, idCol, textCol, shingleN), numHashes, bands)
   }
 
+  /** [[lshCandidatePairs]] over a pre-built `(sid, s)` shingle frame
+    * (shared-build shape, see [[ngramJaccardPairsFromShingles]]).
+    */
+  def lshCandidatePairsFromShingles(
+      shingles: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    candidatesFromShingles(shingles, numHashes, bands)
+  }
+
   private def candidatesFromShingles(shingles: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     // signatures are tiny (docs × numHashes longs) and feed both join
     // sides — materialize once
@@ -321,9 +356,20 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16
+  ): DataFrame =
+    lshCandidatePairsWithEstFromShingles(
+      shingleRows(df, idCol, textCol, shingleN), numHashes, bands)
+
+  /** [[lshCandidatePairsWithEst]] over a pre-built `(sid, s)` shingle
+    * frame (shared-build shape, see [[ngramJaccardPairsFromShingles]]).
+    */
+  def lshCandidatePairsWithEstFromShingles(
+      shingles: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sig = signaturesFromShingles(shingleRows(df, idCol, textCol, shingleN), numHashes)
+    val sig = signaturesFromShingles(shingles, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = bandedPairs(sig, numHashes, bands)
     val sa = sig.select(col("sid").as("id_a"), col("sig").as("sa"))
@@ -441,11 +487,24 @@ object Dedup {
       bands: Int,
       thresholdNum: Int,
       thresholdDen: Int
+  ): DataFrame =
+    lshVerifiedPairsFromShingles(
+      shingleRows(df, idCol, textCol, shingleN), numHashes, bands, thresholdNum, thresholdDen)
+
+  /** [[lshVerifiedPairs]] over a pre-built `(sid, s)` shingle frame
+    * (shared-build shape, see [[ngramJaccardPairsFromShingles]]).
+    */
+  def lshVerifiedPairsFromShingles(
+      shingles: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      thresholdNum: Int,
+      thresholdDen: Int
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // ONE shingle materialization feeds both candidate generation (via
     // signatures) and exact verification
-    val sh = shingleRows(df, idCol, textCol, shingleN)
+    val sh = shingles
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = candidatesFromShingles(sh, numHashes, bands)
     val sizes = sh.groupBy("sid").agg(count(lit(1)).as("sz"))

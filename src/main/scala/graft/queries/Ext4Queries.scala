@@ -51,9 +51,8 @@ object Ext4Queries {
     //      filters candidates without re-touching shingle sets ----
     "dedup_minhash_est" -> QueryDef(
       (s, d) =>
-        Dedup.lshCandidatePairsWithEst(
-          t(s, d, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16
+        Dedup.lshCandidatePairsWithEstFromShingles(
+          SharedIntermediates.shingles(s, d), numHashes = 64, bands = 16
         ),
       Some(s"""WITH ${ExtQueries.minhashCtes(64, 16)}, pairs AS (
               |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -971,9 +970,9 @@ object Ext4Queries {
     //      excerpts) that symmetric Jaccard misses at size skew ----
     "dedup_containment" -> QueryDef(
       (s, d) =>
-        Dedup.containmentPairs(
-          t(s, d, "documents"), "doc_id", "text",
-          n = 3, thresholdNum = 4, thresholdDen = 5, maxShingleFreq = Some(50)),
+        Dedup.containmentPairsFromShingles(
+          SharedIntermediates.shingles(s, d),
+          thresholdNum = 4, thresholdDen = 5, maxShingleFreq = Some(50)),
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
              |  FROM documents

