@@ -16,6 +16,17 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // RocksDB state store: the default HDFS-backed provider keeps ALL
+      // keyed streaming state (sessions, dedup keys, interval-join
+      // buffers) on the executor heap — the one memory-bound-at-100×
+      // component. RocksDB spills state to local disk with a bounded
+      // block cache, and changelog checkpointing uploads per-batch deltas
+      // instead of full snapshots. State values are byte-identical either
+      // way (same encoders), so oracles are unaffected.
+      .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
