@@ -1,0 +1,168 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Caching, Similarity}
+
+/** SRP recall measurement at arbitrary corpus scale (VERDICT r7 "Next
+  * round" #1): the auto-scaled plane count in `srpVerifiedPlan`
+  * (`effPlanes = max(requested, ceil(log2(n/250)))`) changes the banding
+  * curve past ~2k vectors, and until this probe ran, no recall number
+  * existed for that regime. Two measurements per registered SRP shape:
+  *
+  *  - **full recall** — |SRP-verified pairs| / |exact pairs ≥ τ|, with
+  *    ground truth from the labeled O(n²) validator. The verify filter
+  *    uses the same cosine arithmetic as the validator, so SRP-verified ⊆
+  *    exact and the count ratio IS recall. Tractable to ~100k vectors
+  *    (the validator's own bound); skipped above it.
+  *  - **planted recall** — fraction of the deterministically planted
+  *    near-dup pairs (`plantNearDups`, cosine ≈ 0.989) the SRP path
+  *    recovers. Ground truth is known by construction (id ↔ id+offset),
+  *    so this scales to any corpus — the sf10+ recall signal.
+  *
+  * Prints one JSON line per measurement; `main` also replays the
+  * registered `ann_recall_at_k` query (LSH/IVF/PQ recall@5 vs exact
+  * top-k) at the probed scale.
+  *
+  * Usage: `runMain graft.tools.RecallProbe <sfDir> [skipFull]`
+  */
+object RecallProbe {
+
+  final case class SrpRecall(
+      config: String,
+      n: Long,
+      effPlanes: Int,
+      tables: Int,
+      threshold: Double,
+      exactPairs: Long,
+      srpPairs: Long,
+      recall: Double
+  ) {
+    def json: String =
+      s"""{"probe":"srp_recall","config":"$config","n":$n,"eff_planes":$effPlanes,""" +
+        s""""tables":$tables,"threshold":$threshold,"exact_pairs":$exactPairs,""" +
+        s""""srp_pairs":$srpPairs,"recall":$recall}"""
+  }
+
+  /** Mirror of srpVerifiedPlan's plane auto-scaling (kept in lockstep so
+    * the probe reports the plane count the production path actually used).
+    */
+  def effPlanesFor(n: Long, requested: Int): Int =
+    math.max(
+      requested,
+      if (n <= 250) requested
+      else 64 - java.lang.Long.numberOfLeadingZeros((n - 1) / 250))
+
+  /** Full recall of the registered low-threshold SRP shape
+    * (`dedup_embedding_cosine_lsh`: τ=0.4, 3 planes, 24 tables) against
+    * the exact validator. `maxRows` is forwarded to the validator — a
+    * deliberate diagnostic run may raise it past the default bound, but
+    * at 22G+ candidate pairs the exact pass stops being tractable
+    * regardless, hence [[plantedRecall]] for those scales.
+    */
+  def fullRecall(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int,
+      tables: Int,
+      config: String,
+      maxRows: Long = Similarity.NearDupPairsMaxRows
+  ): SrpRecall = {
+    val n = emb.count()
+    val exact = Caching.materializeAndRelease(
+      Similarity.nearDupPairs(emb, idCol, vecCol, threshold, maxRows))
+    val srp = Similarity.srpVerifiedPairs(emb, idCol, vecCol, threshold, planes, tables)
+    val nExact = exact.count()
+    val nSrp = srp.count()
+    SrpRecall(
+      config, n, effPlanesFor(n, planes), tables, threshold,
+      nExact, nSrp,
+      if (nExact == 0) 1.0 else nSrp.toDouble / nExact.toDouble)
+  }
+
+  /** Planted recall of the high-threshold SRP shape
+    * (`dedup_embedding_cosine_lsh_hi`: plant → τ=0.9, 8 planes, 8
+    * tables). Denominator = planted pairs whose TRUE cosine clears the
+    * threshold (computed pairwise on the known (id, id+offset) pairs —
+    * O(planted), not O(n²)); numerator = those recovered by the SRP path.
+    */
+  def plantedRecall(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      every: Int,
+      idOffset: Long,
+      eps: Double,
+      threshold: Double,
+      planes: Int,
+      tables: Int,
+      config: String
+  ): SrpRecall = {
+    graft.functions.ArrayDot.ensureRegistered(emb.sparkSession)
+    val corpus = Similarity.plantNearDups(emb, idCol, vecCol, every, idOffset, eps)
+    val n = corpus.count()
+    // true cosine of each planted (id, id+offset) pair, via one join
+    val ids = corpus.select(col(idCol).as("pid"), col(vecCol).as("pv"))
+    val planted = ids
+      .filter(col("pid") % every === 0 && col("pid") < idOffset)
+      .join(
+        ids.select((col("pid") - idOffset).as("pid"), col("pv").as("qv")),
+        Seq("pid"))
+      .select(
+        col("pid"),
+        (Similarity.fastDot(col("pv"), col("qv")) /
+          (sqrt(Similarity.fastDot(col("pv"), col("pv"))) *
+            sqrt(Similarity.fastDot(col("qv"), col("qv"))))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("pid").as("id_a"), (col("pid") + idOffset).as("id_b"))
+    val plantedM = Caching.materializeAndRelease(planted)
+    val srp = Similarity.srpVerifiedPairs(corpus, idCol, vecCol, threshold, planes, tables)
+    val nPlanted = plantedM.count()
+    val found = srp.join(plantedM, Seq("id_a", "id_b")).count()
+    SrpRecall(
+      config, n, effPlanesFor(n, planes), tables, threshold,
+      nPlanted, found,
+      if (nPlanted == 0) 1.0 else found.toDouble / nPlanted.toDouble)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val skipFull = args.length > 1 && args(1) == "skipFull"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = graft.queries.Tables.t(spark, sfDir, "embeddings")
+
+    if (!skipFull)
+      println(fullRecall(
+        emb, "vec_id", "embedding",
+        threshold = 0.4, planes = 3, tables = 24,
+        config = "dedup_embedding_cosine_lsh").json)
+
+    println(plantedRecall(
+      emb, "vec_id", "embedding",
+      every = 20, idOffset = 1000000L, eps = 0.15,
+      threshold = 0.9, planes = 8, tables = 8,
+      config = "dedup_embedding_cosine_lsh_hi").json)
+
+    // the registered ANN recall@5 observability query at this scale
+    graft.SparkEntry.queries("ann_recall_at_k")(spark, sfDir)
+      .collect()
+      .foreach { r =>
+        println(
+          s"""{"probe":"ann_recall_at_k","method":"${r.getString(0)}",""" +
+            s""""n_returned":${r.getLong(1)},"n_hits":${r.getLong(2)},""" +
+            s""""n_exact":${r.getLong(3)},"recall":${r.getDouble(4)}}""")
+      }
+    spark.stop()
+  }
+}

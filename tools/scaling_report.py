@@ -41,8 +41,14 @@ def main():
     st, sb = load(scaled_path)
     common = [q for q in st if q in bt]
     rows = []
+    skipped = [q for q in common if bt[q] == -2.0 or st[q] == -2.0]
     for q in common:
         t0, t1 = bt[q], st[q]
+        if t0 == -2.0 or t1 == -2.0:
+            # -2 = the query's own validation-bound guard declined the
+            # corpus (designed behavior for labeled O(n^2) validators at
+            # scale) — reported separately, not as FAIL
+            continue
         if t0 < 0 or t1 < 0:
             rows.append((float("inf"), q, t0, t1, None, None))
             continue
@@ -62,6 +68,9 @@ def main():
     tot0, tot1 = sum(r[2] for r in ok), sum(r[3] for r in ok)
     print(f"\ntotals: base {tot0:.1f}s scaled {tot1:.1f}s ratio {tot1 / tot0:.2f}x "
           f"(data factor {factor:g}); {len(ok)}/{len(rows)} queries ok")
+    if skipped:
+        print(f"guard-skipped (validators past their bound, by design): "
+              f"{', '.join(sorted(skipped))}")
 
 
 if __name__ == "__main__":
