@@ -594,11 +594,32 @@ object Dedup {
     // bands 0..(bands/2-1) slice the lo half, the rest slice hi — same
     // bit coverage as a single 64-bit signature, split so every shift
     // stays within a signed-long-safe 32-bit value on both engines
-    val bandCols = (0 until bands).map { i =>
+    val bhs = (0 until bands).map { i =>
       val (half, off) =
         if (i < bands / 2) (col("sig_lo"), i * width) else (col("sig_hi"), i * width - 32)
-      struct(lit(i).as("band"), shiftright(half, off).bitwiseAND(lit(mask)).as("bh"))
+      shiftright(half, off).bitwiseAND(lit(mask))
     }
+    // Bucket key schedule — selectivity must scale with the corpus (the
+    // round-8 sf1 decomposition: with single 8-bit band keys there are
+    // only 256 buckets/band, so the self-join is O(n²/2^width) BY
+    // PIGEONHOLE — candidates grew ~100× at 10× corpus while true pairs
+    // grew 2.75×, and the query ran 12× the wall). When the radius
+    // allows, join on PAIRS of bands instead: a pair within `maxHamming`
+    // dirties at most `maxHamming` bands, so for maxHamming ≤ bands−2 at
+    // least two bands are clean and the pair shares a (band_i, band_j)
+    // combo key — same completeness guarantee, C(bands,2) keys of
+    // 2·width bits (65536 buckets at 8-bit bands), candidate population
+    // cut by ~2^width/C(bands,2) (73× at 8×8). The final pair set is
+    // IDENTICAL (both schemes are complete; the Hamming filter decides),
+    // so oracles replaying "all pairs within the radius" are unaffected.
+    val bandCols =
+      if (maxHamming <= bands - 2)
+        (for { i <- 0 until bands; j <- i + 1 until bands } yield
+          struct(
+            lit(i * bands + j).as("band"),
+            (shiftleft(bhs(i), width) + bhs(j)).as("bh"))).toSeq
+      else
+        (0 until bands).map(i => struct(lit(i).as("band"), bhs(i).as("bh")))
     val buckets = sig.select(col("sid"), col("sig_hi"), col("sig_lo"), explode(array(bandCols: _*)).as("bk"))
       .select(col("sid"), col("sig_hi"), col("sig_lo"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val l = buckets.select(
