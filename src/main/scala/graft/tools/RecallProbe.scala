@@ -104,10 +104,15 @@ object RecallProbe {
     graft.functions.ArrayDot.ensureRegistered(emb.sparkSession)
     val corpus = Similarity.plantNearDups(emb, idCol, vecCol, every, idOffset, eps)
     val n = corpus.count()
-    // true cosine of each planted (id, id+offset) pair, via one join
+    // true cosine of each planted (id, id+offset) pair, via one join.
+    // Original ids come from the INPUT frame (not an id-range test —
+    // ScaleGen fixtures carry ids far past any fixed offset, and a range
+    // filter would silently shrink the denominator to one copy).
     val ids = corpus.select(col(idCol).as("pid"), col(vecCol).as("pv"))
-    val planted = ids
-      .filter(col("pid") % every === 0 && col("pid") < idOffset)
+    val planted = emb
+      .select(col(idCol).as("pid"))
+      .filter(col("pid") % every === 0)
+      .join(ids, Seq("pid"))
       .join(
         ids.select((col("pid") - idOffset).as("pid"), col("pv").as("qv")),
         Seq("pid"))
