@@ -4,9 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions default to the thread count (the driver's
+    // contract config) but are overridable for scale-proof sweeps:
+    // per-task memory is heap/concurrency ÷ rows-per-partition, so a
+    // 100× fixture on the same heap needs proportionally more, smaller
+    // partitions to keep sorts and partial aggregates in memory (AQE
+    // coalesces the small ones back, so over-partitioning is cheap).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       // RocksDB state store for the streaming family (see Verify.scala
       // for the rationale — disk-backed state, bounded executor heap)

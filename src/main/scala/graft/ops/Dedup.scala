@@ -118,9 +118,18 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shFiltered = maxShingleFreq match {
       case Some(cap) =>
-        // df-capped inverted index: drop non-discriminative heavy shingles
+        // df-capped inverted index: drop non-discriminative heavy shingles.
+        // The KEEP-list is corpus-proportional (nearly every distinct
+        // shingle clears a df cap of 50), so it must never carry a
+        // broadcast hint: a forced broadcast built fine at gate scale but
+        // blew the driver at 100× (sf10: "Not enough memory to build and
+        // broadcast the table", ~20M keep keys). Left unhinted, AQE
+        // measures the agg output at the stage boundary and picks
+        // broadcast while it is genuinely small, shuffle join once it
+        // is not — and the join key is the same 8-byte shingle hash the
+        // downstream self-join shuffles on.
         val freq = sh.groupBy("s").agg(count(lit(1)).as("df_freq")).filter(col("df_freq") <= cap)
-        sh.join(broadcast(freq.select("s")), "s")
+        sh.join(freq.select("s"), "s")
       case None => sh
     }
     val sizes = shFiltered.groupBy("sid").agg(count(lit(1)).as("sz"))

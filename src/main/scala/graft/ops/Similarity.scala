@@ -580,7 +580,7 @@ object Similarity {
     val buckets = srpBucketRows(base, planesPerTable, tables)
     val l = buckets.select(col("cid").as("id_a"), col("tbl"), col("bucket"))
     val r = buckets.select(col("cid").as("id_b"), col("tbl"), col("bucket"))
-    l.join(r, Seq("tbl", "bucket"))
+    l.join(r.hint("shuffle_hash"), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
   }
@@ -652,8 +652,14 @@ object Similarity {
     val r = buckets.select(
       col("cid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
       col("tbl"), col("bucket"))
+    // SHUFFLE_HASH, not sort-merge: SMJ sorts BOTH vector-carrying sides
+    // by (tbl, bucket) — at 100× the gate scale that sort spilled 4.7 GB
+    // and dominated wall (287 s). The hash build side per partition is
+    // |corpus|×tables/partitions rows (~tens of MB), the probe streams,
+    // and nothing sorts. Same join key space either way; the hint only
+    // fixes the physical pick where size estimates push Spark to SMJ.
     val verified = l
-      .join(r, Seq("tbl", "bucket"))
+      .join(r.hint("shuffle_hash"), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .filter(fastDot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select("id_a", "id_b")
