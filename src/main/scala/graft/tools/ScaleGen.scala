@@ -119,16 +119,25 @@ object ScaleGen {
         .drop("__k"),
       "documents")
 
+    // Rotation index wraps at the vector dim (a raw k ≥ dim made the
+    // second slice length negative — factor 100 failed the write). The
+    // second wrap negates the vector instead of repeating a rotation:
+    // two copies sharing an effective rotation would be EXACT twins
+    // (cosine 1), re-introducing the cross-copy near-dup structure the
+    // perturbation exists to avoid. Negation is norm-preserving, keeps
+    // rotations near-orthogonal, and supports factors up to 2·dim (128).
     val dim = size(col("embedding"))
-    val k = col("__k").cast("int")
+    val k = pmod(col("__k"), dim.cast("long")).cast("int")
+    val rotated = concat(
+      slice(col("embedding"), k + 1, dim - k),
+      slice(col("embedding"), lit(1), k))
     write(
       copies(read("embeddings"))
         .withColumn("vec_id", col("vec_id") + col("__k") * VEC)
         .withColumn(
           "embedding",
-          concat(
-            slice(col("embedding"), k + 1, dim - k),
-            slice(col("embedding"), lit(1), k)))
+          when(col("__k") < dim.cast("long"), rotated)
+            .otherwise(transform(rotated, x => -x)))
         .drop("__k"),
       "embeddings")
 
