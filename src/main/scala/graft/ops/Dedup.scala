@@ -128,6 +128,16 @@ object Dedup {
         // broadcast while it is genuinely small, shuffle join once it
         // is not — and the join key is the same 8-byte shingle hash the
         // downstream self-join shuffles on.
+        //
+        // NOT the window-count form SpanDedup uses — the choice is set
+        // by the key-repetition profile. Document shingles repeat (sf10:
+        // 7.7M distinct keys over ~46M rows, mean df ≈ 6, max 25), so
+        // the partial aggregate compresses ~6× before the shuffle and
+        // the keep join stays cheap: measured head-to-head at sf10,
+        // agg+join 132+100 s vs window 260 s + one failure. SpanDedup's
+        // positioned grams are nearly unique (mean occurrence ≈ 1.1), so
+        // there the aggregate compresses nothing — its window form wins
+        // (13.6 GB spill → 0). Same cap semantics either way.
         val freq = sh.groupBy("s").agg(count(lit(1)).as("df_freq")).filter(col("df_freq") <= cap)
         sh.join(freq.select("s"), "s")
       case None => sh

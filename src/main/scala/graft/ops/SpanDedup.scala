@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-SPAN detection — the substring-level dedup modality
+  * (the suffix-array construction of Lee et al., "Deduplicating Training
+  * Data Makes Language Models Better", re-expressed relationally): find
+  * every maximal run of ≥ `minLen` consecutive tokens shared verbatim by
+  * a document pair. Set-level methods (Jaccard, MinHash, SimHash) miss
+  * exactly this case — two long documents sharing one boilerplate
+  * paragraph have near-zero set overlap but a 100%-duplicated span, and
+  * span-level dedup is what removes repeated license headers, navigation
+  * chrome, and quoted passages from a training corpus.
+  *
+  * Relational shape (no suffix array — a distributed engine wants joins
+  * and windows, not a global sorted suffix structure):
+  *
+  *  1. positioned L-grams: one row per (doc, token position) carrying the
+  *     52-bit md5 chunk of the L-gram starting there (the engine-portable
+  *     hash primitive — both engines hash identical strings).
+  *  2. occurrence-capped inverted index on the gram hash (same rationale
+  *     and cap semantics as the Jaccard df-cap: a gram repeated beyond
+  *     the cap is boilerplate that cannot anchor a *discriminating*
+  *     span; the cap bounds candidate pairs at Σ freq² — linear in the
+  *     corpus at a fixed cap. The keep-list is corpus-proportional, so
+  *     it is deliberately NOT broadcast-hinted — AQE decides).
+  *  3. aligned-match islands: a shared span of length L+k yields k+1
+  *     matches at a CONSTANT alignment offset delta = pos_a − pos_b with
+  *     consecutive pos_a. Grouping by (id_a, id_b, delta) and splitting
+  *     on gaps (pos_a − row_number() changes ⇔ a gap) merges each run
+  *     into one maximal span — the window partitions are bounded by
+  *     per-pair match counts, never by corpus size.
+  *
+  * A 52-bit hash collision would need ≥ minLen−L+1 CONSECUTIVE colliding
+  * grams to fake a span — vanishing, and in any case both engines hash
+  * identically, so results stay oracle-exact regardless.
+  */
+object SpanDedup {
+
+  /** One row per (doc, 1-based token position): the md5-chunk hash of
+    * the L-gram starting at that position. Tokens are projected to a
+    * materialized column first (see [[TextOps.shinglesFromTokens]] —
+    * an inline tokens() expression makes the gram build quadratic).
+    */
+  private[ops] def positionedGramRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int
+  ): DataFrame =
+    df.select(col(idCol).as("sid"), TextOps.tokens(trim(col(textCol))).as("__ts"))
+      .select(col("sid"), posexplode(TextOps.shingleOccurrencesFromTokens(col("__ts"), l)))
+      .select(
+        col("sid"),
+        (col("pos") + 1).cast("long").as("p"),
+        conv(substring(md5(col("col")), 1, 13), 16, 10).cast("long").as("h"))
+
+  /** Maximal exact duplicated token spans ≥ `minLen` tokens between all
+    * document pairs: `(id_a, id_b, start_a, start_b, span_len)` with
+    * id_a < id_b, 1-based token starts, one row per maximal aligned run.
+    * A pair sharing several disjoint (or differently-aligned) spans
+    * emits one row per span — the span inventory a curation pass either
+    * cuts (span excision) or thresholds on (see [[spanMass]]).
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int,
+      minLen: Int,
+      maxGramFreq: Int
+  ): DataFrame = {
+    val g = positionedGramRows(df, idCol, textCol, l)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // occurrence cap as a WINDOW count, not agg + keep-list join: the
+    // keep-list is corpus-proportional (23M of 25.6M gram keys survive a
+    // cap of 50 at sf10), so the agg+join form shuffles and sorts the
+    // gram table twice and aggregates 23M nearly-unique keys (measured
+    // 13.6 GB spill at sf10). The window form pays ONE exchange+sort on
+    // h; group buffers are bounded by the cap's own target (heavy keys
+    // buffer at most their occurrence count before the filter drops
+    // them), and the downstream self-join on h reuses the exact same
+    // partitioning and sort order — no further exchange. The inverse
+    // profile — repeating keys, where the partial aggregate genuinely
+    // compresses — wants the agg+join form instead; see the measured
+    // head-to-head in Dedup.shingleInterSizes.
+    val gk = g
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("occ") <= maxGramFreq)
+      .drop("occ")
+    val a = gk.select(col("sid").as("id_a"), col("p").as("pa"), col("h"))
+    val b = gk.select(col("sid").as("id_b"), col("p").as("pb"), col("h"))
+    val matches = a
+      .join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"), (col("pa") - col("pb")).as("delta"))
+    val w = Window.partitionBy("id_a", "id_b", "delta").orderBy("pa")
+    val spans = matches
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("id_a", "id_b", "delta", "grp")
+      .agg(
+        min("pa").as("start_a"),
+        min("pb").as("start_b"),
+        (max("pa") - min("pa") + lit(l.toLong)).as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .select("id_a", "id_b", "start_a", "start_b", "span_len")
+    Caching.materializeAndRelease(spans, g)
+  }
+
+  /** Per-document duplicated-token mass: the fraction of a document's
+    * tokens covered by at least one duplicated span (either side of any
+    * pair) — the "drop documents more than X% duplicated" curation
+    * metric. Interval union by the running-max island trick: intervals
+    * sorted by start within a doc, a new island starts where the start
+    * exceeds the running max end, covered tokens = Σ island extents.
+    * Windows partition per doc and are bounded by the doc's span count.
+    */
+  def spanMass(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int,
+      minLen: Int,
+      maxGramFreq: Int
+  ): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, l, minLen, maxGramFreq)
+    val iv = spans
+      .select(col("id_a").as("doc_id"), col("start_a").as("s"), (col("start_a") + col("span_len")).as("e"))
+      .unionAll(
+        spans.select(col("id_b").as("doc_id"), col("start_b").as("s"), (col("start_b") + col("span_len")).as("e")))
+      .distinct()
+    val byStart = Window.partitionBy("doc_id").orderBy("s", "e")
+    val prevMax = max("e").over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = iv
+      .withColumn(
+        "new_island",
+        when(prevMax.isNull || col("s") > prevMax, lit(1)).otherwise(lit(0)))
+      .withColumn(
+        "island",
+        sum("new_island").over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+    val covered = islands
+      .groupBy("doc_id", "island")
+      .agg((max("e") - min("s")).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("covered_tokens"))
+    val totals = df.select(
+      col(idCol).as("doc_id"),
+      size(TextOps.tokens(trim(col(textCol)))).cast("long").as("n_tokens"))
+    totals
+      .join(covered, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(
+          col("n_tokens") > 0,
+          coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"))
+          .otherwise(lit(0.0))
+          .as("dup_mass"))
+  }
+}

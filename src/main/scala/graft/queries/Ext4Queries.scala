@@ -1111,6 +1111,104 @@ object Ext4Queries {
              |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
              |FROM documents GROUP BY 1""".stripMargin),
       "per-source curation report: volume, dup rate, size, language spread"
+    ),
+
+    // ---- exact duplicated-SPAN dedup (the suffix-array modality of
+    //      Lee et al., relationally: positioned 4-gram match → constant-
+    //      alignment islands → maximal spans ≥ 8 tokens). Catches the
+    //      shared-boilerplate case every set-level method (Jaccard/
+    //      MinHash/SimHash) misses at low set overlap ----
+    "dedup_span" -> QueryDef(
+      (s, d) =>
+        graft.ops.SpanDedup.duplicatedSpans(
+          t(s, d, "documents"), "doc_id", "text",
+          l = 4, minLen = 8, maxGramFreq = 50),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), g AS MATERIALIZED (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+             |    CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 13)) AS BIGINT) AS h
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 3, 0))) AS i) sq
+             |), keep AS (SELECT h FROM (SELECT h, COUNT(*) AS occ FROM g GROUP BY 1) WHERE occ <= 50),
+             |gk AS MATERIALIZED (SELECT g.doc_id, g.p, g.h FROM g JOIN keep USING (h)),
+             |m AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb, a.p - b.p AS delta
+             |  FROM gk a JOIN gk b ON a.h = b.h AND a.doc_id < b.doc_id
+             |), isl AS (
+             |  SELECT id_a, id_b, delta, pa, pb,
+             |    pa - row_number() OVER (PARTITION BY id_a, id_b, delta ORDER BY pa) AS grp
+             |  FROM m
+             |), sp AS (
+             |  SELECT id_a, id_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+             |         MAX(pa) - MIN(pa) + 4 AS span_len
+             |  FROM isl GROUP BY id_a, id_b, delta, grp
+             |)
+             |SELECT id_a, id_b, CAST(start_a AS BIGINT) AS start_a,
+             |       CAST(start_b AS BIGINT) AS start_b, CAST(span_len AS BIGINT) AS span_len
+             |FROM sp WHERE span_len >= 8""".stripMargin),
+      "maximal exact duplicated token spans (>=8 tokens) per doc pair"
+    ),
+
+    // ---- per-doc duplicated-token mass: fraction of tokens covered by
+    //      at least one duplicated span (interval union via running-max
+    //      islands) — the "drop docs >X% duplicated" curation metric ----
+    "q_span_mass" -> QueryDef(
+      (s, d) =>
+        graft.ops.SpanDedup.spanMass(
+          t(s, d, "documents"), "doc_id", "text",
+          l = 4, minLen = 8, maxGramFreq = 50),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), g AS MATERIALIZED (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+             |    CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 13)) AS BIGINT) AS h
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 3, 0))) AS i) sq
+             |), keep AS (SELECT h FROM (SELECT h, COUNT(*) AS occ FROM g GROUP BY 1) WHERE occ <= 50),
+             |gk AS MATERIALIZED (SELECT g.doc_id, g.p, g.h FROM g JOIN keep USING (h)),
+             |m AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb, a.p - b.p AS delta
+             |  FROM gk a JOIN gk b ON a.h = b.h AND a.doc_id < b.doc_id
+             |), isl AS (
+             |  SELECT id_a, id_b, delta, pa, pb,
+             |    pa - row_number() OVER (PARTITION BY id_a, id_b, delta ORDER BY pa) AS grp
+             |  FROM m
+             |), sp2 AS MATERIALIZED (
+             |  SELECT id_a, id_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+             |         MAX(pa) - MIN(pa) + 4 AS span_len
+             |  FROM isl GROUP BY id_a, id_b, delta, grp
+             |  HAVING MAX(pa) - MIN(pa) + 4 >= 8
+             |), iv AS (
+             |  SELECT DISTINCT doc_id, s, e FROM (
+             |    SELECT id_a AS doc_id, start_a AS s, start_a + span_len AS e FROM sp2
+             |    UNION ALL
+             |    SELECT id_b, start_b, start_b + span_len FROM sp2)
+             |), isl2 AS (
+             |  SELECT doc_id, s, e,
+             |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+             |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |           OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+             |                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |         THEN 1 ELSE 0 END AS new_island
+             |  FROM iv
+             |), isl3 AS (
+             |  SELECT doc_id, s, e,
+             |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+             |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM isl2
+             |), cov AS (
+             |  SELECT doc_id, SUM(c) AS covered FROM (
+             |    SELECT doc_id, island, MAX(e) - MIN(s) AS c FROM isl3 GROUP BY 1, 2) q
+             |  GROUP BY 1
+             |), tot AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks)
+             |SELECT tot.doc_id, n_tokens,
+             |  CAST(COALESCE(covered, 0) AS BIGINT) AS covered_tokens,
+             |  CASE WHEN n_tokens > 0
+             |       THEN CAST(COALESCE(covered, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             |       ELSE 0.0 END AS dup_mass
+             |FROM tot LEFT JOIN cov USING (doc_id)""".stripMargin),
+      "per-doc fraction of tokens covered by duplicated spans"
     )
   )
 }
