@@ -161,4 +161,59 @@ object SpanDedup {
           .otherwise(lit(0.0))
           .as("dup_mass"))
   }
+
+  /** Span EXCISION — the corpus rewrite the span inventory exists for:
+    * every token covered by a duplicated span is cut from the HIGHER-id
+    * document of each pair (keep-first-by-id, the same canonical-owner
+    * convention as exact dedup's min-id keep), and the survivors are
+    * re-joined into the cleaned text. Output per doc:
+    * `(doc_id, n_tokens, n_kept, text_clean)` — every doc appears, even
+    * when fully excised (empty string) or empty to begin with.
+    *
+    * Shape: covered positions are exploded from span intervals (bounded
+    * by document length, never by corpus), removed by an anti-join on
+    * the exact (doc, position) key — deliberately NOT a range join — and
+    * the rebuild is one groupBy with an order-restoring array_sort, so
+    * the whole rewrite is hash-partitioned by doc id end to end.
+    */
+  def spanExcise(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int,
+      minLen: Int,
+      maxGramFreq: Int
+  ): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, l, minLen, maxGramFreq)
+    val covered = spans
+      .select(
+        col("id_b").as("doc_id"),
+        explode(sequence(col("start_b"), col("start_b") + col("span_len") - 1)).as("p"))
+      .distinct()
+    val toks = df
+      .select(col(idCol).as("doc_id"), TextOps.tokens(trim(col(textCol))).as("__ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tp = toks
+      .select(col("doc_id"), posexplode(col("__ts")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("t"))
+    val kept = tp.join(covered, Seq("doc_id", "p"), "left_anti")
+    val rebuilt = kept
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("p"), col("t")))),
+            x => x.getField("t"))).as("text_clean"))
+    val out = toks
+      .select(col("doc_id"), size(col("__ts")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+    Caching.materializeAndRelease(out, toks)
+  }
 }

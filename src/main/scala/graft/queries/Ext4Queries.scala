@@ -1209,6 +1209,58 @@ object Ext4Queries {
              |       ELSE 0.0 END AS dup_mass
              |FROM tot LEFT JOIN cov USING (doc_id)""".stripMargin),
       "per-doc fraction of tokens covered by duplicated spans"
+    ),
+
+    // ---- span excision: the corpus rewrite — cut every duplicated span
+    //      from the higher-id doc of its pair (keep-first-by-id) and
+    //      re-join the surviving tokens. (doc, position) anti-join, not
+    //      a range join; intervals explode bounded by doc length ----
+    "q_span_excise" -> QueryDef(
+      (s, d) =>
+        graft.ops.SpanDedup.spanExcise(
+          t(s, d, "documents"), "doc_id", "text",
+          l = 4, minLen = 8, maxGramFreq = 50),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), g AS MATERIALIZED (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+             |    CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 13)) AS BIGINT) AS h
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 3, 0))) AS i) sq
+             |), keep AS (SELECT h FROM (SELECT h, COUNT(*) AS occ FROM g GROUP BY 1) WHERE occ <= 50),
+             |gk AS MATERIALIZED (SELECT g.doc_id, g.p, g.h FROM g JOIN keep USING (h)),
+             |m AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb, a.p - b.p AS delta
+             |  FROM gk a JOIN gk b ON a.h = b.h AND a.doc_id < b.doc_id
+             |), isl AS (
+             |  SELECT id_a, id_b, delta, pa, pb,
+             |    pa - row_number() OVER (PARTITION BY id_a, id_b, delta ORDER BY pa) AS grp
+             |  FROM m
+             |), sp2 AS MATERIALIZED (
+             |  SELECT id_a, id_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+             |         MAX(pa) - MIN(pa) + 4 AS span_len
+             |  FROM isl GROUP BY id_a, id_b, delta, grp
+             |  HAVING MAX(pa) - MIN(pa) + 4 >= 8
+             |), covered AS (
+             |  SELECT DISTINCT id_b AS doc_id, cp.p
+             |  FROM sp2, LATERAL (SELECT unnest(generate_series(start_b, start_b + span_len - 1)) AS p) cp
+             |), tp AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS p, ts[i] AS t
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) sq
+             |), kept AS (
+             |  SELECT tp.doc_id, tp.p, tp.t FROM tp
+             |  LEFT JOIN covered c ON c.doc_id = tp.doc_id AND c.p = tp.p
+             |  WHERE c.p IS NULL
+             |), rebuilt AS (
+             |  SELECT doc_id, COUNT(*) AS n_kept,
+             |         string_agg(t, ' ' ORDER BY p) AS text_clean
+             |  FROM kept GROUP BY 1
+             |)
+             |SELECT toks.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+             |  COALESCE(text_clean, '') AS text_clean
+             |FROM toks LEFT JOIN rebuilt USING (doc_id)""".stripMargin),
+      "cut duplicated spans from the higher-id doc and rebuild the clean text"
     )
   )
 }

@@ -79,6 +79,30 @@ class SpanDedupSpec extends SparkSpec {
     assert(mass(2L) == (20L, 12L)) // t5..t16 shared with doc 3
   }
 
+  test("excision cuts spans from the higher-id doc and rebuilds clean text") {
+    val docs = Seq(
+      (1L, toks(1 to 12, "t") + " " + toks(1 to 8, "q")),
+      (2L, toks(1 to 12, "t") + " " + toks(1 to 8, "r"))
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.spanExcise(docs, "doc_id", "text", l = 4, minLen = 8, maxGramFreq = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 is the canonical owner: untouched
+    assert(out(1L) == ((20L, 20L, toks(1 to 12, "t") + " " + toks(1 to 8, "q"))))
+    // doc 2 loses t1..t12, keeps r1..r8 in order
+    assert(out(2L) == ((20L, 8L, toks(1 to 8, "r"))))
+  }
+
+  test("a fully-duplicated doc excises to the empty string") {
+    val docs = Seq(
+      (1L, toks(1 to 10, "t")),
+      (2L, toks(1 to 10, "t"))
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.spanExcise(docs, "doc_id", "text", l = 4, minLen = 8, maxGramFreq = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((10L, 10L, toks(1 to 10, "t"))))
+    assert(out(2L) == ((10L, 0L, "")))
+  }
+
   test("occurrence cap drops boilerplate grams from anchoring spans") {
     // the same 8-token run in 60 docs: every gram in it has 60 ≥ cap=50
     // occurrences → no candidate pairs at all from that run
