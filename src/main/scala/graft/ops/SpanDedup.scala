@@ -72,6 +72,23 @@ object SpanDedup {
       minLen: Int,
       maxGramFreq: Int
   ): DataFrame = {
+    val (spans, g) = spansPlan(df, idCol, textCol, l, minLen, maxGramFreq)
+    Caching.materializeAndRelease(spans, g)
+  }
+
+  /** The lazy plan behind [[duplicatedSpans]] plus its cached gram table
+    * — package-visible so specs can pin the plan SHAPE (one gram
+    * self-join, window-count cap, no keep-list join, no cartesian)
+    * before the eager materialization hides it behind a checkpoint scan.
+    */
+  private[graft] def spansPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int,
+      minLen: Int,
+      maxGramFreq: Int
+  ): (DataFrame, DataFrame) = {
     val g = positionedGramRows(df, idCol, textCol, l)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // occurrence cap as a WINDOW count, not agg + keep-list join: the
@@ -106,7 +123,7 @@ object SpanDedup {
         (max("pa") - min("pa") + lit(l.toLong)).as("span_len"))
       .filter(col("span_len") >= minLen)
       .select("id_a", "id_b", "start_a", "start_b", "span_len")
-    Caching.materializeAndRelease(spans, g)
+    (spans, g)
   }
 
   /** Per-document duplicated-token mass: the fraction of a document's
@@ -185,6 +202,20 @@ object SpanDedup {
       maxGramFreq: Int
   ): DataFrame = {
     val spans = duplicatedSpans(df, idCol, textCol, l, minLen, maxGramFreq)
+    val (out, toks) = excisePlan(df, idCol, textCol, spans)
+    Caching.materializeAndRelease(out, toks)
+  }
+
+  /** The lazy rewrite behind [[spanExcise]] over a pre-built span
+    * inventory, plus its cached token table — package-visible so specs
+    * can pin the anti-join shape before materialization hides it.
+    */
+  private[graft] def excisePlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame
+  ): (DataFrame, DataFrame) = {
     val covered = spans
       .select(
         col("id_b").as("doc_id"),
@@ -214,6 +245,6 @@ object SpanDedup {
         col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
-    Caching.materializeAndRelease(out, toks)
+    (out, toks)
   }
 }

@@ -291,4 +291,43 @@ class ScalePlanSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("span dedup: one gram self-join, window-count cap, no keep-list join") {
+    val docs = graft.queries.Tables.t(spark, sf("sf0.001"), "documents")
+    val (lazySpans, g) =
+      graft.ops.SpanDedup.spansPlan(docs, "doc_id", "text", 4, 8, 50)
+    val plan = lazySpans.queryExecution.executedPlan.toString
+    g.unpersist()
+    // the occurrence cap must be the window-count form (positioned grams
+    // are nearly unique — mean occurrence ≈ 1.1 at sf10 — so an agg +
+    // keep-list join re-shuffles the gram table for nothing: measured
+    // 13.6 GB spill vs 0). Exactly one join may appear: the gram
+    // self-join itself.
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") || l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"expected only the gram self-join, got $joins:\n$plan")
+    // 3 Window nodes: the island row_number plus the cap count replayed
+    // on BOTH self-join branches (the exchange beneath them is reused at
+    // runtime, so the cap still shuffles once)
+    val windows = plan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 3, s"expected island + 2× cap windows, got $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("span excision removes covered positions by exact-key anti-join, not a range join") {
+    val docs = graft.queries.Tables.t(spark, sf("sf0.001"), "documents")
+    val spans = graft.ops.SpanDedup.duplicatedSpans(docs, "doc_id", "text", 4, 8, 50)
+    val (lazyOut, toks) = graft.ops.SpanDedup.excisePlan(docs, "doc_id", "text", spans)
+    val plan = lazyOut.queryExecution.executedPlan.toString
+    toks.unpersist()
+    graft.ops.Caching.release(spans)
+    // covered intervals are exploded to exact (doc, position) keys
+    // (bounded by doc length) and removed with a hash/merge ANTI join —
+    // a BETWEEN-style range join here would nested-loop
+    // |tokens| × |spans| per doc pair
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
