@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   *    preserved exactly.
   * `region`/`nation` are dimension tables and copy verbatim (as at any
   * real scale factor).
+  *
+  * Lineage soundness: generate every fixture in ONE generation from a
+  * driver-provided sf (factor ≤ 2·dim = 128 for embeddings — the
+  * rotation-wrap bound below). Do NOT compose generations (ScaleGen of a
+  * ScaleGen output): embedding rotations compose ADDITIVELY, so
+  * second-generation copies with k1 + k2 = k1' + k2' are exact twins
+  * (cosine 1), re-introducing precisely the cross-copy near-dup
+  * structure the perturbation exists to avoid. (Text is composition-safe
+  * — suffixes accumulate — but keep the rule uniform.)
   */
 object ScaleGen {
 
