@@ -247,4 +247,59 @@ object SpanDedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
     (out, toks)
   }
+
+  /** The span family's drop VERDICT: documents that are mostly (≥
+    * num/den of their tokens) covered by spans shared with another
+    * document form an edge to it; connected components over those edges
+    * yield one canonical survivor (min id) per cluster — the
+    * `(doc_id, canonical_id, is_canonical)` keep-list a training-mix
+    * builder semi-joins against, same contract as [[Dedup.keepList]]
+    * over set-similarity pairs. Excision ([[spanExcise]]) cuts the
+    * duplicated part of lightly-affected docs; this drops the docs that
+    * would have little left.
+    *
+    * The per-pair coverage is an exact interval union on the b side
+    * (running-max islands within (id_a, id_b) — windows bounded by the
+    * pair's span count), so a doc overlapped by many small spans of one
+    * partner is judged on distinct tokens, not double-counted ones.
+    */
+  def spanKeepList(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int,
+      minLen: Int,
+      maxGramFreq: Int,
+      thresholdNum: Int,
+      thresholdDen: Int
+  ): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, l, minLen, maxGramFreq)
+    val iv = spans
+      .select(
+        col("id_a"), col("id_b"),
+        col("start_b").as("s"), (col("start_b") + col("span_len")).as("e"))
+      .distinct()
+    val byStart = Window.partitionBy("id_a", "id_b").orderBy("s", "e")
+    val prevMax = max("e").over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = iv
+      .withColumn(
+        "new_island",
+        when(prevMax.isNull || col("s") > prevMax, lit(1)).otherwise(lit(0)))
+      .withColumn(
+        "island",
+        sum("new_island").over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+    val coveredB = islands
+      .groupBy("id_a", "id_b", "island")
+      .agg((max("e") - min("s")).as("c"))
+      .groupBy("id_a", "id_b")
+      .agg(sum("c").as("covered_b"))
+    val nTok = df.select(
+      col(idCol).as("id_b"),
+      size(TextOps.tokens(trim(col(textCol)))).cast("long").as("n_b"))
+    val edges = coveredB
+      .join(nTok, "id_b")
+      .filter(col("covered_b") * thresholdDen >= col("n_b") * thresholdNum)
+      .select("id_a", "id_b")
+    Dedup.keepList(df, idCol, edges, iterations = 4)
+  }
 }

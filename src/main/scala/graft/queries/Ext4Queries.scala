@@ -1261,6 +1261,86 @@ object Ext4Queries {
              |  COALESCE(text_clean, '') AS text_clean
              |FROM toks LEFT JOIN rebuilt USING (doc_id)""".stripMargin),
       "cut duplicated spans from the higher-id doc and rebuild the clean text"
+    ),
+
+    // ---- span drop verdict: docs ≥ 1/2 span-covered by a partner form
+    //      an edge; CC over edges → one canonical survivor per cluster
+    //      (same keep-list contract as the set-similarity family) ----
+    "dedup_span_keep_list" -> QueryDef(
+      (s, d) =>
+        graft.ops.SpanDedup.spanKeepList(
+          t(s, d, "documents"), "doc_id", "text",
+          l = 4, minLen = 8, maxGramFreq = 50,
+          thresholdNum = 1, thresholdDen = 2),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), g AS MATERIALIZED (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+             |    CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 13)) AS BIGINT) AS h
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 3, 0))) AS i) sq
+             |), keep AS (SELECT h FROM (SELECT h, COUNT(*) AS occ FROM g GROUP BY 1) WHERE occ <= 50),
+             |gk AS MATERIALIZED (SELECT g.doc_id, g.p, g.h FROM g JOIN keep USING (h)),
+             |m AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb, a.p - b.p AS delta
+             |  FROM gk a JOIN gk b ON a.h = b.h AND a.doc_id < b.doc_id
+             |), isl AS (
+             |  SELECT id_a, id_b, delta, pa, pb,
+             |    pa - row_number() OVER (PARTITION BY id_a, id_b, delta ORDER BY pa) AS grp
+             |  FROM m
+             |), sp2 AS MATERIALIZED (
+             |  SELECT id_a, id_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+             |         MAX(pa) - MIN(pa) + 4 AS span_len
+             |  FROM isl GROUP BY id_a, id_b, delta, grp
+             |  HAVING MAX(pa) - MIN(pa) + 4 >= 8
+             |), iv AS (
+             |  SELECT DISTINCT id_a, id_b, start_b AS s, start_b + span_len AS e FROM sp2
+             |), i2 AS (
+             |  SELECT id_a, id_b, s, e,
+             |    CASE WHEN max(e) OVER (PARTITION BY id_a, id_b ORDER BY s, e
+             |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |           OR s > max(e) OVER (PARTITION BY id_a, id_b ORDER BY s, e
+             |                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |         THEN 1 ELSE 0 END AS ni
+             |  FROM iv
+             |), i3 AS (
+             |  SELECT id_a, id_b, s, e,
+             |    SUM(ni) OVER (PARTITION BY id_a, id_b ORDER BY s, e
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM i2
+             |), cb AS (
+             |  SELECT id_a, id_b, SUM(c) AS covered_b FROM (
+             |    SELECT id_a, id_b, island, MAX(e) - MIN(s) AS c FROM i3 GROUP BY 1, 2, 3) q
+             |  GROUP BY 1, 2
+             |), nt AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM toks),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM cb JOIN nt ON nt.doc_id = id_b
+             |  WHERE covered_b * 2 >= n * 1
+             |), e AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+             |l1 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l0 l LEFT JOIN e ON e.src = l.node LEFT JOIN l0 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l2 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l1 l LEFT JOIN e ON e.src = l.node LEFT JOIN l1 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l3 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l2 l LEFT JOIN e ON e.src = l.node LEFT JOIN l2 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label),
+             |l4 AS (
+             |  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+             |  FROM l3 l LEFT JOIN e ON e.src = l.node LEFT JOIN l3 r ON r.node = e.dst
+             |  GROUP BY l.node, l.label)
+             |SELECT d.doc_id,
+             |  COALESCE(l4.label, d.doc_id) AS canonical_id,
+             |  COALESCE(l4.label, d.doc_id) = d.doc_id AS is_canonical
+             |FROM documents d LEFT JOIN l4 ON l4.node = d.doc_id""".stripMargin),
+      "span-coverage drop verdict: CC over >=1/2-covered pairs, min-id survivor"
     )
   )
 }

@@ -103,6 +103,21 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(2L) == ((10L, 0L, "")))
   }
 
+  test("span keep-list drops only docs at least half-covered, transitively clustered") {
+    val docs = Seq(
+      (1L, toks(1 to 20, "t")),                               // canonical
+      (2L, toks(1 to 12, "t") + " " + toks(1 to 8, "z")),     // 12/20 covered -> dropped
+      (3L, toks(1 to 8, "t") + " " + toks(1 to 12, "w"))      // 8/20 covered -> kept
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.spanKeepList(
+        docs, "doc_id", "text", l = 4, minLen = 8, maxGramFreq = 50,
+        thresholdNum = 1, thresholdDen = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)))
+    assert(out(3L) == ((3L, true)))
+  }
+
   test("occurrence cap drops boilerplate grams from anchoring spans") {
     // the same 8-token run in 60 docs: every gram in it has 60 ≥ cap=50
     // occurrences → no candidate pairs at all from that run
