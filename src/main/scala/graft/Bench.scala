@@ -104,16 +104,17 @@ object Bench {
   }
 
   /** True iff the failure chain is the nearDupPairs validation-bound
-    * guard (`Similarity.scala` — "corpus rows N exceed the validation
-    * bound"): the one guard whose firing at scale is the designed
-    * outcome rather than a defect.
+    * guard (matched via Similarity.ScaleGuardMarker — the shared constant
+    * keeps the raise_error message and this detector from drifting): the
+    * one guard whose firing at scale is the designed outcome rather than
+    * a defect.
     */
   private def isScaleGuard(e: Throwable): Boolean = {
     var c: Throwable = e
     var depth = 0
     while (c != null && depth < 20) {
       val m = c.getMessage
-      if (m != null && m.contains("exceed the validation bound")) return true
+      if (m != null && m.contains(graft.ops.Similarity.ScaleGuardMarker)) return true
       c = if (c.getCause eq c) null else c.getCause
       depth += 1
     }

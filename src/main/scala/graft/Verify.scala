@@ -30,6 +30,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must leave a visible record, not a silent
+    // absence: an omitted dump shrinks the driver's CORRECTNESS json and
+    // reads as "all green" to anyone diffing only pass/fail columns
+    // (exactly how the round-9 fixture regression hid). Collect per-query
+    // errors and dump them as errors.json beside oracle_sql.json.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -39,6 +45,7 @@ object Verify {
         val cause = Option(e.getCause).map(c => s" caused by ${c}").getOrElse("")
         System.err.println(s"[verify] $name failed: ${e}$cause")
         e.getStackTrace.take(8).foreach(f => System.err.println(s"[verify]   at $f"))
+        errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}$cause"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -57,6 +64,10 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -21,6 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Marker substring of the nearDupPairs validation-bound raise_error —
+    * the one guard whose firing at scale is the designed outcome rather
+    * than a defect. Bench.isScaleGuard matches on exactly this constant,
+    * so the message and the detector cannot drift apart.
+    */
+  val ScaleGuardMarker = "exceed the validation bound"
+
+  /** SRP plane auto-scaling used by srpVerifiedPlan and mirrored by
+    * tools.RecallProbe (single definition so the probe reports the plane
+    * count the production path actually used). ceil(log2(n/250)) in
+    * exact integer arithmetic: the FP form (Math.log ratio) sits on a
+    * rounding boundary exactly at n = 250·2^k — the gate corpus
+    * (2000 = 250·2^3) lands there, and a libm ulp either way would
+    * silently bump planes and change the oracle-pinned banding.
+    * 64 - nlz((n-1)/250) ≡ ceil(log2(⌈n/250⌉)) ≡ ceil(log2(n/250)) for
+    * all integer n > 250 (2^k ≥ n/250 ⟺ 2^k ≥ ⌈n/250⌉ since 2^k is an
+    * integer).
+    */
+  def effPlanesFor(n: Long, requested: Int): Int =
+    math.max(
+      requested,
+      if (n <= 250) requested
+      else 64 - java.lang.Long.numberOfLeadingZeros((n - 1) / 250))
+
   /** Sequential-fold dot product of two double arrays (composable form;
     * interpreted HOF path — used for one-off column math).
     */
@@ -147,7 +171,7 @@ object Similarity {
           raise_error(concat(
             lit("nearDupPairs is the exact all-pairs validator (O(n^2)); corpus rows "),
             col("__n").cast("string"),
-            lit(s" exceed the validation bound $maxRows - use srpVerifiedPairs at scale"))))
+            lit(s" $ScaleGuardMarker $maxRows - use srpVerifiedPairs at scale"))))
           .otherwise(col("cid")).as("id_a"),
         col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("cid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
@@ -624,17 +648,7 @@ object Similarity {
     // metadata-cheap bounded driver action, same sanction as the dim
     // probe in srpCandidatePairs.
     val n = base.count()
-    // ceil(log2(n/250)) in exact integer arithmetic: the FP form
-    // (Math.log ratio) sits on a rounding boundary exactly at
-    // n = 250·2^k — the gate corpus (2000 = 250·2^3) lands there, and a
-    // libm ulp either way would silently bump planes and change the
-    // oracle-pinned banding. 64 - nlz((n-1)/250) ≡ ceil(log2(⌈n/250⌉))
-    // ≡ ceil(log2(n/250)) for all integer n > 250 (2^k ≥ n/250 ⟺
-    // 2^k ≥ ⌈n/250⌉ since 2^k is an integer).
-    val effPlanes = math.max(
-      planesPerTable,
-      if (n <= 250) planesPerTable
-      else 64 - java.lang.Long.numberOfLeadingZeros((n - 1) / 250))
+    val effPlanes = effPlanesFor(n, planesPerTable)
     // Vectors ride THROUGH the bucket self-join (the join input is
     // |corpus| × tables rows carrying one vector each — megabytes) so
     // the verify filter runs inline on the join output inside codegen.

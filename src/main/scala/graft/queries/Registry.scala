@@ -19,19 +19,38 @@ final case class QueryDef(
 
 object Tables {
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
-  /** Fixture loader. The `events` table carries parquet TIMESTAMP(NANOS)
-    * which Spark rejects by default; read nanos as long and truncate to
-    * microseconds (same truncation DuckDB applies when it reads
-    * TIMESTAMP_NS into its µs timestamps, so oracles agree).
+  /** The event-time column is always surfaced as TimestampType regardless
+    * of how the fixture was physically written. The driver has shipped
+    * three encodings of `events.ts` across regenerations:
+    *  - parquet TIMESTAMP(NANOS): Spark rejects by default; read nanos as
+    *    long (`nanosAsLong`) and truncate to µs — the same truncation
+    *    DuckDB applies reading TIMESTAMP_NS into its µs timestamps;
+    *  - naive `timestamp[us]` (no isAdjustedToUTC): Spark reads
+    *    TIMESTAMP_NTZ, which `unix_micros` and `withWatermark` reject —
+    *    cast to TIMESTAMP (session TZ is pinned UTC everywhere, so the
+    *    cast is value-identical to what DuckDB reads);
+    *  - UTC-adjusted `timestamp[us]`: already TimestampType, pass through.
+    * Normalizing here (one place) instead of per query keeps every
+    * `unix_micros`/watermark call site encoding-agnostic.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  /** Fixture loader; `events.ts` normalized to TimestampType (see
+    * [[normalizeTs]]).
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** Events with a time-range predicate applied to the RAW nanosecond long
@@ -56,16 +75,25 @@ object Tables {
         .toInstant(java.time.ZoneOffset.UTC)
         .getEpochSecond * 1000000000L
     }
-    if (raw.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType)) {
-      var df = raw
-      startInclusive.foreach(d => df = df.filter(col("ts") >= lit(ns(d))))
-      endExclusive.foreach(d => df = df.filter(col("ts") < lit(ns(d))))
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else {
-      var df = raw
-      startInclusive.foreach(d => df = df.filter(col("ts") >= lit(d).cast("timestamp")))
-      endExclusive.foreach(d => df = df.filter(col("ts") < lit(d).cast("timestamp")))
-      df
+    raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        var df = raw
+        startInclusive.foreach(d => df = df.filter(col("ts") >= lit(ns(d))))
+        endExclusive.foreach(d => df = df.filter(col("ts") < lit(ns(d))))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        // Filter on the raw NTZ column with an NTZ literal (constant-folded
+        // → pushable scan predicate), THEN cast — same ordering rationale
+        // as the nanos branch.
+        var df = raw
+        startInclusive.foreach(d => df = df.filter(col("ts") >= to_timestamp_ntz(lit(d))))
+        endExclusive.foreach(d => df = df.filter(col("ts") < to_timestamp_ntz(lit(d))))
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        var df = raw
+        startInclusive.foreach(d => df = df.filter(col("ts") >= lit(d).cast("timestamp")))
+        endExclusive.foreach(d => df = df.filter(col("ts") < lit(d).cast("timestamp")))
+        df
     }
   }
 }

@@ -50,13 +50,17 @@ object EventStream {
   private val tempTrees = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   sys.addShutdownHook {
+    // Per-tree Try: one undeletable tree (e.g. a file pinned by a
+    // still-draining sink) must not abort cleanup of the others.
     tempTrees.keys.foreach { p =>
-      val path = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(path)) {
-        java.nio.file.Files
-          .walk(path)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      scala.util.Try {
+        val path = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(path)) {
+          java.nio.file.Files
+            .walk(path)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
       }
     }
   }
@@ -444,15 +448,17 @@ object EventStream {
     drainToTable(spark, deduped, "dedup", "append", srcPath)
   }
 
-  /** Stream a parquet events fixture (file or directory; the fixture's
-    * TIMESTAMP(NANOS) column is read as a long and truncated to µs,
-    * exactly like the batch loader graft.queries.Tables.t). The file
-    * stream source only accepts directories: a single-file fixture is
-    * read via its parent + a glob pinned to the file name. The schema
-    * probe reads footers only, no data scan.
+  /** Stream a parquet events fixture (file or directory; `ts` is
+    * normalized to TimestampType across all three encodings the driver
+    * has shipped — TIMESTAMP(NANOS)-as-long, naive µs (TIMESTAMP_NTZ),
+    * UTC-adjusted µs — exactly like the batch loader
+    * graft.queries.Tables.t; watermarks reject NTZ). The file stream
+    * source only accepts directories: a single-file fixture is read via
+    * its parent + a glob pinned to the file name. The schema probe reads
+    * footers only, no data scan.
     */
   private def streamEvents(spark: SparkSession, srcPath: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcPath).schema
     val f = new java.io.File(srcPath)
@@ -460,9 +466,13 @@ object EventStream {
       if (f.isDirectory) spark.readStream.schema(schema)
       else spark.readStream.schema(schema).option("pathGlobFilter", f.getName)
     val raw = reader.parquet(if (f.isDirectory) srcPath else f.getParent)
-    if (schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Stream-stream event-time interval join: purchases matched to the

@@ -45,14 +45,12 @@ object RecallProbe {
         s""""srp_pairs":$srpPairs,"recall":$recall}"""
   }
 
-  /** Mirror of srpVerifiedPlan's plane auto-scaling (kept in lockstep so
-    * the probe reports the plane count the production path actually used).
+  /** srpVerifiedPlan's plane auto-scaling — delegates to the single
+    * production definition so the probe reports the plane count the
+    * production path actually used.
     */
   def effPlanesFor(n: Long, requested: Int): Int =
-    math.max(
-      requested,
-      if (n <= 250) requested
-      else 64 - java.lang.Long.numberOfLeadingZeros((n - 1) / 250))
+    graft.ops.Similarity.effPlanesFor(n, requested)
 
   /** Full recall of the registered low-threshold SRP shape
     * (`dedup_embedding_cosine_lsh`: τ=0.4, 3 planes, 24 tables) against

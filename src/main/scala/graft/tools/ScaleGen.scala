@@ -62,6 +62,16 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(name: String): DataFrame = graft.queries.Tables.t(spark, src, name)
+
+    // Rotation-wrap bound (see the embeddings comment below): past 2·dim
+    // copies, two copies necessarily share an effective rotation and are
+    // exact cosine-1 twins. Fail fast before any write.
+    val embDim = read("embeddings").select(size(col("embedding"))).head().getInt(0)
+    require(
+      factor <= 2 * embDim,
+      s"factor $factor exceeds the rotation-wrap bound 2*dim = ${2 * embDim}: " +
+        "copies beyond it share an effective rotation (exact cosine-1 twins), " +
+        "re-introducing the cross-copy near-dup structure the perturbation avoids")
     def copies(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(factor).toDF("__k"))
     def write(df: DataFrame, name: String): Unit = {
