@@ -34,7 +34,20 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = 0
+    # Verify dumps per-query exceptions here (a thrown query leaves no
+    # parquet dir, so without this the absence would read as "not run"
+    # rather than "broken" — the round-9 lesson).
+    try:
+        with open(f"{out_dir}/errors.json") as f:
+            errors = json.load(f)
+    except FileNotFoundError:
+        errors = {}
+    for name, msg in sorted(errors.items()):
+        print(f"ERR  {name}: {msg}")
+        failures += 1
     for name, sql in sorted(oracles.items()):
+        if name in errors:
+            continue  # already counted above; no parquet dump exists
         try:
             mine = pd.read_parquet(f"{out_dir}/{name}")
             theirs = con.sql(sql).df()
