@@ -79,6 +79,29 @@ class FixtureContractSpec extends SparkSpec {
     }
   }
 
+  test("eventsRanged pushes the range predicate to the parquet scan under NTZ encoding") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-encp-").toFile
+    root.deleteOnExit()
+    val dir = s"${root.getAbsolutePath}/ntz_us"
+    writeEvents(dir, "ntz_us")
+    val df = Tables.eventsRanged(spark, dir, Some("2024-01-15"), Some("2024-01-25"))
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan): Option[FileSourceScanExec] =
+      p.collectFirst {
+        case s: FileSourceScanExec => Some(s)
+        case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      }.flatten
+    val scan = findScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    // The range must reach the scan as data filters on the RAW NTZ column
+    // (row-group/page pruning at scale); filtering after the cast would
+    // leave PushedFilters empty because Catalyst cannot invert the cast.
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(ts"), s"lower bound not pushed: $pushed")
+    assert(pushed.contains("LessThan(ts"), s"upper bound not pushed: $pushed")
+  }
+
   /** Spark-read column types for every driver fixture (post-Tables.t
     * normalization), per FIXTURES.md §B. A driver regeneration that
     * changes any physical encoding in a way the loaders don't absorb
