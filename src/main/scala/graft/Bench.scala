@@ -15,6 +15,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Pinned in code, not just build.sbt's forked-JVM -D flag: the
+      // NTZ→TIMESTAMP fixture normalization is session-TZ-dependent, so
+      // a spark-submit launch on a non-UTC host must not shift instants.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // RocksDB state store for the streaming family (see Verify.scala
       // for the rationale — disk-backed state, bounded executor heap)

@@ -35,7 +35,7 @@ object Tables {
     * Normalizing here (one place) instead of per query keeps every
     * `unix_micros`/watermark call site encoding-agnostic.
     */
-  private def normalizeTs(df: DataFrame): DataFrame =
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

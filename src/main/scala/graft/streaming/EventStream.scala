@@ -458,7 +458,6 @@ object EventStream {
     * footers only, no data scan.
     */
   private def streamEvents(spark: SparkSession, srcPath: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcPath).schema
     val f = new java.io.File(srcPath)
@@ -466,13 +465,9 @@ object EventStream {
       if (f.isDirectory) spark.readStream.schema(schema)
       else spark.readStream.schema(schema).option("pathGlobFilter", f.getName)
     val raw = reader.parquet(if (f.isDirectory) srcPath else f.getParent)
-    schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(LongType) =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case Some(TimestampNTZType) =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
-    }
+    // Single definition of the encoding contract (works identically on
+    // streaming frames): batch and streaming cannot drift.
+    graft.queries.Tables.normalizeTs(raw)
   }
 
   /** Stream-stream event-time interval join: purchases matched to the

@@ -56,6 +56,10 @@ object ScaleGen {
       .builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // In-code UTC pin: the NTZ fixture branch casts naive timestamps
+      // under the session TZ; a non-UTC launch outside sbt would bake
+      // shifted instants into the generated fixture.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName("graft-scalegen")
       .getOrCreate()
@@ -66,7 +70,12 @@ object ScaleGen {
     // Rotation-wrap bound (see the embeddings comment below): past 2·dim
     // copies, two copies necessarily share an effective rotation and are
     // exact cosine-1 twins. Fail fast before any write.
-    val embDim = read("embeddings").select(size(col("embedding"))).head().getInt(0)
+    val embHead = read("embeddings").select(size(col("embedding"))).take(1)
+    require(
+      embHead.nonEmpty && !embHead(0).isNullAt(0),
+      s"$src/embeddings.parquet is empty or its first embedding is null - " +
+        "cannot derive the rotation-wrap bound")
+    val embDim = embHead(0).getInt(0)
     require(
       factor <= 2 * embDim,
       s"factor $factor exceeds the rotation-wrap bound 2*dim = ${2 * embDim}: " +

@@ -18,36 +18,54 @@ import graft.queries.Tables
 class FixtureContractSpec extends SparkSpec {
   import spark.implicits._
 
-  private val encodings = Seq("utc_us", "ntz_us", "ns_long")
+  private val encodings = Seq("utc_us", "ntz_us", "ns_long", "nanos")
 
-  /** Write a 3-row events fixture under `dir` in the given encoding. */
-  private def writeEvents(dir: String, encoding: String): Unit = {
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    val base = Seq(
-      (1L, "2024-01-10 00:00:00", 7L, "click", 1.5, "{}"),
-      (2L, "2024-01-20 12:34:56.789012", 8L, "purchase", 2.5, "{}"),
-      (3L, "2024-01-30 23:59:59", 7L, "click", 3.5, "{}")
-    ).toDF("event_id", "s", "user_id", "event_type", "value", "props")
-    val ts = encoding match {
-      case "utc_us"  => to_timestamp(col("s"))
-      case "ntz_us"  => to_timestamp_ntz(col("s"))
-      case "ns_long" => unix_micros(to_timestamp(col("s"))) * 1000L
-    }
-    base
-      .withColumn("ts", ts)
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(s"$dir/events.parquet")
+  /** Real parquet TIMESTAMP(NANOS) fixture (pre-round-9 driver encoding),
+    * checked in as bytes because Spark cannot WRITE nanos parquet — only
+    * this exercises the `nanosAsLong` legacy-read path end to end. Same
+    * 3 rows as [[writeEvents]].
+    */
+  private val nanosFixtureDir =
+    new java.io.File("src/test/resources/events_ns").getAbsolutePath
+
+  /** Write a 3-row events fixture under `dir` in the given encoding
+    * (`nanos` is the checked-in fixture above — not writable from Spark;
+    * `ns_long` is a plain INT64 column, covering loader totality for raw
+    * nanos-as-long values without the parquet logical type).
+    */
+  private def writeEvents(dir: String, encoding: String): String = {
+    if (encoding == "nanos") return nanosFixtureDir
+    // shared session: restore whatever outputTimestampType later suites
+    // expect, or which physical encoding THEY write becomes order-dependent
+    val prevOut = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val base = Seq(
+        (1L, "2024-01-10 00:00:00", 7L, "click", 1.5, "{}"),
+        (2L, "2024-01-20 12:34:56.789012", 8L, "purchase", 2.5, "{}"),
+        (3L, "2024-01-30 23:59:59", 7L, "click", 3.5, "{}")
+      ).toDF("event_id", "s", "user_id", "event_type", "value", "props")
+      val ts = encoding match {
+        case "utc_us"  => to_timestamp(col("s"))
+        case "ntz_us"  => to_timestamp_ntz(col("s"))
+        case "ns_long" => unix_micros(to_timestamp(col("s"))) * 1000L
+      }
+      base
+        .withColumn("ts", ts)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+      dir
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevOut)
   }
 
-  test("Tables.t surfaces events.ts as TimestampType for all three shipped encodings") {
+  test("Tables.t surfaces events.ts as TimestampType for every shipped encoding") {
     val root = java.nio.file.Files.createTempDirectory("graft-enc-").toFile
     root.deleteOnExit()
     val loaded = encodings.map { enc =>
-      val dir = s"${root.getAbsolutePath}/$enc"
-      writeEvents(dir, enc)
+      val dir = writeEvents(s"${root.getAbsolutePath}/$enc", enc)
       val df = Tables.t(spark, dir, "events")
       assert(
         df.schema("ts").dataType == TimestampType,
@@ -68,8 +86,7 @@ class FixtureContractSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft-encr-").toFile
     root.deleteOnExit()
     encodings.foreach { enc =>
-      val dir = s"${root.getAbsolutePath}/$enc"
-      writeEvents(dir, enc)
+      val dir = writeEvents(s"${root.getAbsolutePath}/$enc", enc)
       val df = Tables.eventsRanged(spark, dir, Some("2024-01-15"), Some("2024-01-25"))
       assert(
         df.schema("ts").dataType == TimestampType,

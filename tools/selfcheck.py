@@ -44,7 +44,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         errors = {}
     for name, msg in sorted(errors.items()):
         print(f"ERR  {name}: {msg}")
-        failures += 1
+        # only errors on oracle-backed queries feed the oracle tally; any
+        # other error still fails the run via the exit code below
+        if name in oracles:
+            failures += 1
     for name, sql in sorted(oracles.items()):
         if name in errors:
             continue  # already counted above; no parquet dump exists
@@ -72,7 +75,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             failures += 1
     print(f"\n{len(oracles) - failures}/{len(oracles)} oracle queries match")
-    return 1 if failures else 0
+    return 1 if failures or errors else 0
 
 
 if __name__ == "__main__":
