@@ -80,9 +80,10 @@ class FixtureContractSpec extends SparkSpec {
     // same instants regardless of physical encoding (UTC session pin)
     assert(loaded("ntz_us") == loaded("utc_us"), "NTZ values diverge from UTC µs")
     assert(loaded("ns_long") == loaded("utc_us"), "nanos-as-long values diverge from UTC µs")
+    assert(loaded("nanos") == loaded("utc_us"), "TIMESTAMP(NANOS) values diverge from UTC µs")
   }
 
-  test("Tables.eventsRanged filters and normalizes under all three encodings") {
+  test("Tables.eventsRanged filters and normalizes under every shipped encoding") {
     val root = java.nio.file.Files.createTempDirectory("graft-encr-").toFile
     root.deleteOnExit()
     encodings.foreach { enc =>
