@@ -221,7 +221,8 @@ object Analytics {
       s"touch types must be non-empty and exclude the conversion type")
     val w = Window
       .partitionBy(col(userCol))
-      .orderBy(unix_micros(col(tsCol)), col(idCol))
+      // ordering by the timestamp itself ≡ ordering by its µs value
+      .orderBy(col(tsCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val touch = col(typeCol).isin(touchTypes: _*)
     events

@@ -324,6 +324,15 @@ object Similarity {
     * fixed-order chain (p0 + p1 + …), never a shuffled SUM — FP addition
     * stays deterministic and oracle-replayable.
     */
+  /** When `rerankK` > 0, the ADC ranking only SHORTLISTS: the top
+    * `rerankK` candidates per query (by ADC score) are re-scored by exact
+    * cosine against the full-precision vectors and the final top-k comes
+    * from that re-rank — the standard two-stage PQ recipe (coarse
+    * compressed scan → bounded exact refine). The refine cost is
+    * |queries| × rerankK exact dots — independent of corpus size — and
+    * recall is governed by whether the true neighbors survive into the
+    * ADC shortlist, not by ADC's (lossy) ordering of them.
+    */
   def pqAdcTopK(
       emb: DataFrame,
       idCol: String,
@@ -332,7 +341,8 @@ object Similarity {
       queryPred: Column,
       subspaces: Int,
       subDim: Int,
-      nCodes: Int
+      nCodes: Int,
+      rerankK: Int = 0
   ): DataFrame = {
     ArrayDot.ensureRegistered(emb.sparkSession)
     val base = emb.select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("v"))
@@ -368,36 +378,31 @@ object Similarity {
       scored = scored.join(broadcast(l), Seq("query_id", s"c$s"))
     }
     val adc = (0 until subspaces).map(s => col(s"p$s")).reduce(_ + _)
-    rankTopK(
-      scored
-        .filter(col("vid") =!= col("query_id"))
-        .select(col("query_id"), col("vid").as("neighbor_id"), adc.as("sim")),
-      k)
-  }
-
-  /** Deterministic pseudo-random Rademacher hyperplane component for
-    * (plane, dim): ±1 from a hash — no RNG state, identical on every
-    * executor.
-    */
-  private def planeSign(plane: Int, dim: Column): Column =
-    when(pmod(hash(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
-
-  /** Random-hyperplane (SRP) LSH bucketing: `nPlanes` sign bits → bucket
-    * id. Cosine-similar vectors collide with probability
-    * (1 − θ/π)^nPlanes. Candidates are neighbors sharing the bucket —
-    * join on the bucket key, no full-corpus scan per query.
-    */
-  def srpBucket(vec: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val s = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x * planeSign(p, i)),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
-      when(s > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    val adcScored = scored
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), adc.as("sim"))
+    if (rerankK <= 0) rankTopK(adcScored, k)
+    else {
+      val shortlist = rankTopK(adcScored, rerankK).select("query_id", "neighbor_id")
+      val corpus = base.withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
+      val queriesN = corpus
+        .filter(queryPred)
+        .select(col("cid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val refined = shortlist
+        .join(corpus, shortlist("neighbor_id") === corpus("cid"))
+        .join(broadcast(queriesN), Seq("query_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          (fastDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim"))
+      rankTopK(refined, k)
     }
-    bits.reduce(_.bitwiseOR(_))
   }
+
+  // (The original interpreted-HOF srpBucket/planeSign bucketing was
+  // replaced by the codegen'd radSign literal-array form shared with
+  // srpBucketRows — ~25× cheaper per plane, one bucket function for the
+  // pair path and the top-k path.)
 
   /** IVF (inverted-file) top-k: the cluster-probe ANN that complements
     * [[annLshTopK]]. Three stages, each in its 100 TB shape:
@@ -538,7 +543,7 @@ object Similarity {
     * projection becomes one codegen'd ArrayDot against a constant (the
     * interpreted-HOF srpBucket costs ~25× more per plane).
     */
-  private def radSign(plane: Int, i: Int): Double = {
+  private[graft] def radSign(plane: Int, i: Int): Double = {
     var z = (plane.toLong << 32) | (i.toLong & 0xffffffffL)
     z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
     z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
@@ -713,9 +718,19 @@ object Similarity {
     base.unionByName(planted)
   }
 
-  /** ANN top-k via SRP buckets: exact cosine ranking within the bucket's
-    * candidate set. Trades recall for a corpus-partitioned join; the scale
-    * path for similarity search.
+  /** ANN top-k via multi-table SRP buckets: exact cosine ranking within
+    * the union of each hash table's same-bucket candidate set. Recall per
+    * true neighbor is 1 − (1 − p^r)^L with p = 1 − θ/π (r = `nPlanes`
+    * sign bits per table, L = `tables`) — the standard LSH knob: more
+    * tables buy recall, each table is an independent partitioned hash
+    * join on its (tbl, bucket) key, and no full-corpus scan per query
+    * ever happens. Planes are the same deterministic Rademacher signs as
+    * the pair path ([[srpBucketRows]]), so buckets are codegen'd constant
+    * ArrayDots and results replay exactly on any engine. A pair that
+    * collides in several tables is de-duplicated by a (query, neighbor)
+    * max-sim aggregate BEFORE ranking (the sims are identical — the
+    * aggregate exists for multiplicity, not choice); with one table that
+    * aggregate is skipped and the plan is the single-join original.
     */
   def annLshTopK(
       emb: DataFrame,
@@ -723,21 +738,27 @@ object Similarity {
       vecCol: String,
       k: Int,
       queryPred: Column,
-      nPlanes: Int = 8
+      nPlanes: Int = 8,
+      tables: Int = 1
   ): DataFrame = {
     val base = prepBase(emb, idCol, vecCol)
-      .withColumn("bucket", srpBucket(col("v"), nPlanes))
-    val queries = base
+    val buckets = srpBucketRows(base, nPlanes, tables)
+    val queries = buckets
       .filter(queryPred)
-      .select(col("cid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
-    val joined = base
-      .join(queries, Seq("bucket"))
+      .select(
+        col("cid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("tbl"), col("bucket"))
+    val joined = buckets
+      .join(queries, Seq("tbl", "bucket"))
       .filter(col("cid") =!= col("query_id"))
       .select(
         col("query_id"),
         col("cid").as("neighbor_id"),
         (fastDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim")
       )
-    rankTopK(joined, k)
+    val deduped =
+      if (tables <= 1) joined
+      else joined.groupBy("query_id", "neighbor_id").agg(max(col("sim")).as("sim"))
+    rankTopK(deduped, k)
   }
 }

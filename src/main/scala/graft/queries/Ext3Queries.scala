@@ -505,7 +505,7 @@ object Ext3Queries {
         t(s, d, "events")
           .select(
             col("user_id"),
-            unix_micros(col("ts")).as("ts_us"),
+            col("ts_us"),
             col("event_id"),
             round(col("value") * 100).cast("long").as("v"))
           .withColumn("w_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
@@ -828,7 +828,7 @@ object Ext3Queries {
     // unique, so the pick is total-ordered on both engines
     "q_ohlc_resample" -> QueryDef(
       (s, d) => {
-        val key = (unix_micros(col("ts")) % 86400000000L) * 33554432L + col("event_id")
+        val key = (col("ts_us") % 86400000000L) * 33554432L + col("event_id")
         t(s, d, "events")
           .select(
             col("event_type"),

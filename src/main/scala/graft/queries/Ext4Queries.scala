@@ -188,45 +188,14 @@ object Ext4Queries {
         Similarity.pqAdcTopK(
           t(s, d, "embeddings"), "vec_id", "embedding",
           k = 5, queryPred = col("cid") < 50,
-          subspaces = 4, subDim = 16, nCodes = 8
+          subspaces = 16, subDim = 4, nCodes = 64, rerankK = 200
         ).withColumn("rank", col("rank").cast("long")),
-      Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |sub AS (
-             |  SELECT vec_id, g.s, list_slice(v, g.s * 16 + 1, g.s * 16 + 16) AS sv
-             |  FROM base, LATERAL (SELECT unnest(generate_series(0, 3)) AS s) g
-             |), cb AS (SELECT vec_id AS code, s, sv AS cv FROM sub WHERE vec_id < 8),
-             |assign AS (
-             |  SELECT vec_id, s, code FROM (
-             |    SELECT a.vec_id, a.s, cb.code,
-             |      row_number() OVER (PARTITION BY a.vec_id, a.s
-             |        ORDER BY list_cosine_similarity(a.sv, cb.cv) DESC, cb.code) AS rn
-             |    FROM sub a JOIN cb ON cb.s = a.s) WHERE rn = 1
-             |), wide AS (
-             |  SELECT vec_id,
-             |    MAX(CASE WHEN s = 0 THEN code END) AS c0,
-             |    MAX(CASE WHEN s = 1 THEN code END) AS c1,
-             |    MAX(CASE WHEN s = 2 THEN code END) AS c2,
-             |    MAX(CASE WHEN s = 3 THEN code END) AS c3
-             |  FROM assign GROUP BY 1
-             |), q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 50),
-             |lut AS (
-             |  SELECT q.query_id, cb.s, cb.code,
-             |    list_inner_product(list_slice(q.qv, cb.s * 16 + 1, cb.s * 16 + 16), cb.cv) AS p
-             |  FROM q, cb
-             |), sc AS (
-             |  SELECT l0.query_id, w.vec_id AS neighbor_id,
-             |    l0.p + l1.p + l2.p + l3.p AS adc
-             |  FROM wide w
-             |  JOIN lut l0 ON l0.s = 0 AND l0.code = w.c0
-             |  JOIN lut l1 ON l1.s = 1 AND l1.code = w.c1 AND l1.query_id = l0.query_id
-             |  JOIN lut l2 ON l2.s = 2 AND l2.code = w.c2 AND l2.query_id = l0.query_id
-             |  JOIN lut l3 ON l3.s = 3 AND l3.code = w.c3 AND l3.query_id = l0.query_id
-             |  WHERE w.vec_id <> l0.query_id)
-             |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
-             |  SELECT query_id, neighbor_id,
-             |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
-             |  FROM sc) WHERE rank <= 5""".stripMargin),
-      "PQ ADC top-k: LUT-scored compressed-corpus ANN, fixed-order FP sum"
+      Some {
+        s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |${ExtQueries.pqTopkCtes(subspaces = 16, subDim = 4, nCodes = 64, rerankK = 200, k = 5, queryBound = 50)}
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM pq""".stripMargin
+      },
+      "PQ ADC shortlist + exact re-rank: LUT-scored compressed-corpus ANN"
     ),
 
     // ---- deterministic global shuffle into training shards: md5-keyed

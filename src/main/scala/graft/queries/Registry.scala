@@ -35,14 +35,27 @@ object Tables {
     * Normalizing here (one place) instead of per query keeps every
     * `unix_micros`/watermark call site encoding-agnostic.
     */
-  private[graft] def normalizeTs(df: DataFrame): DataFrame =
-    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    val typed = df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case Some(TimestampNTZType) =>
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
+    withTsUs(typed)
+  }
+
+  /** Canonical integer event time (`ts_us` = µs since epoch), derived
+    * ONCE here from the normalized column: event-time consumers read
+    * `ts_us` instead of re-deriving `unix_micros(ts)` at each site — the
+    * per-query re-derivation surface is what made the round-9 fixture
+    * breakage ten queries wide. Unused, the column prunes out of every
+    * plan (it is a projection over `ts`, after any pushed scan filters).
+    */
+  private def withTsUs(df: DataFrame): DataFrame =
+    if (df.schema.fieldNames.contains("ts")) df.withColumn("ts_us", unix_micros(col("ts")))
+    else df
 
   /** Fixture loader; `events.ts` normalized to TimestampType (see
     * [[normalizeTs]]).
@@ -75,7 +88,7 @@ object Tables {
         .toInstant(java.time.ZoneOffset.UTC)
         .getEpochSecond * 1000000000L
     }
-    raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+    val ranged = raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         var df = raw
         startInclusive.foreach(d => df = df.filter(col("ts") >= lit(ns(d))))
@@ -95,5 +108,6 @@ object Tables {
         endExclusive.foreach(d => df = df.filter(col("ts") < lit(d).cast("timestamp")))
         df
     }
+    withTsUs(ranged)
   }
 }

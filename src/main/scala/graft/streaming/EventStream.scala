@@ -61,6 +61,11 @@ object EventStream {
             .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
         }
+      }.failed.foreach { e =>
+        // A pinned/undeletable tree must not abort the loop, but it must
+        // leave a diagnostic: the leaked path is otherwise invisible.
+        System.err.println(
+          s"[EventStream] temp-tree cleanup failed for $p: ${e.getClass.getName}: ${e.getMessage}")
       }
     }
   }
@@ -372,22 +377,29 @@ object EventStream {
     val outDir = new java.io.File(tmp, "out").getAbsolutePath
     val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
 
-    val full = graft.queries.Tables
+    val ev = graft.queries.Tables
       .t(spark, new java.io.File(srcPath).getParent, "events")
-      .select(
-        col("user_id").cast("long").as("user_id"),
-        col("ts"),
-        round(col("value") * 100).as("value"))
-    val bounds = full
-      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
-      .head()
+    // staged files keep the 3-column schema (ts_us stays behind: it is
+    // the loader's derived column, re-derived on re-read)
+    val full = ev.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts"),
+      round(col("value") * 100).as("value"))
+    val bounds = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi")).head()
     val splitUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
 
     // stage a slice into a fresh dir, then move its part files into the
-    // watched source dir — a file "arrival" as the file source sees it
+    // watched source dir — a file "arrival" as the file source sees it.
+    // `pred` is over the loader frame (may reference ts_us); the staged
+    // write projects it away afterwards.
     def arrive(batchName: String, pred: org.apache.spark.sql.Column): Unit = {
       val stage = new java.io.File(tmp, s"stage-$batchName")
-      full.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      ev.filter(pred)
+        .select(
+          col("user_id").cast("long").as("user_id"),
+          col("ts"),
+          round(col("value") * 100).as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
       stage.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
         case (f, i) =>
           Files.move(f.toPath, new java.io.File(srcDir, s"$batchName-$i.parquet").toPath)
@@ -418,9 +430,9 @@ object EventStream {
       }
     }
 
-    arrive("a", unix_micros(col("ts")) <= splitUs)
+    arrive("a", col("ts_us") <= splitUs)
     drainStage("1") // first invocation: prefix only, then STOP
-    arrive("b", unix_micros(col("ts")) > splitUs)
+    arrive("b", col("ts_us") > splitUs)
     drainStage("2") // restarted invocation: recovers state + offsets + watermark
     spark.read
       .parquet(outDir)

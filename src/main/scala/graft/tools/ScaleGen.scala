@@ -69,18 +69,24 @@ object ScaleGen {
 
     // Rotation-wrap bound (see the embeddings comment below): past 2·dim
     // copies, two copies necessarily share an effective rotation and are
-    // exact cosine-1 twins. Fail fast before any write.
-    val embHead = read("embeddings").select(size(col("embedding"))).take(1)
-    require(
-      embHead.nonEmpty && !embHead(0).isNullAt(0),
-      s"$src/embeddings.parquet is empty or its first embedding is null - " +
-        "cannot derive the rotation-wrap bound")
-    val embDim = embHead(0).getInt(0)
-    require(
-      factor <= 2 * embDim,
-      s"factor $factor exceeds the rotation-wrap bound 2*dim = ${2 * embDim}: " +
-        "copies beyond it share an effective rotation (exact cosine-1 twins), " +
-        "re-introducing the cross-copy near-dup structure the perturbation avoids")
+    // exact cosine-1 twins. Fail fast before any write — but only when an
+    // embeddings table exists at all: a fixture set without one must
+    // still scale the other tables (the bound is meaningless then, and
+    // the embeddings output below is simply skipped).
+    val hasEmbeddings = new java.io.File(s"$src/embeddings.parquet").exists()
+    if (hasEmbeddings) {
+      val embHead = read("embeddings").select(size(col("embedding"))).take(1)
+      require(
+        embHead.nonEmpty && !embHead(0).isNullAt(0),
+        s"$src/embeddings.parquet is empty or its first embedding is null - " +
+          "cannot derive the rotation-wrap bound")
+      val embDim = embHead(0).getInt(0)
+      require(
+        factor <= 2 * embDim,
+        s"factor $factor exceeds the rotation-wrap bound 2*dim = ${2 * embDim}: " +
+          "copies beyond it share an effective rotation (exact cosine-1 twins), " +
+          "re-introducing the cross-copy near-dup structure the perturbation avoids")
+    }
     def copies(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(factor).toDF("__k"))
     def write(df: DataFrame, name: String): Unit = {
@@ -154,20 +160,24 @@ object ScaleGen {
     // (cosine 1), re-introducing the cross-copy near-dup structure the
     // perturbation exists to avoid. Negation is norm-preserving, keeps
     // rotations near-orthogonal, and supports factors up to 2·dim (128).
-    val dim = size(col("embedding"))
-    val k = pmod(col("__k"), dim.cast("long")).cast("int")
-    val rotated = concat(
-      slice(col("embedding"), k + 1, dim - k),
-      slice(col("embedding"), lit(1), k))
-    write(
-      copies(read("embeddings"))
-        .withColumn("vec_id", col("vec_id") + col("__k") * VEC)
-        .withColumn(
-          "embedding",
-          when(col("__k") < dim.cast("long"), rotated)
-            .otherwise(transform(rotated, x => -x)))
-        .drop("__k"),
-      "embeddings")
+    if (hasEmbeddings) {
+      val dim = size(col("embedding"))
+      val k = pmod(col("__k"), dim.cast("long")).cast("int")
+      val rotated = concat(
+        slice(col("embedding"), k + 1, dim - k),
+        slice(col("embedding"), lit(1), k))
+      write(
+        copies(read("embeddings"))
+          .withColumn("vec_id", col("vec_id") + col("__k") * VEC)
+          .withColumn(
+            "embedding",
+            when(col("__k") < dim.cast("long"), rotated)
+              .otherwise(transform(rotated, x => -x)))
+          .drop("__k"),
+        "embeddings")
+    } else {
+      println(s"[scalegen] no embeddings.parquet in $src - skipped")
+    }
 
     spark.stop()
   }

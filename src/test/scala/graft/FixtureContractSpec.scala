@@ -25,8 +25,13 @@ class FixtureContractSpec extends SparkSpec {
     * this exercises the `nanosAsLong` legacy-read path end to end. Same
     * 3 rows as [[writeEvents]].
     */
-  private val nanosFixtureDir =
-    new java.io.File("src/test/resources/events_ns").getAbsolutePath
+  private val nanosFixtureDir = {
+    // Classpath-resolved (not CWD-relative): sbt puts test resources on
+    // the classpath, so this survives a runner launched from any CWD.
+    val url = getClass.getResource("/events_ns")
+    require(url != null, "events_ns fixture missing from test classpath")
+    new java.io.File(url.toURI).getAbsolutePath
+  }
 
   /** Write a 3-row events fixture under `dir` in the given encoding
     * (`nanos` is the checked-in fixture above — not writable from Spark;
@@ -148,9 +153,13 @@ class FixtureContractSpec extends SparkSpec {
       "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType, "l_tax" -> DoubleType,
       "l_returnflag" -> StringType, "l_linestatus" -> StringType,
       "l_shipdate" -> TimestampNTZType),
+    // ts_us is not in the driver's parquet: it is the loader's canonical
+    // integer event time, derived once in Tables.normalizeTs (r11) so
+    // event-time queries stop re-deriving unix_micros(ts) per site
     "events" -> Seq(
       "event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
-      "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType),
+      "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType,
+      "ts_us" -> LongType),
     "documents" -> Seq(
       "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
       "source" -> StringType, "n_chars" -> LongType),

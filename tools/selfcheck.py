@@ -75,6 +75,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             failures += 1
     print(f"\n{len(oracles) - failures}/{len(oracles)} oracle queries match")
+    # Non-oracle queries that threw don't feed the tally above, so the
+    # summary line alone could read as all-green while the run exits 1.
+    non_oracle_errs = sorted(set(errors) - set(oracles))
+    if non_oracle_errs:
+        print(f"NOTE: {len(non_oracle_errs)} non-oracle queries errored: "
+              + ", ".join(non_oracle_errs))
     return 1 if failures or errors else 0
 
 
