@@ -30,13 +30,18 @@ import scala.jdk.CollectionConverters._
   * - **SupportsPushDownRequiredColumns**: column pruning reaches the
   *   source (the reference requests exactly metrics ∪ dims, P1).
   *
-  * The backing "server" here is a deterministic in-memory generator
-  * (offline env — zero egress); a production build points the same
-  * connector at the HTTP API. Usage:
+  * Two backing servers:
+  *  - default: a deterministic in-memory generator (offline env — zero
+  *    egress);
+  *  - `.option("endpoint", "http://…")`: a real paged HTTP API spoken
+  *    through [[HttpPageClient]] — one GET per page with the pushed
+  *    filters/columns/limit/group-by serialized into the request
+  *    (contract-tested against a loopback stub in HttpPagedSourceSpec;
+  *    a production build points it at the live service).
   *
   * {{{
   * spark.read.format("graft.sources.PagedSource")
-  *   .option("rows", "10000").option("pageSize", "1000")
+  *   .option("rows", "10000").option("pageSize", "1000")   // generator
   *   .load().filter($"brand_id".isin(1, 2)).select("brand_id", "metric")
   * }}}
   */
@@ -65,6 +70,28 @@ object PagedSource {
     val metric = (i % 1000) / 10.0
     (brand, f"2024-01-$day%02d", metric)
   }
+
+  /** Server-side filter evaluation shared by the in-memory generator, the
+    * partial-agg reader, and the loopback HTTP stub server — ONE
+    * definition of what a pushed filter means, so claiming a filter in
+    * `pushFilters` can never drift from how it is evaluated.
+    */
+  def accept(filters: Seq[Filter], r: (Long, String, Double)): Boolean = filters.forall {
+    case In("brand_id", vs)                => vs.exists(v => v.asInstanceOf[Number].longValue == r._1)
+    case EqualTo("brand_id", v)            => v.asInstanceOf[Number].longValue == r._1
+    case GreaterThan("brand_id", v)        => r._1 > v.asInstanceOf[Number].longValue
+    case GreaterThanOrEqual("brand_id", v) => r._1 >= v.asInstanceOf[Number].longValue
+    case LessThan("brand_id", v)           => r._1 < v.asInstanceOf[Number].longValue
+    case LessThanOrEqual("brand_id", v)    => r._1 <= v.asInstanceOf[Number].longValue
+    case EqualTo("date_str", v)            => r._2 == v.toString
+    case GreaterThan("date_str", v)        => r._2 > v.toString
+    case GreaterThanOrEqual("date_str", v) => r._2 >= v.toString
+    case LessThan("date_str", v)           => r._2 < v.toString
+    case LessThanOrEqual("date_str", v)    => r._2 <= v.toString
+    case In("date_str", vs)                => vs.exists(_.toString == r._2)
+    case IsNotNull(_)                      => true
+    case _                                 => true
+  }
 }
 
 final class PagedTable(props: Map[String, String]) extends Table with SupportsRead {
@@ -77,7 +104,11 @@ final class PagedTable(props: Map[String, String]) extends Table with SupportsRe
     val merged = props ++ options.asScala
     new PagedScanBuilder(
       totalRows = merged.getOrElse("rows", "10000").toLong,
-      pageSize = merged.getOrElse("pageSize", "1000").toInt
+      pageSize = merged.getOrElse("pageSize", "1000").toInt,
+      // `endpoint` switches the backing server from the in-memory
+      // generator to a real HTTP pager (HttpPageClient); `rows` is then
+      // ignored in favor of the server's meta answer
+      endpoint = merged.get("endpoint")
     )
   }
 }
@@ -104,7 +135,7 @@ final case class PushedAgg(groupCols: Seq[String], aggs: Seq[AggregateFunc]) {
   }
 }
 
-final class PagedScanBuilder(totalRows: Long, pageSize: Int)
+final class PagedScanBuilder(totalRows: Long, pageSize: Int, endpoint: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -189,7 +220,8 @@ final class PagedScanBuilder(totalRows: Long, pageSize: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PagedScan(totalRows, pageSize, pushed, required, limit, agg)
+  override def build(): Scan =
+    new PagedScan(totalRows, pageSize, pushed, required, limit, agg, endpoint)
 }
 
 final class PagedScan(
@@ -198,7 +230,8 @@ final class PagedScan(
     filters: Array[Filter],
     required: StructType,
     limit: Option[Int],
-    agg: Option[PushedAgg]
+    agg: Option[PushedAgg],
+    endpoint: Option[String] = None
 ) extends Scan with Batch {
   override def readSchema(): StructType = agg.fold(required)(_.outputSchema)
   override def toBatch: Batch = this
@@ -217,17 +250,21 @@ final class PagedScan(
     * bounding).
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val nPages = ((totalRows + pageSize - 1) / pageSize).toInt
+    // HTTP mode: page count comes from the server's meta answer (a
+    // single driver-side GET at planning time — the reference reads the
+    // same from its job metadata); generator mode uses the option.
+    val total = endpoint.fold(totalRows)(e => new HttpPageClient(e).totalRows())
+    val nPages = ((total + pageSize - 1) / pageSize).toInt
     val planned = limit match {
       case Some(l) if filters.isEmpty && agg.isEmpty =>
         math.min(nPages.toLong, (l.toLong + pageSize - 1) / pageSize).toInt
       case _ => nPages
     }
-    (0 until planned).map(p => PagePartition(p, pageSize, totalRows): InputPartition).toArray
+    (0 until planned).map(p => PagePartition(p, pageSize, total): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(filters, required, limit, agg)
+    new PagedReaderFactory(filters, required, limit, agg, endpoint)
 }
 
 final case class PagePartition(page: Int, pageSize: Int, totalRows: Long) extends InputPartition
@@ -236,13 +273,16 @@ final class PagedReaderFactory(
     filters: Array[Filter],
     required: StructType,
     limit: Option[Int],
-    agg: Option[PushedAgg]
+    agg: Option[PushedAgg],
+    endpoint: Option[String] = None
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
-    agg match {
-      case Some(a) => new PagedAggReader(p, filters, a)
-      case None    => new PagedReader(p, filters, required, limit)
+    (endpoint, agg) match {
+      case (Some(e), Some(a)) => new HttpPagedAggReader(p, filters, a, e)
+      case (Some(e), None)    => new HttpPagedReader(p, filters, required, limit, e)
+      case (None, Some(a))    => new PagedAggReader(p, filters, a)
+      case (None, None)       => new PagedReader(p, filters, required, limit)
     }
   }
 }
@@ -319,22 +359,8 @@ final class PagedReader(
   private var emitted = 0
   private var current: (Long, String, Double) = _
 
-  private[sources] def acceptRow(r: (Long, String, Double)): Boolean = filters.forall {
-    case In("brand_id", vs)                  => vs.exists(v => v.asInstanceOf[Number].longValue == r._1)
-    case EqualTo("brand_id", v)              => v.asInstanceOf[Number].longValue == r._1
-    case GreaterThan("brand_id", v)          => r._1 > v.asInstanceOf[Number].longValue
-    case GreaterThanOrEqual("brand_id", v)   => r._1 >= v.asInstanceOf[Number].longValue
-    case LessThan("brand_id", v)             => r._1 < v.asInstanceOf[Number].longValue
-    case LessThanOrEqual("brand_id", v)      => r._1 <= v.asInstanceOf[Number].longValue
-    case EqualTo("date_str", v)              => r._2 == v.toString
-    case GreaterThan("date_str", v)          => r._2 > v.toString
-    case GreaterThanOrEqual("date_str", v)   => r._2 >= v.toString
-    case LessThan("date_str", v)             => r._2 < v.toString
-    case LessThanOrEqual("date_str", v)      => r._2 <= v.toString
-    case In("date_str", vs)                  => vs.exists(_.toString == r._2)
-    case IsNotNull(_)                        => true
-    case _                                   => true
-  }
+  private[sources] def acceptRow(r: (Long, String, Double)): Boolean =
+    PagedSource.accept(filters.toSeq, r)
 
   override def next(): Boolean = {
     // a partition never needs more than `limit` matching rows for a
@@ -357,5 +383,99 @@ final class PagedReader(
     InternalRow.fromSeq(vals.toSeq)
   }
 
+  override def close(): Unit = ()
+}
+
+/** Fetches one page over HTTP with the pushed query shape in the request
+  * (filters, pruned columns, per-partition cap) and parses the returned
+  * CSV rows — the wire-backed twin of [[PagedReader]]. The server already
+  * evaluated the filters/projection; nothing is re-filtered here, which
+  * is the point of the pushdown contract.
+  */
+final class HttpPagedReader(
+    p: PagePartition,
+    filters: Array[Filter],
+    required: StructType,
+    limit: Option[Int],
+    endpoint: String
+) extends PartitionReader[InternalRow] {
+
+  private val lines: Iterator[String] = {
+    val client = new HttpPageClient(endpoint)
+    val params =
+      Seq("page" -> p.page.toString, "pageSize" -> p.pageSize.toString) ++
+        HttpPageClient.encodeFilters(filters.toSeq).map("filter" -> _) ++
+        Seq("cols" -> required.fieldNames.mkString(",")) ++
+        limit.map(l => "limit" -> l.toString)
+    client.fetchLines(params)
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (lines.hasNext) { current = parse(lines.next()); true } else false
+
+  private def parse(line: String): InternalRow =
+    if (required.fields.isEmpty) InternalRow.empty
+    else {
+      val parts = line.split(",", -1)
+      val vals = required.fields.zip(parts).map {
+        case (f, s) =>
+          f.name match {
+            case "brand_id" => java.lang.Long.parseLong(s).asInstanceOf[Any]
+            case "date_str" => UTF8String.fromString(s)
+            case "metric"   => java.lang.Double.parseDouble(s).asInstanceOf[Any]
+          }
+      }
+      InternalRow.fromSeq(vals.toSeq)
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Fetches one page's SERVER-AGGREGATED rows — the reference's actual
+  * execution model (the LFM server evaluates the group-by and pages back
+  * pre-aggregated rows); Spark's final aggregate merges across pages.
+  */
+final class HttpPagedAggReader(
+    p: PagePartition,
+    filters: Array[Filter],
+    agg: PushedAgg,
+    endpoint: String
+) extends PartitionReader[InternalRow] {
+
+  private val out = agg.outputSchema
+
+  private val lines: Iterator[String] = {
+    val client = new HttpPageClient(endpoint)
+    val params =
+      Seq("page" -> p.page.toString, "pageSize" -> p.pageSize.toString) ++
+        HttpPageClient.encodeFilters(filters.toSeq).map("filter" -> _) ++
+        Seq(
+          "groupBy" -> agg.groupCols.mkString(","),
+          "aggs" -> HttpPageClient.encodeAggSpecs(agg.aggs).mkString(","))
+    client.fetchLines(params)
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (lines.hasNext) { current = parse(lines.next()); true } else false
+
+  private def parse(line: String): InternalRow = {
+    val parts = line.split(",", -1)
+    val vals = out.fields.zip(parts).map {
+      case (f, s) =>
+        f.dataType match {
+          case LongType   => java.lang.Long.parseLong(s).asInstanceOf[Any]
+          case DoubleType => java.lang.Double.parseDouble(s).asInstanceOf[Any]
+          case _          => UTF8String.fromString(s)
+        }
+    }
+    InternalRow.fromSeq(vals.toSeq)
+  }
+
+  override def get(): InternalRow = current
   override def close(): Unit = ()
 }
