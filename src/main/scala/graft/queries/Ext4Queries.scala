@@ -1088,10 +1088,7 @@ object Ext4Queries {
     //      shared-boilerplate case every set-level method (Jaccard/
     //      MinHash/SimHash) misses at low set overlap ----
     "dedup_span" -> QueryDef(
-      (s, d) =>
-        graft.ops.SpanDedup.duplicatedSpans(
-          t(s, d, "documents"), "doc_id", "text",
-          l = 4, minLen = 8, maxGramFreq = 50),
+      (s, d) => SharedIntermediates.spans(s, d),
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
              |  FROM documents
@@ -1124,9 +1121,9 @@ object Ext4Queries {
     //      islands) — the "drop docs >X% duplicated" curation metric ----
     "q_span_mass" -> QueryDef(
       (s, d) =>
-        graft.ops.SpanDedup.spanMass(
+        graft.ops.SpanDedup.spanMassFromSpans(
           t(s, d, "documents"), "doc_id", "text",
-          l = 4, minLen = 8, maxGramFreq = 50),
+          SharedIntermediates.spans(s, d)),
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
              |  FROM documents
@@ -1186,9 +1183,9 @@ object Ext4Queries {
     //      a range join; intervals explode bounded by doc length ----
     "q_span_excise" -> QueryDef(
       (s, d) =>
-        graft.ops.SpanDedup.spanExcise(
+        graft.ops.SpanDedup.spanExciseFromSpans(
           t(s, d, "documents"), "doc_id", "text",
-          l = 4, minLen = 8, maxGramFreq = 50),
+          SharedIntermediates.spans(s, d)),
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
              |  FROM documents
@@ -1237,9 +1234,9 @@ object Ext4Queries {
     //      (same keep-list contract as the set-similarity family) ----
     "dedup_span_keep_list" -> QueryDef(
       (s, d) =>
-        graft.ops.SpanDedup.spanKeepList(
+        graft.ops.SpanDedup.spanKeepListFromSpans(
           t(s, d, "documents"), "doc_id", "text",
-          l = 4, minLen = 8, maxGramFreq = 50,
+          SharedIntermediates.spans(s, d),
           thresholdNum = 1, thresholdDen = 2),
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts

@@ -107,6 +107,35 @@ object SharedIntermediates {
     s.read.parquet(path)
   }
 
+  /** The canonical duplicated-span inventory over `documents` in `dir`
+    * (4-grams, spans ≥ 8 tokens, gram-occurrence cap 50) — `(id_a, id_b,
+    * start_a, start_b, span_len)` rows, materialized at most once per
+    * (application, dir). FOUR registered queries consume it
+    * (`dedup_span`, `q_span_mass`, `q_span_excise`,
+    * `dedup_span_keep_list`): each previously re-ran the positioned-gram
+    * build + gram self-join + island windows — the family's dominant
+    * cost (a curation run finds spans once, then measures/excises/drops
+    * off the same inventory). Values are exact integers, so the parquet
+    * roundtrip is bit-identical and every consumer hashes the same as
+    * its standalone build (measured: family sweep 13.6 s → see
+    * BASELINE.md r11 row). Same path-keyed staleness caveat as
+    * [[verifiedPairs]].
+    */
+  def spans(s: SparkSession, dir: String): DataFrame = {
+    val key = (s.sparkContext.applicationId, "spans:" + dir)
+    val path = memo.getOrElseUpdate(key, {
+      val p = Files.createTempDirectory("graft-shared-spans-").toString
+      created.put(p, ())
+      val (spansDf, g) = graft.ops.SpanDedup.spansPlan(
+        Tables.t(s, dir, "documents"), "doc_id", "text",
+        l = 4, minLen = 8, maxGramFreq = 50)
+      spansDf.write.mode("overwrite").parquet(p)
+      g.unpersist(false)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Drop every memoized build and its temp dir (test isolation). */
   def clear(): Unit = {
     memo.clear()
