@@ -24,4 +24,6 @@ object JsonLog {
   def info(message: String): Unit = System.out.println(line("INFO", message))
   def warning(message: String): Unit = System.out.println(line("WARNING", message))
   def error(message: String): Unit = System.err.println(line("ERROR", message))
+  /** Setup-level failure (`/root/reference/main.py:119-122`). */
+  def critical(message: String): Unit = System.err.println(line("CRITICAL", message))
 }

@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""One-command round proof suite (VERDICT r10 #8): full-inventory bench
+sweeps at sf0.1 / sf1 / sf10, scaling reports, and a notes skeleton —
+the methodology rounds 7-10 re-derived by hand each time.
+
+    python3 tools/sweep.py r11              # sf0.1 + sf1 + sf10
+    python3 tools/sweep.py r11 --scales 0.1 # just the gate sweep
+
+Produces:
+    bench/{label}_sf0.1.json      full per-query record (+ bytes line)
+    bench/{label}_sf1.json        10x fixture (ScaleGen into /tmp/sf1)
+    bench/{label}_sf10.json       100x fixture (256 partitions, 16g heap)
+    bench/{label}_scaling_sf01_to_sf1.txt / _sf10.txt
+    bench/{label}_notes.txt       skeleton with totals/failures filled in
+
+Scaled fixtures are generated with graft.tools.ScaleGen iff missing.
+"""
+import argparse
+import json
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+BASE_SF = "/root/testdata/sf0.1"
+
+# per-scale config: (fixture dir, ScaleGen factor, shuffle partitions,
+# driver heap). Partition/heap levers per BASELINE.md r8: partitions
+# scale with the data so per-task state stays in memory; heap 16g at
+# 100x single-box (a real cluster's 2-4 GB/core equivalent).
+SCALES = {
+    "0.1": (BASE_SF, None, "32", "8g"),
+    "1": ("/tmp/sf1", 10, "32", "8g"),
+    "10": ("/tmp/sf10", 100, "256", "16g"),
+}
+
+
+def run(cmd, env=None, capture=False):
+    print(f"[sweep] $ {' '.join(cmd)}", flush=True)
+    full_env = dict(__import__("os").environ)
+    if env:
+        full_env.update(env)
+    if capture:
+        return subprocess.run(cmd, cwd=ROOT, env=full_env, capture_output=True, text=True)
+    return subprocess.run(cmd, cwd=ROOT, env=full_env)
+
+
+def ensure_fixture(scale):
+    sf_dir, factor, _, _ = SCALES[scale]
+    if Path(sf_dir, "documents.parquet").exists():
+        return
+    print(f"[sweep] generating {sf_dir} (ScaleGen x{factor})", flush=True)
+    r = run(["sbt", "-batch", f"runMain graft.tools.ScaleGen {BASE_SF} {sf_dir} {factor}"])
+    if r.returncode != 0:
+        sys.exit(f"ScaleGen failed for {sf_dir}")
+
+
+def bench(scale, label):
+    sf_dir, _, partitions, heap = SCALES[scale]
+    out = ROOT / "bench" / f"{label}_sf{scale}.json"
+    env = {
+        "SPARK_GRAFT_CPUS": "32",
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS": partitions,
+        "SPARK_DRIVER_MEM": heap,
+        "SPARK_GRAFT_BENCH_OUT": str(out),
+        "SPARK_GRAFT_BENCH_METRICS": "1",
+    }
+    t0 = time.time()
+    r = run(["sbt", "-batch", "runMain graft.Bench"], env=env, capture=True)
+    wall = time.time() - t0
+    # Bench wrote the full total-line to `out`; the bytes line (shuffle/
+    # spill accounting) is stdout-only — append it so scaling_report sees
+    # both. sbt prefixes stdout with [info].
+    bytes_line = None
+    for line in r.stdout.splitlines():
+        m = re.search(r'(\{"metric":"bytes".*\})', line)
+        if m:
+            bytes_line = m.group(1)
+    if bytes_line and out.exists():
+        with open(out, "a") as f:
+            f.write(bytes_line + "\n")
+    ok = out.exists() and r.returncode == 0
+    print(f"[sweep] sf{scale}: rc={r.returncode} wall={wall:.0f}s -> {out}", flush=True)
+    if not ok:
+        print(r.stdout[-3000:])
+        print(r.stderr[-2000:])
+        sys.exit(f"bench failed at sf{scale}")
+    return out
+
+
+def summarize(path):
+    with open(path) as f:
+        d = json.loads(f.readline())
+    qs = d["queries"]
+    failed = sorted(k for k, v in qs.items() if v == -1.0)
+    skipped = sorted(k for k, v in qs.items() if v == -2.0)
+    ran = {k: v for k, v in qs.items() if v > 0}
+    return {
+        "total_sec": round(sum(ran.values()), 1),
+        "n_queries": len(qs),
+        "n_failed": len(failed),
+        "failed": failed,
+        "guard_skipped": skipped,
+        "slowest": sorted(ran.items(), key=lambda kv: -kv[1])[:8],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("label", help="round label, e.g. r11")
+    ap.add_argument("--scales", default="0.1,1,10")
+    args = ap.parse_args()
+    scales = [s.strip() for s in args.scales.split(",")]
+    for s in scales:
+        if s not in SCALES:
+            sys.exit(f"unknown scale {s}; choose from {list(SCALES)}")
+
+    outs = {}
+    for s in scales:
+        ensure_fixture(s)
+        outs[s] = bench(s, args.label)
+
+    base = outs.get("0.1")
+    for s, suffix in (("1", "sf01_to_sf1"), ("10", "sf01_to_sf10")):
+        if base and s in outs:
+            factor = SCALES[s][1]
+            report = ROOT / "bench" / f"{args.label}_scaling_{suffix}.txt"
+            with open(report, "w") as f:
+                subprocess.run(
+                    [sys.executable, "tools/scaling_report.py", str(base), str(outs[s]), str(factor)],
+                    cwd=ROOT, stdout=f)
+            print(f"[sweep] scaling report -> {report}", flush=True)
+
+    commit = subprocess.run(
+        ["git", "-C", str(ROOT), "rev-parse", "HEAD"], capture_output=True, text=True).stdout.strip()
+    notes = ROOT / "bench" / f"{args.label}_notes.txt"
+    with open(notes, "w") as f:
+        f.write(f"# Round {args.label} bench notes\n\n")
+        f.write(f"Commit: {commit}\nDate: {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}\n\n")
+        for s in scales:
+            m = summarize(outs[s])
+            f.write(f"## {args.label}_sf{s}.json\n")
+            f.write(f"- total {m['total_sec']} s over {m['n_queries']} queries; "
+                    f"{m['n_failed']} failed {m['failed']}; guard-skipped {m['guard_skipped']}\n")
+            f.write("- slowest: "
+                    + ", ".join(f"{k} {v:.1f}s" for k, v in m["slowest"]) + "\n\n")
+        f.write("## Isolated triple-runs (fill in for any apparent outlier)\n\n")
+        f.write("  for i in 1 2 3; do SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="
+                f"{BASE_SF} sbt -batch 'runMain graft.Bench <query>'; done\n\n")
+        f.write("## PlanAudit (explain the slowest new/changed queries)\n\n")
+    print(f"[sweep] notes skeleton -> {notes}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
