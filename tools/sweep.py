@@ -123,6 +123,14 @@ def main():
         ensure_fixture(s)
         outs[s] = bench(s, args.label)
 
+    # A partial re-run (e.g. `--scales 10` after an interrupted sweep)
+    # reuses this label's already-recorded files for the scaling report
+    # and the notes, so the round record stays complete.
+    for s in SCALES:
+        prior = ROOT / "bench" / f"{args.label}_sf{s}.json"
+        if s not in outs and prior.exists():
+            outs[s] = prior
+
     base = outs.get("0.1")
     for s, suffix in (("1", "sf01_to_sf1"), ("10", "sf01_to_sf10")):
         if base and s in outs:
@@ -140,7 +148,7 @@ def main():
     with open(notes, "w") as f:
         f.write(f"# Round {args.label} bench notes\n\n")
         f.write(f"Commit: {commit}\nDate: {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}\n\n")
-        for s in scales:
+        for s in [s for s in SCALES if s in outs]:
             m = summarize(outs[s])
             f.write(f"## {args.label}_sf{s}.json\n")
             f.write(f"- total {m['total_sec']} s over {m['n_queries']} queries; "
