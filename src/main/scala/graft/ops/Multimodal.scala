@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side machinery here is real — binary columns, typed
   * `Dataset[T]` with case-class encoders, `mapPartitions` batch-shaped
-  * decode, frame sampling via array ops. Image decode is real too:
-  * [[ImageIoDecode]] reads true dimensions/format from PNG/JPEG/GIF/BMP
-  * headers via the JDK's `javax.imageio` (no external libraries).
-  * Audio/video decode stays behind the same seam as a clearly-marked
-  * deterministic fake ([[FakeDecode]] — no codec libraries in this
-  * container); swapping in a JNI/javacv call changes nothing else. The
+  * decode, frame sampling via array ops. Decode is real across all three
+  * modalities, pure JDK: [[ImageIoDecode]] reads true dimensions/format
+  * from PNG/JPEG/GIF/BMP headers via `javax.imageio`, [[AudioDecode]]
+  * reads frame/channel counts from WAV/AIFF/AU via `javax.sound.sampled`,
+  * and [[VideoDecode]] parses the MJPEG-in-AVI RIFF container (header
+  * metadata + real per-frame JPEG payloads via [[videoFrames]]).
+  * [[FakeDecode]] remains as the clearly-marked deterministic stand-in
+  * for codecs the JDK lacks (H.264, MP3, …); swapping in a JNI/javacv
+  * call changes nothing else. The
   * registered oracle queries use FakeDecode so DuckDB can replay the
   * metadata byte-exactly; ImageIoDecode is gated by the same contract
   * spec plus real generated-image tests.
@@ -111,8 +114,7 @@ object Multimodal {
     * formatType) from the file header alone; undecodable bytes fall back
     * like [[ImageIoDecode]]. Width carries the frame count and height the
     * channel count — the two integers a sampling/segmentation pipeline
-    * partitions on. Video alone stays env-blocked (no container/codec
-    * parsers in the JDK).
+    * partitions on. See [[VideoDecode]] for the video counterpart.
     */
   object AudioDecode extends MediaDecoder {
     def decode(bytes: Array[Byte]): (Int, Int, String) = {
@@ -131,6 +133,168 @@ object Multimodal {
           (w, h, "undecodable")
       }
     }
+  }
+
+  /** REAL video container decoder for MJPEG-in-AVI, pure JDK — no codec
+    * libraries. AVI is a RIFF container (public Microsoft "AVI RIFF File
+    * Reference"); the main header chunk (`avih`) carries
+    * dwWidth/dwHeight/dwTotalFrames, and every frame of an MJPEG video
+    * stream is a standalone JPEG inside a `00dc`/`00db` chunk under the
+    * `movi` LIST — each decodable by the JDK's ImageIO JPEG reader.
+    * `decode` reads the container header only (the metadata fast path);
+    * [[videoFrames]] walks the movi list and yields the real per-frame
+    * JPEG payloads. The format tag is `avi-<handler>` from the video
+    * stream header (e.g. `avi-mjpg`). Non-AVI bytes fall back like the
+    * other decoders. Scope: frames directly under `movi` (no `rec ` sub
+    * lists, no OpenDML extended indexes) — the shape [[synthAvi]] writes
+    * and the common single-stream MJPEG layout.
+    */
+  object VideoDecode extends MediaDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, String) =
+      aviMeta(bytes) match {
+        case Some((w, h, _, handler)) if w > 0 && h > 0 =>
+          (w, h, s"avi-$handler")
+        case _ =>
+          if (bytes.isEmpty) (0, 0, "empty")
+          else {
+            val (w, h, _) = FakeDecode.decode(bytes)
+            (w, h, "undecodable")
+          }
+      }
+
+    /** (width, height, totalFrames, streamHandler) from the `avih` +
+      * `strh` headers, or None when the payload is not a RIFF/AVI.
+      */
+    def aviMeta(bytes: Array[Byte]): Option[(Int, Int, Int, String)] = {
+      if (bytes.length < 24 || fcc(bytes, 0) != "RIFF" || fcc(bytes, 8) != "AVI ")
+        return None
+      var w, h, n = 0
+      var handler = "none"
+      // every read below is bounds-guarded: a truncated/hostile header
+      // whose declared sizes overrun the payload must degrade to None,
+      // never throw (the decoder contract is totality)
+      def walk(from: Int, to: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id = fcc(bytes, pos)
+          // declared sizes are untrusted: clamp to the real remainder
+          val size = math.min(u32(bytes, pos + 4), (to - pos - 8).toLong).toInt
+          val payload = pos + 8
+          if (id == "LIST" && size >= 4) {
+            val listType = fcc(bytes, payload)
+            // only header lists matter here; movi (frame data) is skipped
+            if (listType == "hdrl" || listType == "strl")
+              walk(payload + 4, payload + size)
+          } else if (id == "avih" && size >= 40) {
+            n = u32(bytes, payload + 16).toInt
+            w = u32(bytes, payload + 32).toInt
+            h = u32(bytes, payload + 36).toInt
+          } else if (id == "strh" && size >= 8 && fcc(bytes, payload) == "vids") {
+            handler = fcc(bytes, payload + 4).trim.toLowerCase
+          }
+          pos = payload + math.max(size, 0) + (size & 1) // chunks pad to even
+        }
+      }
+      walk(12, bytes.length)
+      if (w > 0 || h > 0 || n > 0) Some((w, h, n, handler)) else None
+    }
+  }
+
+  /** Per-frame JPEG payloads of an MJPEG AVI, in stream order (the
+    * `00dc`/`00db` chunks under the `movi` LIST). Empty for non-AVI
+    * bytes. Each element feeds [[ImageIoDecode]] (or any JPEG consumer)
+    * unchanged.
+    */
+  def videoFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes.length < 24 || fcc(bytes, 0) != "RIFF" || fcc(bytes, 8) != "AVI ")
+      return Nil
+    val out = Seq.newBuilder[Array[Byte]]
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val id = fcc(bytes, pos)
+      // untrusted declared size: clamp to the real remainder (totality)
+      val size = math.min(u32(bytes, pos + 4), (bytes.length - pos - 8).toLong).toInt
+      val payload = pos + 8
+      if (id == "LIST" && size >= 4 && fcc(bytes, payload) == "movi") {
+        var fp = payload + 4
+        val end = payload + size
+        while (fp + 8 <= end) {
+          val fid = fcc(bytes, fp)
+          val fsize = math.min(u32(bytes, fp + 4), (end - fp - 8).toLong).toInt
+          if (fid.endsWith("dc") || fid.endsWith("db"))
+            out += java.util.Arrays.copyOfRange(bytes, fp + 8, fp + 8 + fsize)
+          fp = fp + 8 + math.max(fsize, 0) + (fsize & 1)
+        }
+      }
+      pos = payload + math.max(size, 0) + (size & 1)
+    }
+    out.result()
+  }
+
+  private def fcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Deterministic real MJPEG AVI of `nFrames` JPEG frames at w×h — the
+    * video counterpart of [[synthPng]]/[[synthWav]], composed chunk by
+    * chunk (RIFF → hdrl(avih, strl(strh, strf)) → movi(00dc…)) with the
+    * JDK's ImageIO JPEG encoder for the frame payloads. Pixels are a pure
+    * function of (position, frame), so equal (w, h, nFrames) → equal
+    * structure on every executor; frame DIMENSIONS (what the decode path
+    * asserts) are exact regardless of JPEG's lossy pixel round-trip.
+    */
+  def synthAvi(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def tag(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      tag(id) ++ le32(payload.length.toLong) ++ payload ++ pad
+    }
+    def list(listType: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", tag(listType) ++ payload)
+
+    def jpegFrame(i: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, (x * 31 + y * 7 + i * 131) & 0xffffff); x += 1 }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+
+    // avih: 56 bytes — µs/frame, maxBytesPerSec, padding, flags, TOTAL
+    // FRAMES, initialFrames, streams, sugBufSize, WIDTH, HEIGHT, 4×reserved
+    val avih = le32(40000L) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(nFrames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte)
+    // strh: 56 bytes — fccType 'vids', handler 'MJPG', …, scale=1 rate=25,
+    // length=nFrames, quality=-1, rcFrame as 4×u16
+    val strh = tag("vids") ++ tag("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(1) ++ le32(25) ++ le32(0) ++ le32(nFrames.toLong) ++ le32(0) ++
+      le32(0xffffffffL) ++ le32(0) ++
+      Array(0, 0, 0, 0).map(_.toByte) ++
+      le32(((h.toLong << 16) | w.toLong)) // rc right/bottom packed u16 pairs
+    // strf: BITMAPINFOHEADER, 40 bytes, biCompression = 'MJPG'
+    val strf = le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++
+      Array(1, 0).map(_.toByte) ++ Array(24, 0).map(_.toByte) ++ tag("MJPG") ++
+      le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      (0 until nFrames).map(i => chunk("00dc", jpegFrame(i))).foldLeft(Array.empty[Byte])(_ ++ _))
+    val body = tag("AVI ") ++ hdrl ++ movi
+    tag("RIFF") ++ le32(body.length.toLong) ++ body
   }
 
   /** Deterministic real PNG payload of exactly w×h pixels, written with

@@ -13,7 +13,8 @@ class MediaDecoderContractSpec extends AnyFunSuite {
     Seq(
       "FakeDecode" -> Multimodal.FakeDecode,
       "ImageIoDecode" -> Multimodal.ImageIoDecode,
-      "AudioDecode" -> Multimodal.AudioDecode)
+      "AudioDecode" -> Multimodal.AudioDecode,
+      "VideoDecode" -> Multimodal.VideoDecode)
 
   /** An in-memory image encoded via the JDK's own writers — real bytes in
     * the named format, no fixtures or external tools needed.
@@ -69,6 +70,47 @@ class MediaDecoderContractSpec extends AnyFunSuite {
     assert(tag == "undecodable")
     assert(w > 0 && h > 0)
     assert(Multimodal.ImageIoDecode.decode(junk.clone()) == ((w, h, tag)))
+  }
+
+  test("VideoDecode: container header dims/frames/handler for a real MJPEG AVI") {
+    val avi = Multimodal.synthAvi(48, 32, 5)
+    assert(Multimodal.VideoDecode.decode(avi) == ((48, 32, "avi-mjpg")))
+    assert(Multimodal.VideoDecode.aviMeta(avi).contains((48, 32, 5, "mjpg")))
+  }
+
+  test("videoFrames: every movi chunk is a real JPEG with the container's dimensions") {
+    val avi = Multimodal.synthAvi(21, 17, 4)
+    val frames = Multimodal.videoFrames(avi)
+    assert(frames.length == 4)
+    frames.foreach { fb =>
+      val (w, h, tag) = Multimodal.ImageIoDecode.decode(fb)
+      assert((w, h, tag) == ((21, 17, "jpeg")))
+    }
+    // frames differ (per-frame pixel function), but equal inputs rebuild
+    // byte-identical containers — executor-side determinism
+    assert(frames.distinct.length == 4)
+    assert(java.util.Arrays.equals(avi, Multimodal.synthAvi(21, 17, 4)))
+  }
+
+  test("videoFrames: odd-length JPEG payloads keep chunk alignment (RIFF even padding)") {
+    // exercise several shapes so at least one frame payload is odd-length
+    (1 to 6).foreach { n =>
+      val avi = Multimodal.synthAvi(n * 3 + 1, n * 2 + 1, n)
+      assert(Multimodal.videoFrames(avi).length == n, s"n=$n")
+    }
+  }
+
+  test("VideoDecode: non-AVI bytes (including a bare JPEG) fall back with an undecodable tag") {
+    Seq(
+      "not a riff container".getBytes("UTF-8"),
+      imageBytes(8, 8, "jpeg"), // a real media payload, wrong container
+      wavBytes(10, 1, 8000f)    // RIFF but WAVE, not AVI
+    ).foreach { junk =>
+      val (w, h, tag) = Multimodal.VideoDecode.decode(junk)
+      assert(tag == "undecodable")
+      assert(w > 0 && h > 0)
+      assert(Multimodal.VideoDecode.decode(junk.clone()) == ((w, h, tag)))
+    }
   }
 
   private val payloads: Seq[Array[Byte]] = Seq(
