@@ -368,16 +368,21 @@ object Similarity {
       .select(
         col("query_id"), col("s"), col("code"),
         fastDot(slice(col("qv"), col("s") * subDim + 1, lit(subDim)), col("cv")).as("p"))
-    // score: corpus codes × queries, one broadcast LUT join per subspace,
-    // fixed-order partial-sum chain
-    var scored = wide.crossJoin(broadcast(queries.select(col("query_id"))))
-    for (s <- 0 until subspaces) {
-      val l = lut
-        .filter(col("s") === s)
-        .select(col("query_id"), col("code").as(s"c$s"), col("p").as(s"p$s"))
-      scored = scored.join(broadcast(l), Seq("query_id", s"c$s"))
+    // score: the LUT re-shaped to one (code → p) map per subspace by a
+    // tiny aggregation over its |queries|·m·k rows, broadcast ONCE onto
+    // the compressed corpus; ADC = fixed-order chain of element_at map
+    // lookups. Identical p doubles summed in the same p0+p1+… order as
+    // the previous per-subspace broadcast-join chain (oracles replay
+    // unchanged), but the plan drops m−1 broadcast exchanges and the
+    // m-deep join chain — measured, the join-chain form spent its time
+    // in 16 stages of broadcast setup, not in the lookups.
+    val lutAggs = (0 until subspaces).map { s =>
+      map_from_entries(collect_list(when(col("s") === s, struct(col("code"), col("p")))))
+        .as(s"m$s")
     }
-    val adc = (0 until subspaces).map(s => col(s"p$s")).reduce(_ + _)
+    val qLut = lut.groupBy("query_id").agg(lutAggs.head, lutAggs.tail: _*)
+    val scored = wide.crossJoin(broadcast(qLut))
+    val adc = (0 until subspaces).map(s => element_at(col(s"m$s"), col(s"c$s"))).reduce(_ + _)
     val adcScored = scored
       .filter(col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid").as("neighbor_id"), adc.as("sim"))

@@ -38,29 +38,29 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("pqAdcTopK ships every LUT join broadcast; corpus codes never shuffle for scoring") {
+  test("pqAdcTopK broadcasts ONE query-LUT map set; corpus codes never shuffle for scoring") {
     val plan = graft.ops.Similarity
       .pqAdcTopK(
         graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings"),
         "vec_id", "embedding", k = 5, queryPred = col("cid") < 30,
         subspaces = 4, subDim = 16, nCodes = 8)
       .queryExecution.executedPlan.toString
-    // the per-(query, subspace, code) lookup tables are corpus-size-
-    // independent — each of the 4 scoring joins must be a broadcast hash
-    // join so the PQ-coded corpus is scored in one scan without moving.
-    // Exactly ONE nested-loop product is allowed: the deliberate
-    // corpus × query-batch expansion against the broadcast query list
-    // (the same shape cosineTopK uses — the batch is small by contract).
-    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
-    assert(bhj >= 4, s"expected >=4 broadcast LUT joins, got $bhj:\n$plan")
+    // the per-(query, subspace) code→p lookup MAPS are corpus-size-
+    // independent (|queries| rows) and must reach the compressed corpus
+    // as a single broadcast — scoring is then one scan of the code
+    // columns with element_at lookups, no per-subspace join chain (the
+    // previous m-join form spent its time in m stages of broadcast
+    // setup) and no shuffle of the corpus for scoring.
     assert(!plan.contains("SortMergeJoin"), plan)
-    // nested-loop products are allowed only against broadcast sides that
-    // are corpus-size-independent: the query batch (1) and the
-    // queries × codebook LUT build, whose subtree is replayed once per
-    // subspace branch (4) — never a corpus-sized side
+    assert(plan.contains("element_at"), s"expected map-lookup ADC scoring:\n$plan")
+    // nested-loop products are allowed only against corpus-size-
+    // independent broadcast sides: the LUT-map batch onto the corpus (1)
+    // and the queries × codebook LUT build itself (1)
     val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-    assert(bnlj <= 5, s"unexpected nested-loop joins, got $bnlj:\n$plan")
+    assert(bnlj <= 2, s"unexpected nested-loop joins, got $bnlj:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
+    // the codebook side of the encode join stays broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("chunkDedup shuffles exactly twice (chunk-hash argmin + doc regroup), no pair join") {
