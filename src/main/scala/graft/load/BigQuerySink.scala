@@ -31,9 +31,12 @@ trait TableSink {
   * spark-bigquery connector (`df.write.format("bigquery")` carries the
   * disposition and schema-update options as writer options and keeps the
   * write distributed); tests bind an in-memory double that enforces the
-  * documented load-job semantics. The jar is not resolvable in this
-  * sandbox (zero egress), so no connector-backed implementation ships
-  * here — the seam and its contract tests are the deliverable.
+  * documented load-job semantics, and [[HttpBigQueryLoadClient]] drives
+  * the full REST load-job lifecycle (multipart `jobs.insert` + `jobs.get`
+  * polling) over real HTTP against any server speaking the public v2
+  * shapes — contract-tested via a loopback stub. The connector jar is not
+  * resolvable in this sandbox (zero egress), so the distributed
+  * connector-backed implementation remains a deployment binding.
   */
 trait BigQueryLoadClient {
 

@@ -1,0 +1,162 @@
+package graft.load
+
+import org.apache.spark.sql.DataFrame
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.io.Source
+
+/** [[BigQueryLoadClient]] over the PUBLIC BigQuery REST v2 load-job wire
+  * shapes (`jobs.insert` multipart upload + `jobs.get` polling) — closes
+  * the last environment-bound seam the same way the HTTP pager closed
+  * the extract side: the lifecycle the reference drives through
+  * `load_table_from_json(...)` + `load_job.result()`
+  * (`/root/reference/data_load.py:52-59`) now runs over real HTTP
+  * against any server speaking these shapes. Tests bind a loopback
+  * `com.sun.net.httpserver` stub; a deployment points `base` at the
+  * real endpoint.
+  *
+  * Wire contract (JDK-only on both ends):
+  *  - `POST {base}/upload/bigquery/v2/projects/{project}/jobs?uploadType=multipart`
+  *    — part 1 (`application/json`): the load-job configuration
+  *    (destinationTable, writeDisposition, schemaUpdateOptions,
+  *    sourceFormat NEWLINE_DELIMITED_JSON, autodetect — the exact knobs
+  *    `LoadJobConfig` carries at `data_load.py:40-44`); part 2
+  *    (`application/octet-stream`): the frame as NDJSON. Response: job
+  *    JSON with `jobReference.jobId` and `status.state`.
+  *  - `GET {base}/bigquery/v2/projects/{project}/jobs/{jobId}` — polled
+  *    until `status.state == "DONE"` (the `load_job.result()` wait);
+  *    `status.errorResult` → [[BigQuerySink.LoadJobException]] (the
+  *    GoogleAPIError path `data_load.py:66-70` wraps);
+  *    `statistics.load.outputRows` is the returned row count.
+  *
+  * The NDJSON payload streams through `toJSON.toLocalIterator` — one
+  * partition at a time through a chunked request body, never a full
+  * collect (the reference materializes its whole `List[Dict]`). The
+  * 100 TB path remains the distributed connector / GCS-staged load
+  * documented on [[BigQueryLoadClient]]; this client is the faithful
+  * JSON load-job lifecycle at the reference's config-batch scale.
+  */
+final class HttpBigQueryLoadClient(
+    base: String,
+    override val project: String,
+    pollMillis: Long = 50
+) extends BigQueryLoadClient {
+
+  import HttpBigQueryLoadClient._
+
+  override def loadTable(
+      df: DataFrame,
+      tableId: String,
+      disposition: Sink.WriteDisposition,
+      schemaUpdateOptions: Set[String]
+  ): Long = {
+    val Array(proj, dataset, table) = tableId.split('.') match {
+      case a @ Array(_, _, _) => a
+      case _ => throw new BigQuerySink.LoadJobException(s"invalid table id '$tableId'")
+    }
+    val wireDisposition = disposition match {
+      case Sink.WriteAppend   => "WRITE_APPEND"
+      case Sink.WriteTruncate => "WRITE_TRUNCATE"
+    }
+    val config =
+      s"""{"configuration":{"load":{
+         |"destinationTable":{"projectId":"${esc(proj)}","datasetId":"${esc(dataset)}","tableId":"${esc(table)}"},
+         |"writeDisposition":"$wireDisposition",
+         |"schemaUpdateOptions":[${schemaUpdateOptions.toSeq.sorted.map(o => "\"" + esc(o) + "\"").mkString(",")}],
+         |"sourceFormat":"NEWLINE_DELIMITED_JSON",
+         |"autodetect":true}}}""".stripMargin.replace("\n", "")
+    // connection-level failures wrap like everything else: the reference
+    // converts ANY load-path exception to its RuntimeError
+    // (`data_load.py:71-75`), and LoadJobException is that analogue
+    val insertBody =
+      try insertJob(config, df)
+      catch {
+        case e: BigQuerySink.LoadJobException => throw e
+        case e: java.io.IOException =>
+          throw new BigQuerySink.LoadJobException(s"jobs.insert failed: $e")
+      }
+    val jobId = extract(insertBody, "jobId").getOrElse(
+      throw new BigQuerySink.LoadJobException(s"no jobId in insert response: $insertBody"))
+    var status = insertBody
+    while (!extract(status, "state").contains("DONE")) {
+      Thread.sleep(pollMillis)
+      status = get(s"$base/bigquery/v2/projects/$project/jobs/$jobId")
+    }
+    if (status.contains("\"errorResult\"")) {
+      val msg = extract(status.substring(status.indexOf("\"errorResult\"")), "message")
+        .getOrElse("load job failed")
+      throw new BigQuerySink.LoadJobException(msg)
+    }
+    extract(status, "outputRows").map(_.toLong).getOrElse(
+      throw new BigQuerySink.LoadJobException(s"no outputRows in DONE job: $status"))
+  }
+
+  /** Multipart insert: config part + chunk-streamed NDJSON part. */
+  private def insertJob(configJson: String, df: DataFrame): String = {
+    val url = s"$base/upload/bigquery/v2/projects/$project/jobs?uploadType=multipart"
+    val boundary = s"graft-bq-${java.util.UUID.randomUUID()}"
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setChunkedStreamingMode(64 * 1024)
+    conn.setRequestProperty("Content-Type", s"multipart/related; boundary=$boundary")
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(120000)
+    try {
+      val out = conn.getOutputStream
+      try {
+        def w(s: String): Unit = out.write(s.getBytes(UTF_8))
+        w(s"--$boundary\r\nContent-Type: application/json; charset=UTF-8\r\n\r\n")
+        w(configJson)
+        w(s"\r\n--$boundary\r\nContent-Type: application/octet-stream\r\n\r\n")
+        val it = df.toJSON.toLocalIterator()
+        while (it.hasNext) { w(it.next()); w("\n") }
+        w(s"\r\n--$boundary--\r\n")
+      } finally out.close()
+      val code = conn.getResponseCode
+      if (code != 200)
+        throw new BigQuerySink.LoadJobException(s"jobs.insert failed: HTTP $code")
+      val in = conn.getInputStream
+      try Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    } finally conn.disconnect()
+  }
+
+  private def get(url: String): String = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(60000)
+    try {
+      val code = conn.getResponseCode
+      if (code != 200)
+        throw new BigQuerySink.LoadJobException(s"jobs.get failed: HTTP $code for $url")
+      val in = conn.getInputStream
+      try Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    } catch {
+      case e: java.io.IOException =>
+        throw new BigQuerySink.LoadJobException(s"jobs.get failed: $e")
+    } finally conn.disconnect()
+  }
+}
+
+object HttpBigQueryLoadClient {
+
+  /** First value of `"key": "v"` / `"key": v` in a JSON body — the few
+    * fields this client reads (jobId, state, outputRows, message) are
+    * flat strings/numbers, so a field scan suffices (no JSON lib in the
+    * sandbox's dependency budget; the stub emits exactly these shapes).
+    */
+  private[load] def extract(body: String, key: String): Option[String] = {
+    val k = java.util.regex.Pattern.quote(key)
+    ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      .findFirstMatchIn(body).map(_.group(1))
+      .orElse(("\"" + k + "\"\\s*:\\s*([^,}\\s\"]+)").r
+        .findFirstMatchIn(body).map(_.group(1)))
+  }
+
+  private[load] def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+}
