@@ -86,12 +86,25 @@ object Similarity {
     private def better(a: (Double, Long), b: (Double, Long)): Boolean =
       a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
     override def zero: Seq[(Double, Long)] = Nil
+    // Amortized top-k: a full sort per accepted row is O(k log k) EACH —
+    // ruinous at k=200 (the PQ shortlist; measured seconds per million
+    // rows). Instead the buffer carries the last compaction's sorted
+    // top-k in positions 0..k-1 plus an unsorted tail, compacting every
+    // k appends: appends are O(1), sorts amortize to O(log k) per row.
+    // buf(k−1) — the k-th best AS OF the last compaction — is a valid
+    // (conservative) skip bound: k elements already rank above anything
+    // it beats, so such a row can never enter the final top-k.
     override def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
-      if (buf.lengthCompare(k) >= 0 && better(buf.last, x)) buf
-      else (buf :+ x).sortWith(better).take(k)
+      if (buf.lengthCompare(k) >= 0 && better(buf(k - 1), x)) buf
+      else {
+        val b = buf :+ x
+        if (b.lengthCompare(k) == 0 || b.lengthCompare(2 * k) >= 0) b.sortWith(better).take(k)
+        else b
+      }
     override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
       (a ++ b).sortWith(better).take(k)
-    override def finish(buf: Seq[(Double, Long)]): Seq[Long] = buf.map(_._2)
+    override def finish(buf: Seq[(Double, Long)]): Seq[Long] =
+      buf.sortWith(better).take(k).map(_._2)
     override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
@@ -271,11 +284,19 @@ object Similarity {
     * representation for billion-scale ANN re-ranking.
     *
     * Scale shape: the codebook is subspaces×nCodes rows (tiny —
-    * broadcast), the corpus is scanned once post-explode, and the argmax
-    * is a window over the nCodes-row (id, subspace) group — no shuffle
-    * beyond the explode's ×subspaces fan-out, no corpus self-join. Ties
-    * break on the smaller code id; cosine is the sequential fold, so the
-    * assignment replays exactly in the oracle.
+    * broadcast) and the ×nCodes candidate fan-out collapses to one row
+    * per (vid, subspace) BEFORE any shuffle: the argmax is a declarative
+    * MAX of (sim, −code) structs (lexicographic, so max ⇔ highest sim
+    * then lowest code — the identical total order a window rank gives)
+    * with map-side partial combine. At 100× data that shuffles 3.2M
+    * combined rows instead of the 205M-row sorted fan-out the original
+    * window-rank form moved (the measured sf10 bottleneck). Two
+    * alternatives were measured and REJECTED: per-code typedLit dot
+    * expressions blow up whole-stage codegen (janino compile dominates,
+    * 4 s → 15 s at the gate), and a transform-HOF over literal codebook
+    * matrices runs interpreted per element (~2× slower end-to-end).
+    * Cosine is the sequential fold, so the assignment replays exactly
+    * in the oracle.
     */
   def pqEncode(
       emb: DataFrame,
@@ -285,31 +306,47 @@ object Similarity {
       subDim: Int,
       nCodes: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     ArrayDot.ensureRegistered(emb.sparkSession)
     val subCols = (0 until subspaces).map { s =>
       struct(lit(s).as("s"), slice(col("v"), s * subDim + 1, subDim).as("sv"))
     }
-    val subs = emb
-      .select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("v"))
+    val baseRaw = emb.select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("v"))
+    // The explode → codebook-join fan-out amplifies every input row
+    // ×(subspaces·nCodes), so file-split parallelism — sized by INPUT
+    // bytes — underestimates this stage's compute by three orders of
+    // magnitude: at 100× data the ~100 MB corpus arrives as 2 splits and
+    // the 205M-row fan-out ran 2-wide (measured: 131 s of CPU on 2
+    // tasks; wall ≈ CPU/2 instead of CPU/32). Spread the small input
+    // rows to full parallelism BEFORE amplifying; skipped when the scan
+    // already delivers enough splits (a real cluster scan of a 100 TB
+    // corpus does — this is the local-fixture artifact of
+    // maxPartitionBytes sizing against a 1000×-amplifying operator).
+    val parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (baseRaw.rdd.getNumPartitions < parallelism) baseRaw.repartition(parallelism)
+      else baseRaw
+    val subs = spread
       .select(col("vid"), explode(array(subCols: _*)).as("e"))
       .select(col("vid"), col("e.s").as("s"), col("e.sv").as("sv"))
       .withColumn("snrm", sqrt(fastDot(col("sv"), col("sv"))))
     val codebook = subs
       .filter(col("vid") < nCodes)
       .select(col("vid").as("code"), col("s"), col("sv").as("cv"), col("snrm").as("cnrm"))
-    val w = Window.partitionBy("vid", "s").orderBy(col("sim").desc, col("code").asc)
     subs
       .join(broadcast(codebook), Seq("s"))
       .select(
         col("vid"),
         col("s"),
-        col("code"),
-        (fastDot(col("sv"), col("cv")) / (col("snrm") * col("cnrm"))).as("sim")
+        struct(
+          (fastDot(col("sv"), col("cv")) / (col("snrm") * col("cnrm"))).as("sim"),
+          (-col("code")).as("negCode")).as("cand")
       )
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vid").as(idCol), col("s").cast("long").as("subspace"), col("code").cast("long").as("code"))
+      .groupBy(col("vid"), col("s"))
+      .agg(max(col("cand")).as("best"))
+      .select(
+        col("vid").as(idCol),
+        col("s").cast("long").as("subspace"),
+        (-col("best.negCode")).cast("long").as("code"))
   }
 
   /** PQ asymmetric-distance top-k (ADC): queries stay full-precision,
@@ -346,13 +383,26 @@ object Similarity {
   ): DataFrame = {
     ArrayDot.ensureRegistered(emb.sparkSession)
     val base = emb.select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("v"))
-    // wide code word: one row per corpus vector, one column per subspace
+    // wide code-POSITION word: one row per corpus vector, one 1-based
+    // LUT index per subspace. Positions (the code's rank in the
+    // code-ascending codebook) rather than raw code ids, so ADC scoring
+    // indexes its LUT arrays in O(1) — element_at on a MAP is a linear
+    // key scan per lookup even under codegen (measured, it dominated the
+    // scoring stage at 16 subspaces). The rank is subspace-independent —
+    // every subspace's codebook is the same first-nCodes vector ids —
+    // so ONE tiny broadcast join attaches it to the long-format word.
     val codes = pqEncode(emb, idCol, vecCol, subspaces, subDim, nCodes)
-    val codeAggs = (0 until subspaces)
-      .map(s => max(when(col("subspace") === s, col("code"))).as(s"c$s"))
+    val rankW = org.apache.spark.sql.expressions.Window.orderBy(col("code").asc)
+    val ranks = base
+      .filter(col("cid") < nCodes)
+      .select(col("cid").as("code"))
+      .withColumn("cpos", row_number().over(rankW))
+    val posAggs = (0 until subspaces)
+      .map(s => max(when(col("subspace") === s, col("cpos"))).as(s"r$s"))
     val wide = codes
+      .join(broadcast(ranks), Seq("code"))
       .groupBy(col(idCol).cast("long").as("vid"))
-      .agg(codeAggs.head, codeAggs.tail: _*)
+      .agg(posAggs.head, posAggs.tail: _*)
     // per-subspace codebook (same convention as pqEncode: first nCodes
     // vectors' subvectors) and the per-query lookup table over it
     val cbCols = (0 until subspaces).map { s =>
@@ -368,21 +418,33 @@ object Similarity {
       .select(
         col("query_id"), col("s"), col("code"),
         fastDot(slice(col("qv"), col("s") * subDim + 1, lit(subDim)), col("cv")).as("p"))
-    // score: the LUT re-shaped to one (code → p) map per subspace by a
-    // tiny aggregation over its |queries|·m·k rows, broadcast ONCE onto
-    // the compressed corpus; ADC = fixed-order chain of element_at map
-    // lookups. Identical p doubles summed in the same p0+p1+… order as
-    // the previous per-subspace broadcast-join chain (oracles replay
-    // unchanged), but the plan drops m−1 broadcast exchanges and the
-    // m-deep join chain — measured, the join-chain form spent its time
-    // in 16 stages of broadcast setup, not in the lookups.
+    // score: the LUT re-shaped to one code-rank-ordered ARRAY per
+    // (query, subspace) by a tiny aggregation over its |queries|·m·k
+    // rows, broadcast ONCE onto the compressed corpus; ADC = fixed-order
+    // chain of positional element_at lookups. Identical p doubles summed
+    // in the same p0+p1+… order as the original per-subspace
+    // broadcast-join chain (oracles replay unchanged), but the plan
+    // drops m−1 broadcast exchanges and the m-deep join chain — and the
+    // positional arrays keep the interpreted scoring row O(m), not
+    // O(m·k) (see the wide/rank comment above).
     val lutAggs = (0 until subspaces).map { s =>
-      map_from_entries(collect_list(when(col("s") === s, struct(col("code"), col("p")))))
-        .as(s"m$s")
+      transform(
+        array_sort(collect_list(when(col("s") === s, struct(col("code"), col("p"))))),
+        e => e.getField("p")
+      ).as(s"a$s")
     }
     val qLut = lut.groupBy("query_id").agg(lutAggs.head, lutAggs.tail: _*)
-    val scored = wide.crossJoin(broadcast(qLut))
-    val adc = (0 until subspaces).map(s => element_at(col(s"m$s"), col(s"c$s"))).reduce(_ + _)
+    // materialize the compressed code table (Caching discipline): fused,
+    // the [widening-agg emit -> nested-loop scoring -> 16-lookup project]
+    // stage compiles into one generated method big enough that HotSpot
+    // declines to JIT it, and the scoring loop then runs in the bytecode
+    // interpreter - measured 146 s vs 1 s for the identical scan at 100x
+    // data. Checkpointing the m-int-per-vector code word (the artifact a
+    // production PQ system stores anyway) starts the scoring scan at the
+    // head of its own small, JIT-friendly stage.
+    val wideM = Caching.materializeAndRelease(wide)
+    val scored = wideM.crossJoin(broadcast(qLut))
+    val adc = (0 until subspaces).map(s => element_at(col(s"a$s"), col(s"r$s"))).reduce(_ + _)
     val adcScored = scored
       .filter(col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid").as("neighbor_id"), adc.as("sim"))

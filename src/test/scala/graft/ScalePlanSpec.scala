@@ -45,22 +45,33 @@ class ScalePlanSpec extends SparkSpec {
         "vec_id", "embedding", k = 5, queryPred = col("cid") < 30,
         subspaces = 4, subDim = 16, nCodes = 8)
       .queryExecution.executedPlan.toString
-    // the per-(query, subspace) code→p lookup MAPS are corpus-size-
-    // independent (|queries| rows) and must reach the compressed corpus
-    // as a single broadcast — scoring is then one scan of the code
-    // columns with element_at lookups, no per-subspace join chain (the
-    // previous m-join form spent its time in m stages of broadcast
-    // setup) and no shuffle of the corpus for scoring.
+    // the per-(query, subspace) code→position LUT ARRAYS are corpus-
+    // size-independent (|queries| rows) and reach the compressed corpus
+    // as a single broadcast; the corpus side is the MATERIALIZED code
+    // table (a localCheckpoint scan — the artifact a production PQ
+    // system stores), so the scoring stage is one small JIT-friendly
+    // scan with positional element_at lookups: no per-subspace join
+    // chain, no shuffle of the corpus for scoring.
     assert(!plan.contains("SortMergeJoin"), plan)
-    assert(plan.contains("element_at"), s"expected map-lookup ADC scoring:\n$plan")
+    assert(plan.contains("element_at"), s"expected positional-lookup ADC scoring:\n$plan")
+    assert(
+      plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"),
+      s"expected the checkpointed code-table scan:\n$plan")
     // nested-loop products are allowed only against corpus-size-
-    // independent broadcast sides: the LUT-map batch onto the corpus (1)
+    // independent broadcast sides: the LUT batch onto the corpus (1)
     // and the queries × codebook LUT build itself (1)
     val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 2, s"unexpected nested-loop joins, got $bnlj:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
-    // the codebook side of the encode join stays broadcast
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the encode itself (behind the checkpoint) keeps its codebook join
+    // broadcast and repartitions ahead of the ×(m·k) fan-out
+    val encPlan = graft.ops.Similarity
+      .pqEncode(
+        graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings"),
+        "vec_id", "embedding", subspaces = 4, subDim = 16, nCodes = 8)
+      .queryExecution.executedPlan.toString
+    assert(encPlan.contains("BroadcastHashJoin"), encPlan)
+    assert(!encPlan.contains("SortMergeJoin"), encPlan)
   }
 
   test("chunkDedup shuffles exactly twice (chunk-hash argmin + doc regroup), no pair join") {
