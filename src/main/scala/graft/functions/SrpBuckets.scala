@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** All `tables` SRP bucket codes of one vector in a single tight loop:
+  * `out[t] = Σ_p [dot(v, sign_{t·r+p}) > 0] · 2^p` over the deterministic
+  * Rademacher planes ([[graft.ops.Similarity.radSign]]).
+  *
+  * Why an expression and not the `when(fastDot(v, typedLit(signs)) > 0,…)`
+  * column form it replaces: with tables×planes literal sign vectors the
+  * generated projection method grows past HotSpot's JIT threshold, and
+  * the whole stage silently runs in the bytecode interpreter — measured
+  * 280 µs/row (and 12 ms/row in an unluckier stage fusion) against ~1 µs
+  * of actual arithmetic. Here the sign matrix is ONE referenced object
+  * (`ctx.addReferenceObj`, zero literals in the generated source) and the
+  * method is a three-level primitive loop — small, JIT-friendly, and
+  * identical in fold order and comparison (`> 0`) to the literal form, so
+  * every SRP oracle replays unchanged.
+  */
+case class SrpBuckets(child: Expression, planesPerTable: Int, tables: Int, dim: Int)
+    extends UnaryExpression {
+
+  @transient private lazy val signs: Array[Array[Double]] =
+    Array.tabulate(tables * planesPerTable)(j =>
+      Array.tabulate(dim)(i => graft.ops.Similarity.radSign(j, i)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = SrpBuckets.name
+
+  override protected def nullSafeEval(value: Any): Any = {
+    val v = value.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val w = signs(t * planesPerTable + p)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v.getDouble(i) * w(i); i += 1 }
+        if (s > 0) b |= 1L << p
+        p += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val signsRef = ctx.addReferenceObj("srpSigns", signs, "double[][]")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val w = ctx.freshName("w")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      s"""
+         |long[] $out = new long[$tables];
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $b = 0L;
+         |  for (int $p = 0; $p < $planesPerTable; $p++) {
+         |    double[] $w = $signsRef[$t * $planesPerTable + $p];
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $v.getDouble($i) * $w[$i];
+         |    }
+         |    if ($s > 0) $b |= 1L << $p;
+         |  }
+         |  $out[$t] = $b;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SrpBuckets {
+  val name = "graft_srp_buckets"
+
+  /** Idempotent registration; `planes`/`tables`/`dim` arrive as literal
+    * int arguments so `call_function` can carry the config.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier(name)
+    if (!spark.sessionState.functionRegistry.functionExists(id)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[SrpBuckets].getName, null, name),
+        (exprs: Seq[Expression]) => {
+          def asInt(e: Expression): Int = e.eval(null) match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other   => throw new IllegalArgumentException(s"expected int literal, got $other")
+          }
+          SrpBuckets(exprs.head, asInt(exprs(1)), asInt(exprs(2)), asInt(exprs(3)))
+        }
+      )
+    }
+  }
+}

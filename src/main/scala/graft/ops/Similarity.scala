@@ -660,16 +660,24 @@ object Similarity {
     // dim probe: one-row driver lookup (bounded, like the sanctioned
     // config collects) so sign vectors match the fixture's width
     val dim = base.select(size(col("v"))).head().getInt(0)
-    val tableCols = (0 until tables).map { tbl =>
-      val bits = (0 until planesPerTable).map { p =>
-        val signs = Array.tabulate(dim)(i => radSign(tbl * planesPerTable + p, i))
-        when(fastDot(col("v"), typedLit(signs)) > 0, lit(1L << p)).otherwise(lit(0L))
-      }
-      struct(lit(tbl).as("tbl"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
-    }
+    // All table codes in ONE custom expression (SrpBuckets): the former
+    // per-(table, plane) typedLit sign-vector columns generated a
+    // projection method past HotSpot's JIT threshold, so the stage ran
+    // in the bytecode interpreter — measured 280 µs/row (and 12 ms/row
+    // in an unluckier stage fusion) against ~1 µs of real arithmetic.
+    // The expression references the sign matrix as one object and emits
+    // a small primitive loop; fold order and the `> 0` comparison are
+    // identical, so every SRP oracle replays unchanged. posexplode's
+    // position IS the table index.
+    graft.functions.SrpBuckets.ensureRegistered(base.sparkSession)
     base
-      .select(col("cid"), col("v"), col("nrm"), explode(array(tableCols: _*)).as("bk"))
-      .select(col("cid"), col("v"), col("nrm"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+      .select(
+        col("cid"), col("v"), col("nrm"),
+        posexplode(
+          call_function(
+            graft.functions.SrpBuckets.name,
+            col("v"), lit(planesPerTable), lit(tables), lit(dim)))
+          .as(Seq("tbl", "bucket")))
   }
 
   private def srpCandidatePairs(base: DataFrame, planesPerTable: Int, tables: Int): DataFrame = {
