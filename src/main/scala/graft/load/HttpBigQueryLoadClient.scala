@@ -2,9 +2,12 @@ package graft.load
 
 import org.apache.spark.sql.DataFrame
 
+import graft.auth.CredentialProvider
+
 import java.net.{HttpURLConnection, URI}
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.io.Source
+import scala.util.control.NonFatal
 
 /** [[BigQueryLoadClient]] over the PUBLIC BigQuery REST v2 load-job wire
   * shapes (`jobs.insert` multipart upload + `jobs.get` polling) — closes
@@ -40,7 +43,9 @@ import scala.io.Source
 final class HttpBigQueryLoadClient(
     base: String,
     override val project: String,
-    pollMillis: Long = 50
+    pollMillis: Long = 50,
+    creds: CredentialProvider = CredentialProvider.resolve,
+    maxWaitMillis: Long = 120000
 ) extends BigQueryLoadClient {
 
   import HttpBigQueryLoadClient._
@@ -66,31 +71,45 @@ final class HttpBigQueryLoadClient(
          |"schemaUpdateOptions":[${schemaUpdateOptions.toSeq.sorted.map(o => "\"" + esc(o) + "\"").mkString(",")}],
          |"sourceFormat":"NEWLINE_DELIMITED_JSON",
          |"autodetect":true}}}""".stripMargin.replace("\n", "")
-    // connection-level failures wrap like everything else: the reference
-    // converts ANY load-path exception to its RuntimeError
-    // (`data_load.py:71-75`), and LoadJobException is that analogue
+    // failures wrap like everything else: the reference converts ANY
+    // load-path exception to its RuntimeError (`data_load.py:71-75`) —
+    // including Spark task failures surfaced while streaming the NDJSON
+    // body — and LoadJobException is that analogue, so the catch is
+    // NonFatal, not just IOException
     val insertBody =
       try insertJob(config, df)
       catch {
         case e: BigQuerySink.LoadJobException => throw e
-        case e: java.io.IOException =>
+        case NonFatal(e) =>
           throw new BigQuerySink.LoadJobException(s"jobs.insert failed: $e")
       }
-    val jobId = extract(insertBody, "jobId").getOrElse(
+    val jobId = extractIn(insertBody, "jobReference", "jobId").getOrElse(
       throw new BigQuerySink.LoadJobException(s"no jobId in insert response: $insertBody"))
+    // bounded wait: a server that never reaches DONE (or answers without
+    // status.state) must surface, not spin — the reference's
+    // load_job.result() at least raises on its retry deadline
+    val deadline = System.nanoTime() + maxWaitMillis * 1000000L
     var status = insertBody
-    while (!extract(status, "state").contains("DONE")) {
+    while (!statusField(status, "state").contains("DONE")) {
+      if (System.nanoTime() > deadline)
+        throw new BigQuerySink.LoadJobException(
+          s"load job $jobId did not reach DONE within ${maxWaitMillis}ms " +
+            s"(last state: ${statusField(status, "state").getOrElse("<missing>")})")
       Thread.sleep(pollMillis)
       status = get(s"$base/bigquery/v2/projects/$project/jobs/$jobId")
     }
-    if (status.contains("\"errorResult\"")) {
-      val msg = extract(status.substring(status.indexOf("\"errorResult\"")), "message")
+    val statusObj = subObject(status, "status").getOrElse("")
+    if (statusObj.contains("\"errorResult\"")) {
+      val msg = extract(statusObj.substring(statusObj.indexOf("\"errorResult\"")), "message")
         .getOrElse("load job failed")
       throw new BigQuerySink.LoadJobException(msg)
     }
-    extract(status, "outputRows").map(_.toLong).getOrElse(
+    extractIn(status, "statistics", "outputRows").map(_.toLong).getOrElse(
       throw new BigQuerySink.LoadJobException(s"no outputRows in DONE job: $status"))
   }
+
+  private def statusField(body: String, key: String): Option[String] =
+    extractIn(body, "status", key)
 
   /** Multipart insert: config part + chunk-streamed NDJSON part. */
   private def insertJob(configJson: String, df: DataFrame): String = {
@@ -103,6 +122,10 @@ final class HttpBigQueryLoadClient(
     conn.setRequestProperty("Content-Type", s"multipart/related; boundary=$boundary")
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(120000)
+    // the reference authenticates through application-default
+    // credentials; here the same wire behavior — a bearer token on every
+    // request — comes from the CredentialProvider seam
+    creds.token().foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
     try {
       val out = conn.getOutputStream
       try {
@@ -115,6 +138,10 @@ final class HttpBigQueryLoadClient(
         w(s"\r\n--$boundary--\r\n")
       } finally out.close()
       val code = conn.getResponseCode
+      if (code == 401 || code == 403)
+        throw new BigQuerySink.LoadJobException(
+          s"jobs.insert unauthorized: HTTP $code — set GRAFT_AUTH_TOKEN / " +
+            "GRAFT_AUTH_TOKEN_FILE (or the graft.auth.token property) to a valid bearer token")
       if (code != 200)
         throw new BigQuerySink.LoadJobException(s"jobs.insert failed: HTTP $code")
       val in = conn.getInputStream
@@ -128,8 +155,13 @@ final class HttpBigQueryLoadClient(
     conn.setRequestMethod("GET")
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(60000)
+    creds.token().foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
     try {
       val code = conn.getResponseCode
+      if (code == 401 || code == 403)
+        throw new BigQuerySink.LoadJobException(
+          s"jobs.get unauthorized: HTTP $code for $url — set GRAFT_AUTH_TOKEN / " +
+            "GRAFT_AUTH_TOKEN_FILE (or the graft.auth.token property) to a valid bearer token")
       if (code != 200)
         throw new BigQuerySink.LoadJobException(s"jobs.get failed: HTTP $code for $url")
       val in = conn.getInputStream
@@ -144,10 +176,51 @@ final class HttpBigQueryLoadClient(
 
 object HttpBigQueryLoadClient {
 
+  /** The balanced-brace subobject after `"key": {` — scopes the field
+    * scans below to the subobject that actually owns the field, so a
+    * real v2 response nesting extra objects (an errorResult whose
+    * message quotes 'state', status.errors[] carrying its own
+    * 'message') cannot shadow the field being read. String contents are
+    * skipped during brace counting.
+    */
+  private[graft] def subObject(body: String, key: String): Option[String] = {
+    val m = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\\{").r
+      .findFirstMatchIn(body).getOrElse(return None)
+    val start = m.end - 1
+    var i = start
+    var depth = 0
+    var inString = false
+    var escaped = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inString) {
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == '"') inString = false
+      } else c match {
+        case '"' => inString = true
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return Some(body.substring(start, i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** `extract` scoped to the named subobject — `extractIn(body,
+    * "status", "state")` reads status.state and nothing else.
+    */
+  private[graft] def extractIn(body: String, obj: String, key: String): Option[String] =
+    subObject(body, obj).flatMap(extract(_, key))
+
   /** First value of `"key": "v"` / `"key": v` in a JSON body — the few
     * fields this client reads (jobId, state, outputRows, message) are
-    * flat strings/numbers, so a field scan suffices (no JSON lib in the
-    * sandbox's dependency budget; the stub emits exactly these shapes).
+    * flat strings/numbers, so a field scan over the pre-scoped
+    * subobject (see [[extractIn]]) suffices — no JSON lib in the
+    * sandbox's dependency budget.
     */
   private[load] def extract(body: String, key: String): Option[String] = {
     val k = java.util.regex.Pattern.quote(key)

@@ -2,6 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 
+import graft.auth.CredentialProvider
+
 import java.net.{HttpURLConnection, URI, URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.io.Source
@@ -26,9 +28,26 @@ import scala.io.Source
   *    the LFM-ish predicate vocabulary [[PagedScanBuilder]] pushes.
   *
   * Readers construct the client executor-side from the endpoint string
-  * (nothing here is serialized into the plan beyond that string).
+  * (nothing here is serialized into the plan beyond that string); the
+  * bearer token likewise resolves executor-side through
+  * [[CredentialProvider.resolve]] — mirroring the reference's
+  * secret-backed LF auth (`utils.py:78-92`) without shipping a
+  * credential through the plan.
+  *
+  * Transient failures retry per page with bounded exponential backoff —
+  * the reference SDK's pager retries page fetches
+  * (`data_extract.py:81-94` semantics); without this one 500 mid-scan
+  * fails the whole Spark task and refetches every page the partition
+  * already read. Auth failures (401/403) and other 4xx do NOT retry:
+  * they are deterministic, and surfacing them beats hammering the
+  * server with a bad credential.
   */
-final class HttpPageClient(endpoint: String) {
+final class HttpPageClient(
+    endpoint: String,
+    creds: CredentialProvider = CredentialProvider.resolve,
+    maxRetries: Int = 3,
+    retryBaseMillis: Long = 50
+) {
 
   def totalRows(): Long = get(s"$endpoint?meta=1").trim.toLong
 
@@ -42,12 +61,37 @@ final class HttpPageClient(endpoint: String) {
   }
 
   private def get(url: String): String = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return getOnce(url)
+      catch {
+        case e @ (_: RetryableFetchException | _: java.io.IOException) =>
+          if (attempt > maxRetries) throw e match {
+            case r: RetryableFetchException =>
+              new IllegalStateException(s"${r.getMessage} (after $maxRetries retries)")
+            case other => other
+          }
+          Thread.sleep(retryBaseMillis << (attempt - 1))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def getOnce(url: String): String = {
     val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("GET")
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(60000)
+    creds.token().foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
     try {
       val code = conn.getResponseCode
+      if (code >= 500)
+        throw new RetryableFetchException(s"page fetch failed: HTTP $code for $url")
+      if (code == 401 || code == 403)
+        throw new IllegalStateException(
+          s"page fetch unauthorized: HTTP $code for $url — set GRAFT_AUTH_TOKEN / " +
+            "GRAFT_AUTH_TOKEN_FILE (or the graft.auth.token property) to a valid bearer token")
       require(code == 200, s"page fetch failed: HTTP $code for $url")
       val in = conn.getInputStream
       try Source.fromInputStream(in, "UTF-8").mkString
@@ -55,6 +99,9 @@ final class HttpPageClient(endpoint: String) {
     } finally conn.disconnect()
   }
 }
+
+/** A failure worth retrying (5xx) — distinct from auth/4xx, which are not. */
+private[sources] final class RetryableFetchException(msg: String) extends RuntimeException(msg)
 
 object HttpPageClient {
 

@@ -63,6 +63,14 @@ object PagedSource {
     StructField("metric", DoubleType, nullable = false)
   ))
 
+  /** Bearer-token source for HTTP mode: an explicit `tokenFile` option
+    * wins; otherwise the env/property resolver
+    * ([[graft.auth.CredentialProvider.resolve]]) applies on whichever
+    * side (driver planning, executor reader) makes the request.
+    */
+  def creds(tokenFile: Option[String]): graft.auth.CredentialProvider =
+    tokenFile.fold(graft.auth.CredentialProvider.resolve)(graft.auth.CredentialProvider.fromFile)
+
   /** Deterministic row for global index i — the fake "server". */
   def row(i: Long): (Long, String, Double) = {
     val brand = i % 97
@@ -107,8 +115,12 @@ final class PagedTable(props: Map[String, String]) extends Table with SupportsRe
       pageSize = merged.getOrElse("pageSize", "1000").toInt,
       // `endpoint` switches the backing server from the in-memory
       // generator to a real HTTP pager (HttpPageClient); `rows` is then
-      // ignored in favor of the server's meta answer
-      endpoint = merged.get("endpoint")
+      // ignored in favor of the server's meta answer. `tokenFile` names
+      // a bearer-token file read executor-side (the mounted-secret
+      // shape); without it the env/property resolver applies. Only the
+      // PATH travels through the plan, never the token.
+      endpoint = merged.get("endpoint"),
+      tokenFile = merged.get("tokenFile")
     )
   }
 }
@@ -135,8 +147,12 @@ final case class PushedAgg(groupCols: Seq[String], aggs: Seq[AggregateFunc]) {
   }
 }
 
-final class PagedScanBuilder(totalRows: Long, pageSize: Int, endpoint: Option[String] = None)
-    extends ScanBuilder
+final class PagedScanBuilder(
+    totalRows: Long,
+    pageSize: Int,
+    endpoint: Option[String] = None,
+    tokenFile: Option[String] = None
+) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
@@ -221,7 +237,7 @@ final class PagedScanBuilder(totalRows: Long, pageSize: Int, endpoint: Option[St
     required = requiredSchema
 
   override def build(): Scan =
-    new PagedScan(totalRows, pageSize, pushed, required, limit, agg, endpoint)
+    new PagedScan(totalRows, pageSize, pushed, required, limit, agg, endpoint, tokenFile)
 }
 
 final class PagedScan(
@@ -231,7 +247,8 @@ final class PagedScan(
     required: StructType,
     limit: Option[Int],
     agg: Option[PushedAgg],
-    endpoint: Option[String] = None
+    endpoint: Option[String] = None,
+    tokenFile: Option[String] = None
 ) extends Scan with Batch {
   override def readSchema(): StructType = agg.fold(required)(_.outputSchema)
   override def toBatch: Batch = this
@@ -253,7 +270,8 @@ final class PagedScan(
     // HTTP mode: page count comes from the server's meta answer (a
     // single driver-side GET at planning time — the reference reads the
     // same from its job metadata); generator mode uses the option.
-    val total = endpoint.fold(totalRows)(e => new HttpPageClient(e).totalRows())
+    val total =
+      endpoint.fold(totalRows)(e => new HttpPageClient(e, PagedSource.creds(tokenFile)).totalRows())
     val nPages = ((total + pageSize - 1) / pageSize).toInt
     val planned = limit match {
       case Some(l) if filters.isEmpty && agg.isEmpty =>
@@ -264,7 +282,7 @@ final class PagedScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(filters, required, limit, agg, endpoint)
+    new PagedReaderFactory(filters, required, limit, agg, endpoint, tokenFile)
 }
 
 final case class PagePartition(page: Int, pageSize: Int, totalRows: Long) extends InputPartition
@@ -274,13 +292,14 @@ final class PagedReaderFactory(
     required: StructType,
     limit: Option[Int],
     agg: Option[PushedAgg],
-    endpoint: Option[String] = None
+    endpoint: Option[String] = None,
+    tokenFile: Option[String] = None
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
     (endpoint, agg) match {
-      case (Some(e), Some(a)) => new HttpPagedAggReader(p, filters, a, e)
-      case (Some(e), None)    => new HttpPagedReader(p, filters, required, limit, e)
+      case (Some(e), Some(a)) => new HttpPagedAggReader(p, filters, a, e, tokenFile)
+      case (Some(e), None)    => new HttpPagedReader(p, filters, required, limit, e, tokenFile)
       case (None, Some(a))    => new PagedAggReader(p, filters, a)
       case (None, None)       => new PagedReader(p, filters, required, limit)
     }
@@ -397,11 +416,12 @@ final class HttpPagedReader(
     filters: Array[Filter],
     required: StructType,
     limit: Option[Int],
-    endpoint: String
+    endpoint: String,
+    tokenFile: Option[String] = None
 ) extends PartitionReader[InternalRow] {
 
   private val lines: Iterator[String] = {
-    val client = new HttpPageClient(endpoint)
+    val client = new HttpPageClient(endpoint, PagedSource.creds(tokenFile))
     val params =
       Seq("page" -> p.page.toString, "pageSize" -> p.pageSize.toString) ++
         HttpPageClient.encodeFilters(filters.toSeq).map("filter" -> _) ++
@@ -442,13 +462,14 @@ final class HttpPagedAggReader(
     p: PagePartition,
     filters: Array[Filter],
     agg: PushedAgg,
-    endpoint: String
+    endpoint: String,
+    tokenFile: Option[String] = None
 ) extends PartitionReader[InternalRow] {
 
   private val out = agg.outputSchema
 
   private val lines: Iterator[String] = {
-    val client = new HttpPageClient(endpoint)
+    val client = new HttpPageClient(endpoint, PagedSource.creds(tokenFile))
     val params =
       Seq("page" -> p.page.toString, "pageSize" -> p.pageSize.toString) ++
         HttpPageClient.encodeFilters(filters.toSeq).map("filter" -> _) ++

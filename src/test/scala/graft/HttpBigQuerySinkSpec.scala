@@ -2,6 +2,7 @@ package graft
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
+import graft.auth.CredentialProvider
 import graft.load.{BigQuerySink, HttpBigQueryLoadClient, Sink}
 
 import java.net.InetSocketAddress
@@ -27,7 +28,10 @@ class HttpBigQuerySinkSpec extends SparkSpec {
 
   private var server: HttpServer = _
   private var base: String = _
+  private val Token = "bq-adc-bearer-r12"
   private val requests = new ConcurrentLinkedQueue[String]()
+  /** Authorization header of every request (or "<none>") */
+  private val authHeaders = new ConcurrentLinkedQueue[String]()
 
   // stub warehouse + job registry
   private case class StubTable(fields: Vector[String], rows: Vector[Map[String, String]])
@@ -79,6 +83,10 @@ class HttpBigQuerySinkSpec extends SparkSpec {
     private def respond(ex: HttpExchange): (Int, String) = synchronized {
       val path = ex.getRequestURI.getPath
       requests.add(s"${ex.getRequestMethod} $path")
+      // ADC-equivalent wire behavior: every v2 call must carry the bearer
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      authHeaders.add(if (auth == null) "<none>" else auth)
+      if (auth != s"Bearer $Token") return (401, "")
       if (ex.getRequestMethod == "POST" && path.endsWith("/jobs") && path.contains("/upload/")) {
         insertJob(ex)
       } else if (ex.getRequestMethod == "GET" && path.contains("/jobs/")) {
@@ -138,7 +146,10 @@ class HttpBigQuerySinkSpec extends SparkSpec {
   }
 
   private def freshSink(project: String = "proj", dataset: String = "ds") =
-    new BigQuerySink(new HttpBigQueryLoadClient(base, project, pollMillis = 5), dataset)
+    new BigQuerySink(
+      new HttpBigQueryLoadClient(base, project, pollMillis = 5,
+        creds = CredentialProvider.static(Token)),
+      dataset)
 
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types._
@@ -178,7 +189,8 @@ class HttpBigQuerySinkSpec extends SparkSpec {
   }
 
   test("append adding a field WITHOUT the option surfaces the job errorResult") {
-    val client = new HttpBigQueryLoadClient(base, "proj", pollMillis = 5)
+    val client = new HttpBigQueryLoadClient(base, "proj", pollMillis = 5,
+      creds = CredentialProvider.static(Token))
     client.loadTable(df(s2, Row(1L, "a")), "proj.ds.t_noevolve", Sink.WriteTruncate, Set.empty)
     val s3 = s2.add(StructField("extra", StringType, nullable = true))
     val e = intercept[BigQuerySink.LoadJobException] {
@@ -203,5 +215,74 @@ class HttpBigQuerySinkSpec extends SparkSpec {
     intercept[BigQuerySink.LoadJobException] {
       dead.loadTable(df(s2, Row(1L, "a")), "proj.ds.t", Sink.WriteAppend, Set.empty)
     }
+  }
+
+  test("every request in the lifecycle carries the bearer token") {
+    authHeaders.clear()
+    freshSink().load(df(s2, Row(1L, "a")), "cfg_auth", Sink.WriteTruncate)
+    assert(authHeaders.size >= 2) // jobs.insert + ≥1 jobs.get poll
+    assert(authHeaders.asScala.forall(_ == s"Bearer $Token"), authHeaders.asScala.toSet)
+  }
+
+  test("missing or wrong bearer -> 401 surfaces as LoadJobException naming the seam") {
+    val unauthed = new HttpBigQueryLoadClient(base, "proj", pollMillis = 5,
+      creds = CredentialProvider.none)
+    val e1 = intercept[BigQuerySink.LoadJobException] {
+      unauthed.loadTable(df(s2, Row(1L, "a")), "proj.ds.t401", Sink.WriteTruncate, Set.empty)
+    }
+    assert(e1.getMessage.contains("401") && e1.getMessage.contains("GRAFT_AUTH_TOKEN"))
+    val wrong = new HttpBigQueryLoadClient(base, "proj", pollMillis = 5,
+      creds = CredentialProvider.static("stale-token"))
+    val e2 = intercept[BigQuerySink.LoadJobException] {
+      wrong.loadTable(df(s2, Row(1L, "a")), "proj.ds.t401", Sink.WriteTruncate, Set.empty)
+    }
+    assert(e2.getMessage.contains("401"))
+    assert(!tables.contains("proj.ds.t401"))
+  }
+
+  test("a job that never reaches DONE fails at the poll deadline, not forever") {
+    // stuck context: insert accepts, every poll answers RUNNING
+    val stuck = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    stuck.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body =
+          if (ex.getRequestMethod == "POST")
+            """{"jobReference":{"jobId":"job_stuck"},"status":{"state":"PENDING"}}"""
+          else """{"status":{"state":"RUNNING"}}"""
+        if (ex.getRequestMethod == "POST") ex.getRequestBody.readAllBytes()
+        val bytes = body.getBytes(UTF_8)
+        ex.sendResponseHeaders(200, bytes.length)
+        val os = ex.getResponseBody; os.write(bytes); os.close(); ex.close()
+      }
+    })
+    stuck.start()
+    try {
+      val client = new HttpBigQueryLoadClient(
+        s"http://127.0.0.1:${stuck.getAddress.getPort}", "proj",
+        pollMillis = 5, creds = CredentialProvider.static(Token), maxWaitMillis = 200)
+      val e = intercept[BigQuerySink.LoadJobException] {
+        client.loadTable(df(s2, Row(1L, "a")), "proj.ds.tstuck", Sink.WriteTruncate, Set.empty)
+      }
+      assert(e.getMessage.contains("did not reach DONE") && e.getMessage.contains("RUNNING"))
+    } finally stuck.stop(0)
+  }
+
+  test("field scans are scoped: nested error text cannot shadow status/statistics fields") {
+    import graft.load.HttpBigQueryLoadClient.{extractIn, subObject}
+    // a realistic v2 body whose errorResult message QUOTES a state and
+    // whose errors[] carries its own message — the shapes that defeat a
+    // whole-body first-occurrence scan
+    val body =
+      """{"jobReference":{"projectId":"p","jobId":"job_9"},
+        |"configuration":{"load":{"destinationTable":{"tableId":"t"}}},
+        |"status":{"state":"DONE",
+        |  "errors":[{"reason":"invalid","message":"row 3: bad \"state\":\"RUNNING\" literal"}]},
+        |"statistics":{"creationTime":"1700000000","load":{"outputRows":"42"}}}""".stripMargin
+    assert(extractIn(body, "status", "state").contains("DONE"))
+    assert(extractIn(body, "jobReference", "jobId").contains("job_9"))
+    assert(extractIn(body, "statistics", "outputRows").contains("42"))
+    // subobject extraction is balanced-brace aware, not first-} naive
+    assert(subObject(body, "statistics").exists(_.contains("outputRows")))
+    assert(subObject(body, "nope").isEmpty)
   }
 }
