@@ -77,9 +77,16 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
 object ArrayDot {
   val name = "graft_array_dot"
 
+  /** One builder for both registration routes ([[GraftExtensions]] and
+    * [[ensureRegistered]]) so they can never drift.
+    */
+  val builder: Seq[Expression] => Expression =
+    exprs => ArrayDot(exprs.head, exprs(1))
+
   /** Idempotent per-session registration so `call_function(name, …)`
-    * resolves. Kept out of SparkSessionExtensions so the expression works
-    * in harness-owned sessions too.
+    * resolves in harness-owned sessions built without
+    * `spark.sql.extensions=graft.functions.GraftExtensions`; sessions
+    * built with the extension already have the function.
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val id = FunctionIdentifier(name)
@@ -87,7 +94,7 @@ object ArrayDot {
       spark.sessionState.functionRegistry.registerFunction(
         id,
         new ExpressionInfo(classOf[ArrayDot].getName, null, name),
-        (exprs: Seq[Expression]) => ArrayDot(exprs.head, exprs(1))
+        builder
       )
     }
   }

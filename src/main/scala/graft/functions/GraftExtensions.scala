@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions at session build time, so a cluster deployment enables them
@@ -13,9 +13,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   *
   * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
-  * The imperative `ArrayDot.ensureRegistered` path remains for sessions
-  * the library does not construct — both routes resolve the same
-  * expression.
+  * The imperative `ensureRegistered` paths remain for sessions the
+  * library does not construct — each function has ONE shared builder
+  * (`ArrayDot.builder`, `SrpBuckets.builder`), so the two routes resolve
+  * identical expressions by construction.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -23,7 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         FunctionIdentifier(ArrayDot.name),
         new ExpressionInfo(classOf[ArrayDot].getName, null, ArrayDot.name),
-        (exprs: Seq[Expression]) => ArrayDot(exprs.head, exprs(1))
+        ArrayDot.builder
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier(SrpBuckets.name),
+        new ExpressionInfo(classOf[SrpBuckets].getName, null, SrpBuckets.name),
+        SrpBuckets.builder
       )
     )
   }

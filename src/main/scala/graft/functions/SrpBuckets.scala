@@ -100,8 +100,21 @@ case class SrpBuckets(child: Expression, planesPerTable: Int, tables: Int, dim: 
 object SrpBuckets {
   val name = "graft_srp_buckets"
 
-  /** Idempotent registration; `planes`/`tables`/`dim` arrive as literal
+  /** One builder for both registration routes ([[GraftExtensions]] and
+    * [[ensureRegistered]]); `planes`/`tables`/`dim` arrive as literal
     * int arguments so `call_function` can carry the config.
+    */
+  val builder: Seq[Expression] => Expression = exprs => {
+    def asInt(e: Expression): Int = e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(s"expected int literal, got $other")
+    }
+    SrpBuckets(exprs.head, asInt(exprs(1)), asInt(exprs(2)), asInt(exprs(3)))
+  }
+
+  /** Idempotent registration for harness-owned sessions built without
+    * `spark.sql.extensions=graft.functions.GraftExtensions`.
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val id = FunctionIdentifier(name)
@@ -109,14 +122,7 @@ object SrpBuckets {
       spark.sessionState.functionRegistry.registerFunction(
         id,
         new ExpressionInfo(classOf[SrpBuckets].getName, null, name),
-        (exprs: Seq[Expression]) => {
-          def asInt(e: Expression): Int = e.eval(null) match {
-            case i: Int  => i
-            case l: Long => l.toInt
-            case other   => throw new IllegalArgumentException(s"expected int literal, got $other")
-          }
-          SrpBuckets(exprs.head, asInt(exprs(1)), asInt(exprs(2)), asInt(exprs(3)))
-        }
+        builder
       )
     }
   }

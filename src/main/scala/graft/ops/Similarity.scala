@@ -667,8 +667,15 @@ object Similarity {
     // in an unluckier stage fusion) against ~1 µs of real arithmetic.
     // The expression references the sign matrix as one object and emits
     // a small primitive loop; fold order and the `> 0` comparison are
-    // identical, so every SRP oracle replays unchanged. posexplode's
-    // position IS the table index.
+    // identical, so every SRP oracle replays unchanged — for NON-NULL
+    // vectors. One deliberate edge difference vs the replaced
+    // when(...).otherwise(lit(0L)) form: a null vector used to land in
+    // bucket 0 of every table, while SrpBuckets (a null-safe
+    // UnaryExpression) returns null and posexplode drops the row — i.e.
+    // null vectors now generate NO candidates instead of junk bucket-0
+    // collisions. Verified pairs are unaffected either way (null cosine
+    // can never clear the threshold); prepBase's fixtures carry no null
+    // vectors, so the oracle replay claim stays exact.
     graft.functions.SrpBuckets.ensureRegistered(base.sparkSession)
     base
       .select(

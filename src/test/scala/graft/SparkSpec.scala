@@ -17,6 +17,11 @@ object SparkSpec {
       .builder()
       .master("local[4]")
       .appName("graft-test")
+      // the production registration route (spark.sql.extensions=…);
+      // imperative ensureRegistered calls become no-ops on this session,
+      // and GraftExtensionsSpec proves the extension route alone resolves
+      // the functions in a fresh child session
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
