@@ -66,7 +66,16 @@ object Similarity {
   /** (cid, v, nrm) projection shared by every entry point; registers the
     * codegen dot expression on the session.
     */
-  private def prepBase(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** The prepped corpus every similarity pipeline starts from:
+    * `(cid, v: array<double>, nrm)`. Package-visible so a caller running
+    * SEVERAL pipelines over the same corpus (the `ann_recall_at_k`
+    * probe: exact + LSH + IVF + PQ) can build and persist it ONCE and
+    * pass it to the `FromBase` variants below — the SharedIntermediates
+    * pattern at plan granularity. Values are a pure deterministic
+    * projection, so a shared persisted copy is bit-identical to each
+    * pipeline's own build and every oracle replays unchanged.
+    */
+  private[graft] def prepBase(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     ArrayDot.ensureRegistered(emb.sparkSession)
     emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
@@ -133,8 +142,10 @@ object Similarity {
       vecCol: String,
       k: Int,
       queryPred: Column
-  ): DataFrame = {
-    val base = prepBase(emb, idCol, vecCol)
+  ): DataFrame = cosineTopKFromBase(prepBase(emb, idCol, vecCol), k, queryPred)
+
+  /** [[cosineTopK]] over an already-prepped `(cid, v, nrm)` base. */
+  private[graft] def cosineTopKFromBase(base: DataFrame, k: Int, queryPred: Column): DataFrame = {
     val queries = base
       .filter(queryPred)
       .select(col("cid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -307,46 +318,96 @@ object Similarity {
       nCodes: Int
   ): DataFrame = {
     ArrayDot.ensureRegistered(emb.sparkSession)
-    val subCols = (0 until subspaces).map { s =>
-      struct(lit(s).as("s"), slice(col("v"), s * subDim + 1, subDim).as("sv"))
+    pqEncodeFromRaw(
+      emb.select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("v")),
+      idCol, subspaces, subDim, nCodes)
+  }
+
+  /** [[pqEncode]] over an already-projected `(vid: long, v)` frame; the
+    * output id column is named `outIdCol`.
+    *
+    * Assignment runs in ONE codegen'd expression
+    * ([[graft.functions.PqCodes]]) against a driver-collected bounded
+    * codebook (nCodes × dim doubles — the sanctioned IVF-codebook
+    * pattern), replacing the explode → ×nCodes broadcast-join →
+    * struct-max form: that form materialized
+    * |corpus|·subspaces·nCodes candidate ROWS to do the same
+    * |corpus|·subspaces·nCodes 4-wide dots, and the row machinery (not
+    * the arithmetic) was the PQ family's heaviest stage — 39.8 s of
+    * executor time at sf0.1, the sf10 fan-out parallelism pathology of
+    * r11, all for ~13 ms of dot products. The expression replays the
+    * join form's argmax exactly (same slice clamps, same sequential
+    * fold, same NaN-safe struct ordering, ties → lowest code), so the
+    * PQ oracles hash-match unchanged.
+    */
+  private[graft] def pqEncodeFromRaw(
+      baseRaw: DataFrame,
+      outIdCol: String,
+      subspaces: Int,
+      subDim: Int,
+      nCodes: Int
+  ): DataFrame = {
+    val (codesCol, _) = pqCodebookColumn(baseRaw, subspaces, subDim, nCodes)
+    pqSpread(baseRaw)
+      .select(col("vid"), posexplode(codesCol).as(Seq("pos", "code")))
+      .select(
+        col("vid").as(outIdCol),
+        col("pos").cast("long").as("subspace"),
+        col("code"))
+  }
+
+  /** Collect the bounded PQ codebook (nCodes × dim doubles — the
+    * sanctioned IVF-codebook pattern) from `baseRaw` `(vid, v)` and
+    * return the [[graft.functions.PqCodes]] assignment column plus the
+    * ascending codebook ids. Shared by the encode (long-format output)
+    * and the ADC path (positional wide output).
+    */
+  private[graft] def pqCodebookColumn(
+      baseRaw: DataFrame,
+      subspaces: Int,
+      subDim: Int,
+      nCodes: Int
+  ): (Column, Array[Long]) = {
+    val cbRows = baseRaw.filter(col("vid") < nCodes).select("vid", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val codes = cbRows.map(_._1)
+    val nc = codes.length
+    val cvs = new Array[Array[Double]](subspaces * nc)
+    val cnrms = new Array[Double](subspaces * nc)
+    var s = 0
+    while (s < subspaces) {
+      var ci = 0
+      while (ci < nc) {
+        val v = cbRows(ci)._2
+        // same clamps as slice(v, off+1, subDim): empty past the end
+        val off = math.min(s * subDim, v.length)
+        val n = math.min(math.max(v.length - off, 0), subDim)
+        val sv = java.util.Arrays.copyOfRange(v, off, off + n)
+        cvs(s * nc + ci) = sv
+        cnrms(s * nc + ci) = seqNorm(sv)
+        ci += 1
+      }
+      s += 1
     }
-    val baseRaw = emb.select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("v"))
-    // The explode → codebook-join fan-out amplifies every input row
-    // ×(subspaces·nCodes), so file-split parallelism — sized by INPUT
-    // bytes — underestimates this stage's compute by three orders of
-    // magnitude: at 100× data the ~100 MB corpus arrives as 2 splits and
-    // the 205M-row fan-out ran 2-wide (measured: 131 s of CPU on 2
-    // tasks; wall ≈ CPU/2 instead of CPU/32). Spread the small input
-    // rows to full parallelism BEFORE amplifying; skipped when the scan
-    // already delivers enough splits (a real cluster scan of a 100 TB
-    // corpus does — this is the local-fixture artifact of
-    // maxPartitionBytes sizing against a 1000×-amplifying operator).
-    val parallelism = emb.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (baseRaw.rdd.getNumPartitions < parallelism) baseRaw.repartition(parallelism)
-      else baseRaw
-    val subs = spread
-      .select(col("vid"), explode(array(subCols: _*)).as("e"))
-      .select(col("vid"), col("e.s").as("s"), col("e.sv").as("sv"))
-      .withColumn("snrm", sqrt(fastDot(col("sv"), col("sv"))))
-    val codebook = subs
-      .filter(col("vid") < nCodes)
-      .select(col("vid").as("code"), col("s"), col("sv").as("cv"), col("snrm").as("cnrm"))
-    subs
-      .join(broadcast(codebook), Seq("s"))
-      .select(
-        col("vid"),
-        col("s"),
-        struct(
-          (fastDot(col("sv"), col("cv")) / (col("snrm") * col("cnrm"))).as("sim"),
-          (-col("code")).as("negCode")).as("cand")
-      )
-      .groupBy(col("vid"), col("s"))
-      .agg(max(col("cand")).as("best"))
-      .select(
-        col("vid").as(idCol),
-        col("s").cast("long").as("subspace"),
-        (-col("best.negCode")).cast("long").as("code"))
+    graft.functions.PqCodes.ensureRegistered(baseRaw.sparkSession)
+    val codesCol = call_function(
+      graft.functions.PqCodes.name,
+      col("v"), lit(subDim),
+      typedLit(codes.toSeq),
+      typedLit(cvs.map(_.toSeq).toSeq),
+      typedLit(cnrms.toSeq))
+    (codesCol, codes)
+  }
+
+  /** Per-row PQ work is subspaces·nCodes dots — CPU-bound and invisible
+    * to file-split sizing, so spread small inputs to full parallelism
+    * (the r11 lesson; a real cluster scan of a 100 TB corpus already has
+    * enough splits and skips this).
+    */
+  private[graft] def pqSpread(baseRaw: DataFrame): DataFrame = {
+    val parallelism = baseRaw.sparkSession.sparkContext.defaultParallelism
+    if (baseRaw.rdd.getNumPartitions < parallelism) baseRaw.repartition(parallelism)
+    else baseRaw
   }
 
   /** PQ asymmetric-distance top-k (ADC): queries stay full-precision,
@@ -382,7 +443,27 @@ object Similarity {
       rerankK: Int = 0
   ): DataFrame = {
     ArrayDot.ensureRegistered(emb.sparkSession)
-    val base = emb.select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("v"))
+    // nrm is declared here but pruned by Catalyst on every path that
+    // does not use it (the no-rerank branch), so the wrapper adds no work
+    val baseN = emb
+      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
+    pqAdcTopKFromBase(baseN, k, queryPred, subspaces, subDim, nCodes, rerankK)
+  }
+
+  /** [[pqAdcTopK]] over an already-prepped `(cid, v, nrm)` base (the
+    * same frame [[prepBase]] emits — `nrm` feeds only the exact rerank).
+    */
+  private[graft] def pqAdcTopKFromBase(
+      baseN: DataFrame,
+      k: Int,
+      queryPred: Column,
+      subspaces: Int,
+      subDim: Int,
+      nCodes: Int,
+      rerankK: Int
+  ): DataFrame = {
+    val base = baseN.select(col("cid").cast("long").as("cid"), col("v"))
     // wide code-POSITION word: one row per corpus vector, one 1-based
     // LUT index per subspace. Positions (the code's rank in the
     // code-ascending codebook) rather than raw code ids, so ADC scoring
@@ -391,18 +472,31 @@ object Similarity {
     // scoring stage at 16 subspaces). The rank is subspace-independent —
     // every subspace's codebook is the same first-nCodes vector ids —
     // so ONE tiny broadcast join attaches it to the long-format word.
-    val codes = pqEncode(emb, idCol, vecCol, subspaces, subDim, nCodes)
-    val rankW = org.apache.spark.sql.expressions.Window.orderBy(col("code").asc)
-    val ranks = base
-      .filter(col("cid") < nCodes)
-      .select(col("cid").as("code"))
-      .withColumn("cpos", row_number().over(rankW))
-    val posAggs = (0 until subspaces)
-      .map(s => max(when(col("subspace") === s, col("cpos"))).as(s"r$s"))
-    val wide = codes
-      .join(broadcast(ranks), Seq("code"))
-      .groupBy(col(idCol).cast("long").as("vid"))
-      .agg(posAggs.head, posAggs.tail: _*)
+    // code word per row from ONE PqCodes evaluation, pivoted to the
+    // positional wide form by pure projection: cpos(code) = rank of the
+    // code id in the ascending codebook, i.e. array_position over the
+    // tiny sorted-id literal — replacing the former long-format encode →
+    // broadcast-join → groupBy pivot (a |corpus|·m-row shuffle agg, the
+    // PQ path's heaviest remaining stage after the encode fix).
+    //
+    // The code WORD (vid, codes array) is computed in its own stage: the
+    // exchange between the codes projection and the 16-way positional
+    // pivot is a collapse barrier — without it CollapseProject inlines
+    // the expression into all 16 consumers and it evaluates 16× per row
+    // (measured 37 s of executor CPU on a 2000-row corpus). The hash
+    // exchange on vid is also the distribution a production system
+    // stores/shuffles its code table by.
+    val baseRaw = base.select(col("cid").as("vid"), col("v"))
+    val (codesCol, codebookIds) = pqCodebookColumn(baseRaw, subspaces, subDim, nCodes)
+    val idsLit = typedLit(codebookIds.toSeq)
+    val wideCols = (0 until subspaces).map { s =>
+      array_position(idsLit, element_at(col("__codes"), s + 1)).cast("int").as(s"r$s")
+    }
+    val parallelism = baseRaw.sparkSession.sparkContext.defaultParallelism
+    val wide = pqSpread(baseRaw)
+      .select(col("vid"), codesCol.as("__codes"))
+      .repartition(parallelism, col("vid"))
+      .select(col("vid") +: wideCols: _*)
     // per-subspace codebook (same convention as pqEncode: first nCodes
     // vectors' subvectors) and the per-query lookup table over it
     val cbCols = (0 until subspaces).map { s =>
@@ -434,14 +528,15 @@ object Similarity {
       ).as(s"a$s")
     }
     val qLut = lut.groupBy("query_id").agg(lutAggs.head, lutAggs.tail: _*)
-    // materialize the compressed code table (Caching discipline): fused,
-    // the [widening-agg emit -> nested-loop scoring -> 16-lookup project]
-    // stage compiles into one generated method big enough that HotSpot
-    // declines to JIT it, and the scoring loop then runs in the bytecode
-    // interpreter - measured 146 s vs 1 s for the identical scan at 100x
-    // data. Checkpointing the m-int-per-vector code word (the artifact a
-    // production PQ system stores anyway) starts the scoring scan at the
-    // head of its own small, JIT-friendly stage.
+    // the scoring scan starts at a checkpointed scan of the POSITIONAL
+    // wide table — two r11 lessons in one: (a) fusing upstream work into
+    // the nested-loop scoring stage bloats the generated method past
+    // what HotSpot JITs (measured 146 s vs 1 s at 100× data), and (b)
+    // anything fused into the scoring stage is re-evaluated per
+    // (corpus × query) row — the pivot fused here cost |queries|× its
+    // per-corpus-row price (measured 110 s of executor CPU at 50
+    // queries). So the pivot materializes once per corpus row, and
+    // scoring reads plain int position columns.
     val wideM = Caching.materializeAndRelease(wide)
     val scored = wideM.crossJoin(broadcast(qLut))
     val adc = (0 until subspaces).map(s => element_at(col(s"a$s"), col(s"r$s"))).reduce(_ + _)
@@ -451,7 +546,7 @@ object Similarity {
     if (rerankK <= 0) rankTopK(adcScored, k)
     else {
       val shortlist = rankTopK(adcScored, rerankK).select("query_id", "neighbor_id")
-      val corpus = base.withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
+      val corpus = baseN.select(col("cid").cast("long").as("cid"), col("v"), col("nrm"))
       val queriesN = corpus
         .filter(queryPred)
         .select(col("cid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -566,9 +661,27 @@ object Similarity {
       nProbe: Int = 2,
       trainIterations: Int = 0
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = prepBase(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Caching.materializeAndRelease(
+      ivfTopKFromBase(base, k, queryPred, nClusters, nProbe, trainIterations),
+      base)
+  }
+
+  /** [[ivfTopK]]'s lazy plan over an already-PERSISTED `(cid, v, nrm)`
+    * base — the caller owns the persist/release lifecycle (the base is
+    * scanned by the codebook collect, the assignment, and the probe
+    * sides, so running it unpersisted recomputes the corpus per scan).
+    */
+  private[graft] def ivfTopKFromBase(
+      base: DataFrame,
+      k: Int,
+      queryPred: Column,
+      nClusters: Int,
+      nProbe: Int,
+      trainIterations: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // driver-side codebook (bounded: nClusters rows), ascending cid;
     // init = first k vectors (deterministic), optionally refined by
     // `trainIterations` Lloyd steps so the partitioning reflects the data
@@ -602,7 +715,7 @@ object Similarity {
         col("query_id"),
         col("cid").as("neighbor_id"),
         (fastDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim"))
-    Caching.materializeAndRelease(rankTopK(joined, k), base)
+    rankTopK(joined, k)
   }
 
   /** Deterministic ±1 for (plane, dim) — splitmix64-style driver-side
@@ -822,8 +935,16 @@ object Similarity {
       queryPred: Column,
       nPlanes: Int = 8,
       tables: Int = 1
+  ): DataFrame = annLshTopKFromBase(prepBase(emb, idCol, vecCol), k, queryPred, nPlanes, tables)
+
+  /** [[annLshTopK]] over an already-prepped `(cid, v, nrm)` base. */
+  private[graft] def annLshTopKFromBase(
+      base: DataFrame,
+      k: Int,
+      queryPred: Column,
+      nPlanes: Int,
+      tables: Int
   ): DataFrame = {
-    val base = prepBase(emb, idCol, vecCol)
     val buckets = srpBucketRows(base, nPlanes, tables)
     val queries = buckets
       .filter(queryPred)

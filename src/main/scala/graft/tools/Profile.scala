@@ -1,33 +1,64 @@
 package graft.tools
 
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Caching, Similarity}
 import graft.queries.Tables
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-// scratch profiler
+// scratch profiler (current target: ann_recall_at_k constituent cost)
 object Profile {
   def time[A](tag: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
     println(f"PROF $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
   }
+
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = Tables.t(spark, "/root/testdata/sf0.1", "documents")
-    df.count() // warmup
-    time("warm2")(df.count())
-    time("tokenStats")(TextOps.tokenStats(df, "doc_id", "text").count())
-    val justSplit = df.select(size(split(trim(col("text")), "\\s+")).as("n"))
-    time("justSplit")(justSplit.agg(sum("n")).collect())
-    val toks = df.select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-    time("tokensOnly")(toks.select(size(col("ts"))).agg(sum("size(ts)")).collect())
-    time("distinctOnly")(toks.select(size(array_distinct(col("ts")))).count())
-    time("simhash")(Dedup.simhash64(df, "doc_id", "text").count())
-    TextOps.tokenStats(df, "doc_id", "text").explain("formatted")
+
+    @volatile var stages = List.empty[(Int, Long, Long, String)] // id, runMs, tasks, name
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        stages ::= ((i.stageId, i.taskMetrics.executorRunTime, i.numTasks,
+          i.name.take(90)))
+      }
+    })
+
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = Tables.t(spark, dir, "embeddings")
+    val base = Similarity.prepBase(emb, "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("base.count")(base.count())
+    val pred = col("cid") < 50
+    time("exact")(Caching.materializeAndRelease(
+      Similarity.cosineTopKFromBase(base, 5, pred).select("query_id", "neighbor_id")))
+    time("lsh")(Caching.materializeAndRelease(
+      Similarity.annLshTopKFromBase(base, 5, pred, 4, 12)))
+    time("ivf")(Caching.materializeAndRelease(
+      Similarity.ivfTopKFromBase(base, 5, pred, 8, 5, 0)))
+    stages = Nil
+    time("pq")(Caching.materializeAndRelease(
+      Similarity.pqAdcTopKFromBase(base, 5, pred, 16, 4, 64, 200)))
+    println("PQ stages (id, runMs, tasks, name), heaviest first:")
+    stages.sortBy(-_._2).take(12).foreach { case (id, ms, n, nm) =>
+      println(f"  stage $id%5d run=$ms%7d ms tasks=$n%3d $nm")
+    }
+    // second pass, warm JVM
+    time("exact2")(Caching.materializeAndRelease(
+      Similarity.cosineTopKFromBase(base, 5, pred).select("query_id", "neighbor_id")))
+    time("lsh2")(Caching.materializeAndRelease(
+      Similarity.annLshTopKFromBase(base, 5, pred, 4, 12)))
+    time("ivf2")(Caching.materializeAndRelease(
+      Similarity.ivfTopKFromBase(base, 5, pred, 8, 5, 0)))
+    time("pq2")(Caching.materializeAndRelease(
+      Similarity.pqAdcTopKFromBase(base, 5, pred, 16, 4, 64, 200)))
     spark.stop()
   }
 }

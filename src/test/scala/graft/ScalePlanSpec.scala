@@ -25,17 +25,21 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("pqEncode broadcasts the codebook (no shuffle join on the 4-value subspace key)") {
+  test("pqEncode is join-free: one PqCodes expression scan, codebook as a referenced object") {
     val plan = graft.ops.Similarity
       .pqEncode(
         graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings"),
         "vec_id", "embedding", subspaces = 4, subDim = 16, nCodes = 8)
       .queryExecution.executedPlan.toString
-    // joining corpus subvectors to the codebook on the subspace id (4
-    // distinct values) as a shuffle join would serialize each subspace
-    // onto one task; the subspaces×nCodes codebook must ship broadcast
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+    // assignment runs inside ONE codegen'd expression against the
+    // driver-collected bounded codebook — the former explode → ×nCodes
+    // broadcast-join → struct-max form materialized |corpus|·m·k rows to
+    // do the same arithmetic (its shuffle-agg was the PQ family's
+    // heaviest stage). No join of ANY kind may appear, and the CPU-bound
+    // scan must be spread to full parallelism ahead of the Generate.
+    assert(plan.contains("graft_pq_codes"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("RoundRobinPartitioning"), s"expected spread-before-encode:\n$plan")
   }
 
   test("pqAdcTopK broadcasts ONE query-LUT map set; corpus codes never shuffle for scoring") {
@@ -63,15 +67,15 @@ class ScalePlanSpec extends SparkSpec {
     val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 2, s"unexpected nested-loop joins, got $bnlj:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
-    // the encode itself (behind the checkpoint) keeps its codebook join
-    // broadcast and repartitions ahead of the ×(m·k) fan-out
+    // the encode itself (behind the checkpoint) is the join-free PqCodes
+    // expression scan (pinned in the dedicated test above)
     val encPlan = graft.ops.Similarity
       .pqEncode(
         graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings"),
         "vec_id", "embedding", subspaces = 4, subDim = 16, nCodes = 8)
       .queryExecution.executedPlan.toString
-    assert(encPlan.contains("BroadcastHashJoin"), encPlan)
-    assert(!encPlan.contains("SortMergeJoin"), encPlan)
+    assert(encPlan.contains("graft_pq_codes"), encPlan)
+    assert(!encPlan.contains("Join"), encPlan)
   }
 
   test("chunkDedup shuffles exactly twice (chunk-hash argmin + doc regroup), no pair join") {
