@@ -108,6 +108,35 @@ def summarize(path):
     }
 
 
+def scale_section(report):
+    """Tool-emitted scale claims for the notes (VERDICT r11 #4): the
+    worst-ratio and nonzero-spill tables are VERBATIM lines from the
+    scaling report, so the notes can never contradict it (the r11 notes
+    hand-summarized spill and got it wrong)."""
+    lines = report.read_text().splitlines()
+    if not lines:
+        return ""
+    header = lines[0]
+    body = [l for l in lines[1:] if l.strip() and not l.startswith(("totals:", "guard-skipped"))]
+    tail = [l for l in lines if l.startswith(("totals:", "guard-skipped"))]
+    spill = [l for l in body if l.split()[-1] != "0"]
+    out = [f"### Scale section — emitted from {report.name} (verbatim lines; do not hand-edit)"]
+    out += tail
+    out.append("")
+    out.append("worst ratios (top 10):")
+    out.append(header)
+    out += body[:10]
+    out.append("")
+    out.append("nonzero spill:")
+    if spill:
+        out.append(header)
+        out += spill
+    else:
+        out.append("(none)")
+    out.append("")
+    return "\n".join(out) + "\n"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("label", help="round label, e.g. r11")
@@ -155,6 +184,10 @@ def main():
                     f"{m['n_failed']} failed {m['failed']}; guard-skipped {m['guard_skipped']}\n")
             f.write("- slowest: "
                     + ", ".join(f"{k} {v:.1f}s" for k, v in m["slowest"]) + "\n\n")
+        for s, suffix in (("1", "sf01_to_sf1"), ("10", "sf01_to_sf10")):
+            report = ROOT / "bench" / f"{args.label}_scaling_{suffix}.txt"
+            if s in outs and report.exists():
+                f.write(scale_section(report))
         f.write("## Isolated triple-runs (fill in for any apparent outlier)\n\n")
         f.write("  for i in 1 2 3; do SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="
                 f"{BASE_SF} sbt -batch 'runMain graft.Bench <query>'; done\n\n")
