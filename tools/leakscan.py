@@ -46,16 +46,35 @@ PATTERNS = {
 
 SCAN_GLOBS = ["src/**/*.scala", "tools/**/*.py", "*.sbt", "project/**/*.scala", "project/**/*.sbt"]
 
+# Reviewed allowlist: matches that ARE the repo's own public surface, not
+# leaked material. Each entry is (substring-of-match, justification) and
+# every suppressed hit is still RECORDED in the artifact under
+# `allowlisted` — the scan hides nothing, it classifies.
+ALLOWLIST = [
+    ("GRAFT_AUTH_TOKEN",
+     "this engine's OWN documented auth env vars (README/CredentialProvider) — "
+     "the r12 auth seam, not a foreign secret"),
+    ("-bearer-r12",
+     "loopback-test bearer constants (HttpPagedSourceSpec/HttpBigQuerySinkSpec) — "
+     "self-evidently fake fixtures asserting the Authorization header"),
+]
+
 
 def main() -> int:
     files = sorted({p for g in SCAN_GLOBS for p in ROOT.glob(g) if p.is_file()})
     hits: dict[str, list[str]] = {k: [] for k in PATTERNS}
+    allowlisted: list[dict[str, str]] = []
     for f in files:
         text = f.read_text(errors="replace")
         for cat, rx in PATTERNS.items():
             for m in rx.finditer(text):
                 line = text.count("\n", 0, m.start()) + 1
-                hits[cat].append(f"{f.relative_to(ROOT)}:{line}:{m.group(0)[:80]}")
+                entry = f"{f.relative_to(ROOT)}:{line}:{m.group(0)[:80]}"
+                reason = next((why for pat, why in ALLOWLIST if pat in m.group(0)), None)
+                if reason is not None:
+                    allowlisted.append({"category": cat, "hit": entry, "why": reason})
+                else:
+                    hits[cat].append(entry)
     commit = subprocess.run(
         ["git", "-C", str(ROOT), "rev-parse", "HEAD"],
         capture_output=True, text=True).stdout.strip()
@@ -65,6 +84,7 @@ def main() -> int:
         "n_files_scanned": len(files),
         "n_hits": sum(len(v) for v in hits.values()),
         "hits": hits,
+        "allowlisted": allowlisted,
     }
     dest = Path(sys.argv[1]) if len(sys.argv) > 1 else ROOT / "bench" / "leakscan_latest.json"
     dest.write_text(json.dumps(out, indent=1) + "\n")
