@@ -89,13 +89,24 @@ object ScaleGen {
     }
     def copies(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(factor).toDF("__k"))
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    // Scaled tables are written as `cpus` files so the fixture is
+    // ROW-GROUP-SPLITTABLE. The source fixture is one small file → one
+    // scan partition, and the crossJoin replication inherits it, so an
+    // unspread write produced ONE file with ONE row group per table —
+    // parquet cannot split inside a row group, so every sf10 scan
+    // collapsed onto a single task no matter what maxPartitionBytes
+    // planned (measured: q_vocab_growth's 12-split scan ran 37 of its
+    // 44 task-seconds in ONE task). A real corpus at any scale arrives
+    // as many files; single-row-group gigafiles were a generator
+    // artifact, not a property of the workload.
+    def write(df: DataFrame, name: String, spread: Boolean = true): Unit = {
+      val out = if (spread) df.repartition(cpus.toInt) else df
+      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scalegen] wrote $name")
     }
 
-    write(read("region"), "region")
-    write(read("nation"), "nation")
+    write(read("region"), "region", spread = false)
+    write(read("nation"), "nation", spread = false)
 
     write(
       copies(read("customer"))

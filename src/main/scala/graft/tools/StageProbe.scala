@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Stage-level attribution for one registered query — the diagnostic
@@ -31,11 +31,18 @@ object StageProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     @volatile var stages = List.empty[String]
+    // per-stage max single-task run time — the skew signal aggregate
+    // stage metrics hide (wall ≈ maxTask on an otherwise idle box)
+    val maxTask = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          maxTask.merge(te.stageId, te.taskMetrics.executorRunTime, (a, b) => math.max(a, b))
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val m = i.taskMetrics
         stages ::= f"run=${m.executorRunTime}%8d ms cpu=${m.executorCpuTime / 1000000}%8d " +
+          f"maxTask=${maxTask.getOrDefault(i.stageId, -1L)}%8d " +
           f"gc=${m.jvmGCTime}%6d tasks=${i.numTasks}%4d " +
           f"recIn=${m.inputMetrics.recordsRead}%10d " +
           f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1024}%9d KB " +
