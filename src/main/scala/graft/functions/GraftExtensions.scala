@@ -34,5 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SrpBuckets.builder
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier(PqCodes.name),
+        new ExpressionInfo(classOf[PqCodes].getName, null, PqCodes.name),
+        PqCodes.builder
+      )
+    )
   }
 }

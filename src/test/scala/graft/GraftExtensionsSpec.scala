@@ -36,6 +36,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("graft_pq_codes resolves from SQL in a fresh extension-built session") {
+    val fresh = spark.newSession()
+    // one subspace of width 2, codebook = {code 7: [1,0], code 9: [0,1]}:
+    // [3,4] is closer (cosine) to [0,1] -> code 9
+    val out = fresh.sql(
+      """SELECT graft_pq_codes(array(3.0d, 4.0d), 2,
+        |  array(7L, 9L),
+        |  array(array(1.0d, 0.0d), array(0.0d, 1.0d)),
+        |  array(1.0d, 1.0d)) AS c""".stripMargin)
+      .collect()(0).getSeq[Long](0)
+    assert(out == Seq(9L))
+  }
+
   test("both routes build the same expression (shared builder, no drift)") {
     import graft.functions.{ArrayDot, SrpBuckets}
     import org.apache.spark.sql.catalyst.expressions.Literal

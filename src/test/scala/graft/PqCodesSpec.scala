@@ -77,6 +77,76 @@ class PqCodesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("randomized cross-check: expression == independent struct-max reference (800 cases)") {
+    // Independent reference: materialize EVERY (code, sim) candidate and
+    // pick the max by the same total order max(struct(sim, -code)) uses —
+    // sortBy with a nanSafe comparator, structurally nothing like the
+    // expression's streaming argmax. Seeded Gen sampling (the repo's
+    // deterministic property-test style).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def nanSafeGt(a: Double, b: Double): Boolean =
+      (a.isNaN && !b.isNaN) || (!a.isNaN && !b.isNaN && a > b)
+    def slice(v: Array[Double], off: Int, n: Int): Array[Double] = {
+      val from = math.min(off, v.length)
+      java.util.Arrays.copyOfRange(v, from, from + math.min(math.max(v.length - from, 0), n))
+    }
+    def seqDot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def refCodes(v: Array[Double], subspaces: Int, subDim: Int,
+        codes: Array[Long], cb: Array[Array[Double]]): Array[Long] =
+      Array.tabulate(subspaces) { s =>
+        val sv = slice(v, s * subDim, subDim)
+        val snrm = math.sqrt(seqDot(sv, sv))
+        val cands = codes.indices.map { ci =>
+          val cv = slice(cb(ci), s * subDim, subDim)
+          (seqDot(sv, cv) / (snrm * math.sqrt(seqDot(cv, cv))), codes(ci))
+        }
+        // max by (sim nanSafe desc, code asc)
+        cands.sortWith((x, y) =>
+          if (nanSafeGt(x._1, y._1)) true
+          else if (nanSafeGt(y._1, x._1)) false
+          else x._2 < y._2).head._2
+      }
+
+    val valGen = Gen.frequency(
+      8 -> Gen.choose(-3.0, 3.0),
+      1 -> Gen.const(0.0)) // zero runs force NaN cosine branches
+    var checked = 0
+    for (seed <- 0 until 800) {
+      val p = Gen.Parameters.default
+      def draw[A](g: Gen[A], salt: Long): A = g.apply(p, Seed(seed * 1000L + salt)).get
+      val subDim = draw(Gen.choose(1, 5), 1)
+      val subspaces = draw(Gen.choose(1, 4), 2)
+      val dim = draw(Gen.choose(0, subspaces * subDim + 3), 3)
+      val nc = draw(Gen.choose(1, 6), 4)
+      val cbDim = draw(Gen.choose(0, subspaces * subDim + 3), 5)
+      val v = Array.tabulate(dim)(i => draw(valGen, 100 + i))
+      val cb = Array.tabulate(nc)(c => Array.tabulate(cbDim)(i => draw(valGen, 1000 + c * 50 + i)))
+      val codes = Array.tabulate(nc)(_.toLong)
+      // expression-side codebook: pre-sliced per (subspace, code), same as
+      // pqCodebookColumn builds it
+      val cvs = Array.tabulate(subspaces * nc)(j => slice(cb(j % nc), (j / nc) * subDim, subDim))
+      val cnrms = cvs.map(a => math.sqrt(seqDot(a, a)))
+      val expr = PqCodes(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          v, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+        subDim, codes, cvs, cnrms)
+      val got = expr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      val want = refCodes(v, subspaces, subDim, codes, cb)
+      assert(got.sameElements(want),
+        s"seed=$seed dim=$dim subDim=$subDim m=$subspaces nc=$nc cbDim=$cbDim: " +
+          s"${got.toSeq} != ${want.toSeq}")
+      checked += 1
+    }
+    assert(checked == 800)
+  }
+
   test("degenerate shapes: short vectors clamp like slice(); zero-norm tail ranks NaN first") {
     PqCodes.ensureRegistered(spark)
     import spark.implicits._
