@@ -60,7 +60,7 @@ object Cdc {
     require(base.columns.sameElements(updates.columns),
       "upsert requires identically-shaped sides")
     val tagged = base.withColumn("__pri", lit(0)).unionByName(updates.withColumn("__pri", lit(1)))
-    val rowHash = xxhash64(base.columns.map(c => col(s"`$c`")): _*)
+    val rowHash = xxhash64(base.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(versionCol).desc, col("__pri").desc, rowHash.desc)
     tagged

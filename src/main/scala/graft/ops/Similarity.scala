@@ -605,7 +605,7 @@ object Similarity {
       base: DataFrame,
       codebook: Array[(Long, Array[Double], Double)]
   ): DataFrame = {
-    val simsCol = array(codebook.map { case (_, cv, cn) =>
+    val simsCol = array(codebook.toIndexedSeq.map { case (_, cv, cn) =>
       fastDot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))
     }: _*)
     val cidsLit = typedLit(codebook.map(_._1))

@@ -79,7 +79,7 @@ object TagPivot {
     val tagCols = kept.map(k => try_element_at(col(mapCol), lit(k)).as(k))
     val overflow =
       if (overflowed)
-        Seq(map_filter(col(mapCol), (k, _) => !k.isin(kept.map(lit(_)): _*)).as(s"$tagsCol.overflow"))
+        Seq(map_filter(col(mapCol), (k, _) => !k.isin(kept.toIndexedSeq.map(lit(_)): _*)).as(s"$tagsCol.overflow"))
       else Seq.empty
     // materialize once and release the parsed-map cache (the pivot output
     // is terminal — it feeds the sink); see Caching for the discipline

@@ -23,7 +23,7 @@ object Transforms {
     */
   def dropRowsContaining(df: DataFrame, sentinel: String = "unauthorized"): DataFrame = {
     val anyMatch =
-      array_contains(array(df.columns.map(c => q(c).cast("string")): _*), sentinel)
+      array_contains(array(df.columns.toIndexedSeq.map(c => q(c).cast("string")): _*), sentinel)
     // array_contains yields null (not false) when no hit but nulls present;
     // coalesce so null-bearing rows are kept, matching pandas ~isin(...).any
     df.filter(!coalesce(anyMatch, lit(false)))
