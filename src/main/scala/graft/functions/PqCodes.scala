@@ -62,6 +62,29 @@ case class PqCodes(
   // keep plans readable: the codebook is payload, not structure
   override def toString: String = s"$prettyName($child, d=$subDim, k=$nCodes, m=$subspaces)"
 
+  // the synthesized case-class equals/hashCode compare the Array fields
+  // by reference, so two builds of the same codebook never compare equal
+  // — which defeats canonicalization, common-subexpression elimination,
+  // and plan-equality (cache lookup). Compare the codebook by CONTENT.
+  override def equals(other: Any): Boolean = other match {
+    case that: PqCodes =>
+      subDim == that.subDim &&
+        java.util.Arrays.equals(codes, that.codes) &&
+        java.util.Arrays.deepEquals(
+          cvs.asInstanceOf[Array[AnyRef]], that.cvs.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(cnrms, that.cnrms) &&
+        child == that.child
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = subDim
+    h = 31 * h + java.util.Arrays.hashCode(codes)
+    h = 31 * h + java.util.Arrays.deepHashCode(cvs.asInstanceOf[Array[AnyRef]])
+    h = 31 * h + java.util.Arrays.hashCode(cnrms)
+    31 * h + child.hashCode()
+  }
+
   private[graft] def nullSafeEvalPublic(value: Any): Any = nullSafeEval(value)
 
   override protected def nullSafeEval(value: Any): Any = {

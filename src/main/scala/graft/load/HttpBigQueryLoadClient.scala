@@ -127,16 +127,34 @@ final class HttpBigQueryLoadClient(
     // request — comes from the CredentialProvider seam
     creds.token().foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
     try {
-      val out = conn.getOutputStream
       try {
-        def w(s: String): Unit = out.write(s.getBytes(UTF_8))
-        w(s"--$boundary\r\nContent-Type: application/json; charset=UTF-8\r\n\r\n")
-        w(configJson)
-        w(s"\r\n--$boundary\r\nContent-Type: application/octet-stream\r\n\r\n")
-        val it = df.toJSON.toLocalIterator()
-        while (it.hasNext) { w(it.next()); w("\n") }
-        w(s"\r\n--$boundary--\r\n")
-      } finally out.close()
+        val out = conn.getOutputStream
+        try {
+          def w(s: String): Unit = out.write(s.getBytes(UTF_8))
+          w(s"--$boundary\r\nContent-Type: application/json; charset=UTF-8\r\n\r\n")
+          w(configJson)
+          w(s"\r\n--$boundary\r\nContent-Type: application/octet-stream\r\n\r\n")
+          val it = df.toJSON.toLocalIterator()
+          while (it.hasNext) { w(it.next()); w("\n") }
+          w(s"\r\n--$boundary--\r\n")
+        } finally out.close()
+      } catch {
+        case e: java.io.IOException =>
+          // a server that rejects the request up front (bad credentials,
+          // oversized body) may close the stream before draining it; the
+          // write then dies with an opaque transport IOException. If a
+          // response code is already readable, surface THAT — the
+          // actionable auth guidance must not be masked.
+          val early = scala.util.Try(conn.getResponseCode).getOrElse(-1)
+          if (early == 401 || early == 403)
+            throw new BigQuerySink.LoadJobException(
+              s"jobs.insert unauthorized: HTTP $early — set GRAFT_AUTH_TOKEN / " +
+                "GRAFT_AUTH_TOKEN_FILE (or the graft.auth.token property) to a valid bearer token")
+          if (early > 0 && early != 200)
+            throw new BigQuerySink.LoadJobException(
+              s"jobs.insert failed: HTTP $early (body stream aborted: $e)")
+          throw e
+      }
       val code = conn.getResponseCode
       if (code == 401 || code == 403)
         throw new BigQuerySink.LoadJobException(
@@ -176,21 +194,53 @@ final class HttpBigQueryLoadClient(
 
 object HttpBigQueryLoadClient {
 
-  /** The balanced-brace subobject after `"key": {` — scopes the field
-    * scans below to the subobject that actually owns the field, so a
-    * real v2 response nesting extra objects (an errorResult whose
-    * message quotes 'state', status.errors[] carrying its own
-    * 'message') cannot shadow the field being read. String contents are
-    * skipped during brace counting.
+  /** The balanced-brace subobject after a TOP-LEVEL `"key": {` — scopes
+    * the field scans below to the subobject that actually owns the
+    * field, so a real v2 response nesting extra objects (an errorResult
+    * whose message quotes 'state', status.errors[] carrying its own
+    * 'message') cannot shadow the field being read. The anchor scan is
+    * string-context-aware AND depth-anchored: a string VALUE containing
+    * e.g. `"status": {`, or a nested object reusing the key, cannot
+    * mis-scope the walk. String contents are likewise skipped during
+    * brace counting.
     */
   private[graft] def subObject(body: String, key: String): Option[String] = {
-    val m = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\\{").r
-      .findFirstMatchIn(body).getOrElse(return None)
-    val start = m.end - 1
-    var i = start
+    val quoted = "\"" + key + "\""
+    // pass 1: find `"key"\s*:\s*{` at object depth 1, outside strings
+    var i = 0
     var depth = 0
     var inString = false
     var escaped = false
+    var start = -1
+    while (i < body.length && start < 0) {
+      val c = body.charAt(i)
+      if (inString) {
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == '"') inString = false
+        i += 1
+      } else if (c == '"') {
+        if (depth == 1 && body.startsWith(quoted, i)) {
+          var j = i + quoted.length
+          while (j < body.length && body.charAt(j).isWhitespace) j += 1
+          if (j < body.length && body.charAt(j) == ':') {
+            j += 1
+            while (j < body.length && body.charAt(j).isWhitespace) j += 1
+            if (j < body.length && body.charAt(j) == '{') start = j
+          }
+        }
+        if (start < 0) { inString = true; i += 1 }
+      } else {
+        if (c == '{') depth += 1 else if (c == '}') depth -= 1
+        i += 1
+      }
+    }
+    if (start < 0) return None
+    // pass 2: balanced-brace walk from the anchor
+    i = start
+    depth = 0
+    inString = false
+    escaped = false
     while (i < body.length) {
       val c = body.charAt(i)
       if (inString) {

@@ -46,6 +46,9 @@ object Profile {
     stages = Nil
     time("pq")(Caching.materializeAndRelease(
       Similarity.pqAdcTopKFromBase(base, 5, pred, 16, 4, 64, 200)))
+    // stage events arrive asynchronously — drain before reading, or the
+    // heaviest stage can be missing from the report
+    org.apache.spark.graft.ListenerBus.drain(spark.sparkContext)
     println("PQ stages (id, runMs, tasks, name), heaviest first:")
     stages.sortBy(-_._2).take(12).foreach { case (id, ms, n, nm) =>
       println(f"  stage $id%5d run=$ms%7d ms tasks=$n%3d $nm")

@@ -30,7 +30,14 @@ object StageProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    @volatile var stages = List.empty[String]
+    // structured stage records (sorted on the Long, never re-parsed out
+    // of formatted text), completed by draining the listener bus before
+    // the read — a fixed sleep can drop the heaviest stage when the bus
+    // delivers late
+    final case class StageRec(
+        runMs: Long, cpuMs: Long, maxTaskMs: Long, gcMs: Long, tasks: Int,
+        recIn: Long, shufReadKb: Long, shufWriteKb: Long, spillMb: Long, name: String)
+    @volatile var stages = List.empty[StageRec]
     // per-stage max single-task run time — the skew signal aggregate
     // stage metrics hide (wall ≈ maxTask on an otherwise idle box)
     val maxTask = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
@@ -41,13 +48,13 @@ object StageProbe {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val m = i.taskMetrics
-        stages ::= f"run=${m.executorRunTime}%8d ms cpu=${m.executorCpuTime / 1000000}%8d " +
-          f"maxTask=${maxTask.getOrDefault(i.stageId, -1L)}%8d " +
-          f"gc=${m.jvmGCTime}%6d tasks=${i.numTasks}%4d " +
-          f"recIn=${m.inputMetrics.recordsRead}%10d " +
-          f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1024}%9d KB " +
-          f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1024}%9d KB " +
-          f"spill=${m.diskBytesSpilled / 1024 / 1024}%5d MB  ${i.name.take(60)}"
+        stages ::= StageRec(
+          m.executorRunTime, m.executorCpuTime / 1000000,
+          maxTask.getOrDefault(i.stageId, -1L), m.jvmGCTime, i.numTasks,
+          m.inputMetrics.recordsRead,
+          m.shuffleReadMetrics.totalBytesRead / 1024,
+          m.shuffleWriteMetrics.bytesWritten / 1024,
+          m.diskBytesSpilled / 1024 / 1024, i.name.take(60))
       }
     })
 
@@ -55,10 +62,14 @@ object StageProbe {
     val df = graft.SparkEntry.queries(name)(spark, dir)
     val n = df.count()
     val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(300)
+    org.apache.spark.graft.ListenerBus.drain(spark.sparkContext)
     println(s"[probe] $name rows=$n wall=${f"$wall%.2f"}s stages=${stages.size}")
-    stages.sortBy(s => -s.split("=")(1).trim.takeWhile(_.isDigit).toLong)
-      .take(15).foreach(s => println("[probe]   " + s))
+    stages.sortBy(-_.runMs).take(15).foreach { r =>
+      println(f"[probe]   run=${r.runMs}%8d ms cpu=${r.cpuMs}%8d " +
+        f"maxTask=${r.maxTaskMs}%8d gc=${r.gcMs}%6d tasks=${r.tasks}%4d " +
+        f"recIn=${r.recIn}%10d shufR=${r.shufReadKb}%9d KB " +
+        f"shufW=${r.shufWriteKb}%9d KB spill=${r.spillMb}%5d MB  ${r.name}")
+    }
     spark.stop()
   }
 }

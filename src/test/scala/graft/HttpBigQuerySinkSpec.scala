@@ -285,4 +285,23 @@ class HttpBigQuerySinkSpec extends SparkSpec {
     assert(subObject(body, "statistics").exists(_.contains("outputRows")))
     assert(subObject(body, "nope").isEmpty)
   }
+
+  test("subObject anchors outside strings and at top level only") {
+    import graft.load.HttpBigQueryLoadClient.{extractIn, subObject}
+    // an earlier STRING VALUE containing '"status": {' must not anchor
+    // the scan (the defeated shape: a log line quoted inside a message)
+    val trap =
+      """{"note":"saw \"status\": {\"state\":\"RUNNING\"} in upstream log",
+        |"status":{"state":"DONE"}}""".stripMargin
+    assert(extractIn(trap, "status", "state").contains("DONE"))
+    assert(subObject(trap, "status").contains("""{"state":"DONE"}"""))
+    // a NESTED object reusing the key must not anchor either — only the
+    // top-level key owns the scan
+    val nested =
+      """{"configuration":{"status":{"state":"NESTED"}},
+        |"status":{"state":"DONE"}}""".stripMargin
+    assert(extractIn(nested, "status", "state").contains("DONE"))
+    // key present only nested → no top-level match
+    assert(subObject("""{"outer":{"status":{"state":"X"}}}""", "status").isEmpty)
+  }
 }

@@ -168,4 +168,29 @@ class PqCodesSpec extends SparkSpec {
       assert(out((vid, 3L)) === 0L)
     }
   }
+
+  test("two builds of the same codebook compare equal (canonicalization/CSE contract)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def mk(): PqCodes = {
+      val codes = Array(0L, 1L)
+      val cvs = Array(Array(1.0, 2.0), Array(3.0, 4.0), Array(5.0, 6.0), Array(7.0, 8.0))
+      val cnrms = cvs.map(a => math.sqrt(a.map(x => x * x).sum))
+      PqCodes(
+        Literal.create(Array(1.0, 2.0, 3.0, 4.0), ArrayType(DoubleType)),
+        2, codes, cvs, cnrms)
+    }
+    val (a, b) = (mk(), mk())
+    // freshly-built arrays are distinct references — equality must be
+    // content-based or plan canonicalization / subexpression elimination
+    // / cache lookup can never match two uses of the same codebook
+    assert(a == b)
+    assert(a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    val c = mk().copy(subDim = 3)
+    assert(a != c)
+    val d = mk()
+    d.cvs(1)(0) = 99.0
+    assert(a != d)
+  }
 }
