@@ -260,39 +260,61 @@ object Dedup {
   ): DataFrame =
     signaturesFromShingles(shingleRows(df, idCol, textCol, shingleN), numHashes)
 
+  /** The per-doc signature fold as a typed `Aggregator` (the TopKAgg
+    * recipe): hashing stays a codegen'd projection, and because the
+    * aggregator gets map-side PARTIAL aggregation, each map task folds
+    * its co-located shingle hashes into per-doc min-states BEFORE the
+    * exchange — the shuffle carries ≤ |docs-per-partition| fixed-width
+    * states instead of every (sid, h) row, and the reduce side is an
+    * elementwise-min merge instead of re-folding the full hash stream
+    * (the previous groupByKey/mapGroups shape). min is commutative/
+    * associative over exact integers, so the partial split cannot change
+    * a value. A 64-column SQL `min` aggregate would get the same partial
+    * aggregation but compiles to a janino class so large that
+    * codegen/JIT costs dominate (seconds per query — measured).
+    */
+  private final class MinHashAgg(numHashes: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] {
+    @transient private lazy val coeffs = laneCoeffs(numHashes)
+    override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    override def reduce(mins: Array[Long], h: Long): Array[Long] = {
+      val p = MersennePrime61
+      val cs = coeffs
+      var j = 0
+      while (j < numHashes) {
+        // (a·h + b) mod p exactly, no 128-bit type: with the product
+        // a·h = hi·2^64 + lo and 2^61 ≡ 1 (mod p), the residue is
+        // hi·8 + (lo >>> 61) + (lo & p) (each term < 2^61, sum < 2^63
+        // — no signed overflow), then ≤3 conditional subtractions.
+        val (a, b) = cs(j)
+        val hi = Math.multiplyHigh(a, h)
+        val lo = a * h
+        var v = (hi << 3) + (lo >>> 61) + (lo & p) + b
+        while (v >= p) v -= p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      mins
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < numHashes) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+      a
+    }
+    override def finish(mins: Array[Long]): Seq[Long] = mins.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   private def signaturesFromShingles(shingles: DataFrame, numHashes: Int): DataFrame = {
-    val spark = shingles.sparkSession
-    import spark.implicits._
-    val p = MersennePrime61
-    val coeffs = laneCoeffs(numHashes)
-    val as = coeffs.map(_._1)
-    val bs = coeffs.map(_._2)
-    val sh = shingles
+    val sigAgg = org.apache.spark.sql.functions.udaf(new MinHashAgg(numHashes))
+    shingles
       .select(col("sid").cast("long").as("sid"), md5(col("s")).as("m"))
       .select(col("sid"), md5Chunk(col("m"), 1, 15).as("h"))
-      .as[(Long, Long)]
-    sh.groupByKey(_._1)
-      .mapGroups { (sid, it) =>
-        val mins = Array.fill(numHashes)(Long.MaxValue)
-        it.foreach { case (_, h) =>
-          var j = 0
-          while (j < numHashes) {
-            // (a·h + b) mod p exactly, no 128-bit type: with the product
-            // a·h = hi·2^64 + lo and 2^61 ≡ 1 (mod p), the residue is
-            // hi·8 + (lo >>> 61) + (lo & p) (each term < 2^61, sum < 2^63
-            // — no signed overflow), then ≤3 conditional subtractions.
-            val a = as(j)
-            val hi = Math.multiplyHigh(a, h)
-            val lo = a * h
-            var v = (hi << 3) + (lo >>> 61) + (lo & p) + bs(j)
-            while (v >= p) v -= p
-            if (v < mins(j)) mins(j) = v
-            j += 1
-          }
-        }
-        (sid, mins.toSeq)
-      }
-      .toDF("sid", "sig")
+      .groupBy("sid")
+      .agg(sigAgg(col("h")).as("sig"))
   }
 
   /** LSH banding: group r consecutive signature components per band, emit
@@ -390,9 +412,19 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sig = signaturesFromShingles(shingles, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = bandedPairs(sig, numHashes, bands)
-    val sa = sig.select(col("sid").as("id_a"), col("sig").as("sa"))
-    val sb = sig.select(col("sid").as("id_b"), col("sig").as("sb"))
+    // materialize the candidate set FIRST: banding is precision-tuned, so
+    // pairs are tiny next to the corpus (sf10: 25,610 pairs over 500k
+    // docs). Joining the FULL signature frame on both sides shuffled
+    // docs×numHashes longs twice (measured 2×174 MB writes + a 349 MB
+    // join read at sf10); with the pair set in hand, only CANDIDATE
+    // docs' signatures need to move — semi-filter each side by the
+    // broadcast candidate ids, then the pair join is small enough for
+    // AQE to size on its own. Values are unchanged: the semi-filter
+    // only drops rows the inner joins below could never match.
+    val cands = bandedPairs(sig, numHashes, bands).localCheckpoint(true)
+    val sigSide = pairSideFilter(sig, cands)
+    val sa = sigSide.select(col("sid").as("id_a"), col("sig").as("sa"))
+    val sb = sigSide.select(col("sid").as("id_b"), col("sig").as("sb"))
     val out = cands
       .join(sa, Seq("id_a"))
       .join(sb, Seq("id_b"))
@@ -404,8 +436,34 @@ object Dedup {
           .as("matched")
       )
       .withColumn("est_jaccard", col("matched").cast("double") / lit(numHashes.toDouble))
-    materializeAndRelease(out, sig)
+    val res = materializeAndRelease(out, sig)
+    Caching.release(cands)
+    res
   }
+
+  /** Pair counts above which the candidate-id semi-filter is skipped:
+    * the broadcast carries ≤ 2·pairs longs (~32 MB at the bound), and a
+    * pair set past it is big enough that shuffling the full per-doc
+    * frame — the shape this filter replaces — is no longer the dominant
+    * cost anyway.
+    */
+  private val MaxPairIdBroadcast = 2000000L
+
+  /** Restrict a per-doc frame (`sid`, ...) to docs appearing in the
+    * MATERIALIZED pair set, via a broadcast semi-join on the candidate
+    * ids — the inner joins downstream can only ever match those docs, so
+    * this drops no result rows; it only keeps the full frame's bytes out
+    * of the pair-join exchanges. Falls back to the unfiltered frame when
+    * the pair set is too large to broadcast (the count is one driver-side
+    * long over an already-checkpointed frame).
+    */
+  private def pairSideFilter(perDoc: DataFrame, cands: DataFrame): DataFrame =
+    if (cands.count() <= MaxPairIdBroadcast) {
+      val ids = cands.select(col("id_a").as("sid"))
+        .union(cands.select(col("id_b").as("sid")))
+        .distinct()
+      perDoc.join(broadcast(ids), Seq("sid"), "leftsemi")
+    } else perDoc
 
   /** Connected components over a near-duplicate pair graph (the final
     * step of fuzzy dedup: pairs → clusters → keep one doc per cluster,
@@ -526,9 +584,14 @@ object Dedup {
     val sh = shingles
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = candidatesFromShingles(sh, numHashes, bands)
-    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("sid").as("id_a"), col("s"))
-    val b = sh.select(col("sid").as("id_b"), col("s"))
+    // the exact-verify joins and the size lookup only ever touch docs in
+    // the (tiny, already-materialized) candidate set — semi-filter the
+    // shingle frame once so the verify exchanges move candidate docs'
+    // shingles, not the corpus's (same move as the est path above)
+    val shC = pairSideFilter(sh, cands)
+    val sizes = shC.groupBy("sid").agg(count(lit(1)).as("sz"))
+    val a = shC.select(col("sid").as("id_a"), col("s"))
+    val b = shC.select(col("sid").as("id_b"), col("s"))
     val inter = cands
       .join(a, Seq("id_a"))
       .join(b, Seq("id_b", "s"))

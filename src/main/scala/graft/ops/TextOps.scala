@@ -172,19 +172,28 @@ object TextOps {
       textCol: String,
       rareDfMax: Int = 1
   ): DataFrame = {
-    // the exploded token frame feeds BOTH the df build and the per-doc
-    // fold — persist it once instead of scanning + exploding twice
-    val tok = df
+    // Each token OCCURRENCE contributes df(t) to its document, so the
+    // per-doc sums factor through the (doc, term, tf) frame:
+    //   n_tokens = Σ_t tf,  sum_df = Σ_t tf·df(t),  n_rare = Σ_{df≤max} tf.
+    // Aggregate to tf FIRST (map-side combine collapses repeats before
+    // the only corpus-sized exchange), attach df as a count-over-term
+    // window on the SAME frame (one exchange on the term key, the
+    // sparseTopK shape), then fold per doc. The previous shape persisted
+    // the raw exploded token frame and joined all of it back to the df
+    // table by term — at sf10 that was a 100M-row cache fill plus a
+    // 100M-row join exchange for the same integer sums.
+    val wT = org.apache.spark.sql.expressions.Window.partitionBy("t")
+    val tf = df
       .select(col(idCol).as("sid"), explode(tokens(normalize(col(textCol)))).as("t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docFreq = tok.distinct()
-      .groupBy("t").agg(count(lit(1)).as("df_docs"))
-    val out = tok.join(docFreq, "t")
+      .groupBy("sid", "t")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df_docs", count(lit(1)).over(wT))
+    tf
       .groupBy("sid")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(col("df_docs")).as("sum_df"),
-        sum(when(col("df_docs") <= rareDfMax, 1L).otherwise(0L)).as("n_rare")
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("df_docs")).as("sum_df"),
+        sum(when(col("df_docs") <= rareDfMax, col("tf")).otherwise(0L)).as("n_rare")
       )
       .select(
         col("sid").as(idCol),
@@ -193,7 +202,6 @@ object TextOps {
         col("n_rare"),
         (col("sum_df").cast("double") / col("n_tokens")).as("avg_df")
       )
-    Caching.materializeAndRelease(out, tok)
   }
 
   /** Sparse lexical retrieval: for each document, the k most similar other

@@ -315,6 +315,17 @@ object Ext4Queries {
     //      support — the q_token_lift blocking pattern exercised at
     //      lineitem scale (pairs per order are bounded by basket size,
     //      never the part-catalog cross) ----
+    // Shape note (two measured negatives, r12 + r13, both reverted):
+    // (1) checkpointing the distinct (order, part) frame before its four
+    // consumers — the pinned ~1 GB starves the pair-expansion join
+    // (sf10 55.7 -> 66.3 s); (2) per-order sorted baskets (collect_set)
+    // + in-row transform×slice pair generation replacing the self-join —
+    // the object-hash collect_set partial (369 s CPU, 34 s GC, 369 MB
+    // spill) and a fatter pair exchange (1.5 vs 1.19 GB) cost more than
+    // the join they removed (sf10 64.0 -> 72.9 s isolated). The
+    // self-join over lazily re-scanned columnar parquet IS the fast
+    // shape at this memory budget; the pair-space partial agg is the
+    // query's inherent candidate mass.
     "q_basket_lift" -> QueryDef(
       (s, d) => {
         val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()

@@ -17,8 +17,14 @@ import org.apache.spark.sql.SparkSession
   */
 object StageProbe {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: StageProbe <sfDir> <queryName>")
+    require(args.length == 2 || args.length == 3,
+      "usage: StageProbe <sfDir> <queryName> [count|force]")
     val (dir, name) = (args(0), args(1))
+    // `force` evaluates every column of every row (toRdd.foreach), which
+    // defeats count()-pruning: on a LAZY query, .count() lets Catalyst
+    // drop computed columns that cannot change the row count (windows,
+    // per-row projections), so the probe would time a pruned plan.
+    val force = args.length == 3 && args(2) == "force"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,7 +66,9 @@ object StageProbe {
 
     val t0 = System.nanoTime()
     val df = graft.SparkEntry.queries(name)(spark, dir)
-    val n = df.count()
+    val n =
+      if (force) { df.queryExecution.toRdd.count() }
+      else df.count()
     val wall = (System.nanoTime() - t0) / 1e9
     org.apache.spark.graft.ListenerBus.drain(spark.sparkContext)
     println(s"[probe] $name rows=$n wall=${f"$wall%.2f"}s stages=${stages.size}")
