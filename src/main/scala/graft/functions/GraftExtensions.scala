@@ -41,5 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PqCodes.builder
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier(TokenRuns.name),
+        new ExpressionInfo(classOf[TokenRuns].getName, null, TokenRuns.name),
+        TokenRuns.builder
+      )
+    )
   }
 }

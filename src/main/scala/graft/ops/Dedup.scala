@@ -624,7 +624,7 @@ object Dedup {
     val tok = df
       .select(
         col(idCol).cast("long").as("sid"),
-        explode(TextOps.tokens(TextOps.normalize(col(textCol)))).as("t")
+        explode(TextOps.normTokens(col(textCol))).as("t")
       )
       .select(col("sid"), md5(col("t")).as("m"))
       .select(col("sid"), md5Chunk(col("m"), 1, 8).as("hi"), md5Chunk(col("m"), 9, 8).as("lo"))
@@ -751,7 +751,7 @@ object Dedup {
       chunkTokens: Int = 8
   ): DataFrame = {
     val maxChunks = 1L << 20 // packing bound: idx must fit the low bits
-    val ts = TextOps.tokens(TextOps.normalize(col(textCol)))
+    val ts = TextOps.normTokens(col(textCol))
     // Column./ is true division (0.5 for one token at width 2) — floor()
     // it back to the integer ceil-div, and guard the sequence() bound:
     // Spark's sequence(0, -1) counts DOWN (see shinglesFromTokens)

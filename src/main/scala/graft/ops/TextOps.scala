@@ -12,16 +12,42 @@ object TextOps {
 
   /** Canonical normalization: lowercase, collapse non-alphanumerics to a
     * single space, trim. Shared by fingerprinting and dedup so both sides
-    * of any comparison agree on the token stream.
+    * of any comparison agree on the token stream. Kept as the regex form
+    * for sites that need the normalized STRING; tokenizing consumers use
+    * [[normTokens]], which fuses this with the split in one scan.
     */
   def normalize(c: Column): Column =
     trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
   /** Whitespace tokenization with empty-token removal (totality on empty
-    * and all-space strings).
+    * and all-space strings): maximal non-whitespace runs via the
+    * single-pass [[graft.functions.TokenRuns]] expression — value-equal
+    * to `filter(split(trim(c), "\\s+"), _ != "")` (TokenRunsSpec pins
+    * the equivalence; the oracles replay the regex form).
     */
-  def tokens(c: Column): Column =
-    filter(split(trim(c), "\\s+"), t => t =!= "")
+  def tokens(c: Column): Column = {
+    registerRuns()
+    call_function(graft.functions.TokenRuns.name, c, lit(false))
+  }
+
+  /** `tokens(normalize(c))` fused into `lower` + one byte scan: maximal
+    * `[a-z0-9]` runs of the lowered text. The regex chain it replaces is
+    * the engine's hottest per-document projection (every shingle/token
+    * consumer pays it); case mapping stays Spark's `lower`, so Unicode
+    * lowering is identical by construction.
+    */
+  def normTokens(c: Column): Column = {
+    registerRuns()
+    call_function(graft.functions.TokenRuns.name, lower(c), lit(true))
+  }
+
+  /** Best-effort eager registration for naked library use (frames built
+    * off the query registry); `Tables.t` and GraftExtensions cover every
+    * registered query and SQL sessions respectively.
+    */
+  private def registerRuns(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.TokenRuns.ensureRegistered)
 
   /** Word n-gram shingles from an ALREADY-MATERIALIZED token array column.
     *
@@ -184,7 +210,7 @@ object TextOps {
     // 100M-row join exchange for the same integer sums.
     val wT = org.apache.spark.sql.expressions.Window.partitionBy("t")
     val tf = df
-      .select(col(idCol).as("sid"), explode(tokens(normalize(col(textCol)))).as("t"))
+      .select(col(idCol).as("sid"), explode(normTokens(col(textCol))).as("t"))
       .groupBy("sid", "t")
       .agg(count(lit(1)).as("tf"))
       .withColumn("df_docs", count(lit(1)).over(wT))
@@ -230,7 +256,7 @@ object TextOps {
     // scheduling). The index is persisted once and self-joined.
     val wT = org.apache.spark.sql.expressions.Window.partitionBy("t")
     val idx = df
-      .select(col(idCol).as("sid"), explode(tokens(normalize(col(textCol)))).as("t"))
+      .select(col(idCol).as("sid"), explode(normTokens(col(textCol))).as("t"))
       .groupBy("sid", "t").agg(count(lit(1)).as("tf"))
       .withColumn("df_docs", count(lit(1)).over(wT))
       .filter(col("df_docs") <= maxDf)
@@ -305,7 +331,7 @@ object TextOps {
     // shape — the extra tokenize pass trades even against the cache
     // write+read+checkpoint it replaces).
     val idx = df
-      .select(col(idCol).as("sid"), explode(tokens(normalize(col(textCol)))).as("t"))
+      .select(col(idCol).as("sid"), explode(normTokens(col(textCol))).as("t"))
       .groupBy("sid", "t").agg(count(lit(1)).as("tf"))
       .withColumn("dl", sum(col("tf")).over(wSid))
       .withColumn("df_docs", count(lit(1)).over(wT))
@@ -316,7 +342,7 @@ object TextOps {
     // 1-row frame, so the only nested-loop in the plan stays the
     // broadcast stats row (plan-asserted in ScalePlanSpec).
     val stats = df
-      .select(col(idCol).as("sid"), explode_outer(tokens(normalize(col(textCol)))).as("t"))
+      .select(col(idCol).as("sid"), explode_outer(normTokens(col(textCol))).as("t"))
       .agg(countDistinct(col("sid")).as("n_docs"), count(col("t")).as("tot_tok"))
       .select(
         col("n_docs"),
@@ -365,7 +391,7 @@ object TextOps {
       n: Int = 3
   ): DataFrame = {
     val sh = df
-      .select(col(idCol).as("sid"), tokens(normalize(col(textCol))).as("__ts"))
+      .select(col(idCol).as("sid"), normTokens(col(textCol)).as("__ts"))
       .filter(size(col("__ts")) >= n)
       .select(
         col("sid"),
@@ -429,7 +455,7 @@ object TextOps {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens: chunk=$chunkTokens overlap=$overlap")
     val stride = chunkTokens - overlap
-    val ts = tokens(normalize(col(textCol)))
+    val ts = normTokens(col(textCol))
     // integer ceil((n - overlap) / stride), at least 1 for non-empty docs
     val nChunks = greatest(lit(1), expr(s"(size(__ts) - $overlap + $stride - 1) div $stride"))
     df.select(col(idCol), ts.as("__ts"))
@@ -520,7 +546,7 @@ object TextOps {
       textCol: String,
       markers: Map[String, Seq[String]] = defaultLangMarkers
   ): DataFrame = {
-    val t = tokens(normalize(col(textCol)))
+    val t = normTokens(col(textCol))
     val ordered = markers.toSeq.sortBy(_._1)
     val n = ordered.size
     val scored = ordered.zipWithIndex.map { case ((lang, ms), idx) =>
@@ -566,7 +592,7 @@ object TextOps {
       val b = pmod(chunk52(t), lit(buckets.toLong))
       pmod(chunk52(concat(lit("graft-clf:"), b.cast("string"))), lit(2001L)) - 1000L
     }
-    df.select(col(idCol), tokens(normalize(col(textCol))).as("__ts"))
+    df.select(col(idCol), normTokens(col(textCol)).as("__ts"))
       .select(
         col(idCol),
         size(col("__ts")).cast("long").as("n_tokens"),

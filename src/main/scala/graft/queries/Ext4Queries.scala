@@ -281,7 +281,7 @@ object Ext4Queries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val toks = t(s, d, "documents")
-          .select(col("doc_id"), TextOps.tokens(TextOps.normalize(col("text"))).as("__ts"))
+          .select(col("doc_id"), TextOps.normTokens(col("text")).as("__ts"))
           .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("__ts"), 2)).as("tk"))
         val firstDoc = toks.groupBy("tk").agg(min("doc_id").as("fd"))
         val buckets = firstDoc
@@ -1024,7 +1024,7 @@ object Ext4Queries {
         val docs = t(s, d, "documents")
         val toks = docs.select(
           col("doc_id"),
-          explode(array_distinct(TextOps.tokens(TextOps.normalize(col("text"))))).as("t"))
+          explode(array_distinct(TextOps.normTokens(col("text")))).as("t"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val dfq = toks.groupBy("t").agg(count(lit(1)).as("n_t"))
         val pr = toks.select(col("doc_id"), col("t").as("ta"))
