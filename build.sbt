@@ -29,5 +29,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // dozens of codegen'd queries in one JVM overflow the default 240m code
   // cache; once full the JIT shuts off and late queries run interpreted
-  "-XX:ReservedCodeCacheSize=512m",
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "512m")}",
 )

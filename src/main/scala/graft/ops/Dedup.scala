@@ -143,8 +143,13 @@ object Dedup {
       case None => sh
     }
     val sizes = shFiltered.groupBy("sid").agg(count(lit(1)).as("sz"))
-    val a = shFiltered.select(col("sid").as("id_a"), col("s"))
-    val b = shFiltered.select(col("sid").as("id_b"), col("s"))
+    // same single-exchange self-join shape as bandedPairs: the inverted
+    // index is the HEAVIEST dedup exchange (sf10: 4-8 GB written when
+    // each side shuffles independently) — pre-partition it on the
+    // shingle key once and let both join sides read the one stage
+    val parted = shFiltered.repartition(col("s"))
+    val a = parted.select(col("sid").as("id_a"), col("s"))
+    val b = parted.select(col("sid").as("id_b"), col("s"))
     val inter = a
       .join(b, Seq("s"))
       .filter(col("id_a") < col("id_b"))
@@ -370,9 +375,18 @@ object Dedup {
       val parts = (0 until r).map(k => element_at(col("sig"), bIdx * r + k + 1))
       struct(lit(bIdx).as("band"), md5Chunk(md5(concat_ws(",", parts: _*)), 1, 15).as("bh"))
     }
+    // ONE exchange for both self-join sides: pre-partition the bucket
+    // frame on the join key, so each side's required distribution is
+    // already satisfied and the join plans with ZERO further exchanges —
+    // AQE reuses the single repartition stage for both reads. Without
+    // this the planner shuffles the full bucket frame once per side
+    // (measured at sf10: two identical 174 MB writes feeding one 349 MB
+    // join read). Partitioning is placement only — same-bucket rows
+    // land together either way, so the pair set is unchanged.
     val buckets = sig
       .select(col("sid"), explode(array(bandCols: _*)).as("bk"))
       .select(col("sid"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .repartition(col("band"), col("bh"))
     val l = buckets.select(col("sid").as("id_a"), col("band"), col("bh"))
     val rgt = buckets.select(col("sid").as("id_b"), col("band"), col("bh"))
     l.join(rgt, Seq("band", "bh"))
