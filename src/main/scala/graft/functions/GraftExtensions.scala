@@ -48,5 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TokenRuns.builder
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier(ShingleRuns.name),
+        new ExpressionInfo(classOf[ShingleRuns].getName, null, ShingleRuns.name),
+        ShingleRuns.builder
+      )
+    )
   }
 }

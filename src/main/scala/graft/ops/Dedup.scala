@@ -632,39 +632,62 @@ object Dedup {
     * aggregate pays seconds of janino/JIT compile). One shuffle of
     * (long, long, long) triples on the doc id. Id column must be integral.
     */
+  /** The 64-lane bit-vote fold as a typed Aggregator — same shape move
+    * as [[MinHashAgg]]: map-side PARTIAL aggregation folds each
+    * partition's co-located token hashes into per-doc vote states before
+    * the exchange, so the shuffle carries ≤ |docs-per-partition|
+    * 64-int states instead of every (sid, hi, lo) token row (sf10: the
+    * token stream is ~1 GB shuffled; states are ~150 MB). Vote sums are
+    * exact integers and addition is commutative/associative, so the
+    * partial split cannot change a signature bit.
+    */
+  private final class SimHashAgg
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long), Array[Int], (Long, Long)] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(acc: Array[Int], h: (Long, Long)): Array[Int] = {
+      val (hi, lo) = h
+      var b = 0
+      while (b < 32) {
+        if (((lo >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        if (((hi >>> b) & 1L) == 1L) acc(b + 32) += 1 else acc(b + 32) -= 1
+        b += 1
+      }
+      acc
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(acc: Array[Int]): (Long, Long) = {
+      var sigLo = 0L
+      var sigHi = 0L
+      var b = 0
+      while (b < 32) {
+        if (acc(b) > 0) sigLo |= (1L << b)
+        if (acc(b + 32) > 0) sigHi |= (1L << b)
+        b += 1
+      }
+      (sigHi, sigLo)
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val tok = df
+    val votes = org.apache.spark.sql.functions.udaf(new SimHashAgg)
+    df
       .select(
         col(idCol).cast("long").as("sid"),
         explode(TextOps.normTokens(col(textCol))).as("t")
       )
       .select(col("sid"), md5(col("t")).as("m"))
       .select(col("sid"), md5Chunk(col("m"), 1, 8).as("hi"), md5Chunk(col("m"), 9, 8).as("lo"))
-      .as[(Long, Long, Long)]
-    tok.groupByKey(_._1)
-      .mapGroups { (sid, it) =>
-        val acc = new Array[Int](64)
-        it.foreach { case (_, hi, lo) =>
-          var b = 0
-          while (b < 32) {
-            if (((lo >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-            if (((hi >>> b) & 1L) == 1L) acc(b + 32) += 1 else acc(b + 32) -= 1
-            b += 1
-          }
-        }
-        var sigLo = 0L
-        var sigHi = 0L
-        var b = 0
-        while (b < 32) {
-          if (acc(b) > 0) sigLo |= (1L << b)
-          if (acc(b + 32) > 0) sigHi |= (1L << b)
-          b += 1
-        }
-        (sid, sigHi, sigLo)
-      }
-      .toDF("sid", "sig_hi", "sig_lo")
+      .groupBy("sid")
+      .agg(votes(col("hi"), col("lo")).as("sig"))
+      .select(col("sid"), col("sig._1").as("sig_hi"), col("sig._2").as("sig_lo"))
   }
 
 
@@ -716,8 +739,12 @@ object Dedup {
             (shiftleft(bhs(i), width) + bhs(j)).as("bh"))).toSeq
       else
         (0 until bands).map(i => struct(lit(i).as("band"), bhs(i).as("bh")))
+    // one exchange for both self-join sides (the bandedPairs /
+    // shingleInterSizes shape): pre-partition on the join key so the
+    // join adds no exchanges and AQE reuses the single stage
     val buckets = sig.select(col("sid"), col("sig_hi"), col("sig_lo"), explode(array(bandCols: _*)).as("bk"))
       .select(col("sid"), col("sig_hi"), col("sig_lo"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .repartition(col("band"), col("bh"))
     val l = buckets.select(
       col("sid").as("id_a"), col("sig_hi").as("hi_a"), col("sig_lo").as("lo_a"), col("band"), col("bh"))
     val rgt = buckets.select(

@@ -64,16 +64,16 @@ object TextOps {
     array_distinct(shingleOccurrencesFromTokens(ts, n))
 
   /** Every n-gram occurrence in sequence order (duplicates kept) — the
-    * multiset the corpus-level repetition-mass statistics count. Same
-    * attribute-not-expression warning as [[shinglesFromTokens]].
+    * multiset the corpus-level repetition-mass statistics count. One
+    * native [[graft.functions.ShingleRuns]] pass; the HOF chain it
+    * replaces ran an interpreted lambda per shingle (a sequence
+    * materialization, n element_ats, and a concat_ws allocation each).
+    * Same attribute-not-expression warning as [[shinglesFromTokens]].
     */
   def shingleOccurrencesFromTokens(ts: Column, n: Int): Column = {
-    val count = size(ts) - (n - 1)
-    when(
-      count > 0,
-      transform(sequence(lit(1), count), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*))
-    ).otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.ShingleRuns.ensureRegistered)
+    call_function(graft.functions.ShingleRuns.name, ts, lit(n))
   }
 
   /** Convenience form for small inputs / tests; on hot paths project

@@ -66,6 +66,7 @@ object Tables {
     // choke point that guarantees the tokenizer expression resolves no
     // matter which thread later analyzes the frame
     graft.functions.TokenRuns.ensureRegistered(s)
+    graft.functions.ShingleRuns.ensureRegistered(s)
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeTs(df) else df
   }
