@@ -143,13 +143,11 @@ object Dedup {
       case None => sh
     }
     val sizes = shFiltered.groupBy("sid").agg(count(lit(1)).as("sz"))
-    // same single-exchange self-join shape as bandedPairs: the inverted
-    // index is the HEAVIEST dedup exchange (sf10: 4-8 GB written when
-    // each side shuffles independently) — pre-partition it on the
-    // shingle key once and let both join sides read the one stage
-    val parted = shFiltered.repartition(col("s"))
-    val a = parted.select(col("sid").as("id_a"), col("s"))
-    val b = parted.select(col("sid").as("id_b"), col("s"))
+    // the index self-join shuffles each side independently — see the
+    // bandedPairs note: exchange reuse is AQE-off-only in this Spark,
+    // and pre-partitioning was A/B'd as a no-op (same bytes, new tag)
+    val a = shFiltered.select(col("sid").as("id_a"), col("s"))
+    val b = shFiltered.select(col("sid").as("id_b"), col("s"))
     val inter = a
       .join(b, Seq("s"))
       .filter(col("id_a") < col("id_b"))
@@ -375,18 +373,19 @@ object Dedup {
       val parts = (0 until r).map(k => element_at(col("sig"), bIdx * r + k + 1))
       struct(lit(bIdx).as("band"), md5Chunk(md5(concat_ws(",", parts: _*)), 1, 15).as("bh"))
     }
-    // ONE exchange for both self-join sides: pre-partition the bucket
-    // frame on the join key, so each side's required distribution is
-    // already satisfied and the join plans with ZERO further exchanges —
-    // AQE reuses the single repartition stage for both reads. Without
-    // this the planner shuffles the full bucket frame once per side
-    // (measured at sf10: two identical 174 MB writes feeding one 349 MB
-    // join read). Partitioning is placement only — same-bucket rows
-    // land together either way, so the pair set is unchanged.
+    // Self-join exchange dedup: measured and NOT available under AQE in
+    // this Spark — ReusedExchange fires only with AQE disabled (verified
+    // on a trivial repartitioned self-join; AQE's stage cache never
+    // matches the re-id'd right side), and pre-partitioning with
+    // repartition(band, bh) just instantiates the same exchange twice
+    // with a different origin tag (A/B'd at sf10: identical 2×174 MB
+    // writes). The two symmetric exchanges are the standard cost of a
+    // self-join under AQE; the alternative (collect_list per bucket +
+    // in-row pair generation) carries the measured q_basket_lift
+    // object-agg failure mode. Documented negative — bench/r13_notes.
     val buckets = sig
       .select(col("sid"), explode(array(bandCols: _*)).as("bk"))
       .select(col("sid"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .repartition(col("band"), col("bh"))
     val l = buckets.select(col("sid").as("id_a"), col("band"), col("bh"))
     val rgt = buckets.select(col("sid").as("id_b"), col("band"), col("bh"))
     l.join(rgt, Seq("band", "bh"))
@@ -739,12 +738,8 @@ object Dedup {
             (shiftleft(bhs(i), width) + bhs(j)).as("bh"))).toSeq
       else
         (0 until bands).map(i => struct(lit(i).as("band"), bhs(i).as("bh")))
-    // one exchange for both self-join sides (the bandedPairs /
-    // shingleInterSizes shape): pre-partition on the join key so the
-    // join adds no exchanges and AQE reuses the single stage
     val buckets = sig.select(col("sid"), col("sig_hi"), col("sig_lo"), explode(array(bandCols: _*)).as("bk"))
       .select(col("sid"), col("sig_hi"), col("sig_lo"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .repartition(col("band"), col("bh"))
     val l = buckets.select(
       col("sid").as("id_a"), col("sig_hi").as("hi_a"), col("sig_lo").as("lo_a"), col("band"), col("bh"))
     val rgt = buckets.select(
