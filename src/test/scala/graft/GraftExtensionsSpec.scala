@@ -49,6 +49,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out == Seq(9L))
   }
 
+  test("graft_token_runs resolves from SQL in a fresh extension-built session") {
+    val fresh = spark.newSession()
+    val out = fresh.sql(
+      "SELECT graft_token_runs(lower('  Hello, World!42  '), true) AS t")
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("hello", "world", "42"))
+    val ws = fresh.sql(
+      "SELECT graft_token_runs('  a\tb  c ', false) AS t")
+      .collect()(0).getSeq[String](0)
+    assert(ws == Seq("a", "b", "c"))
+  }
+
+  test("graft_shingle_runs resolves from SQL in a fresh extension-built session") {
+    val fresh = spark.newSession()
+    val out = fresh.sql(
+      "SELECT graft_shingle_runs(array('a', 'b', 'c', 'd'), 3) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("a b c", "b c d"))
+  }
+
   test("both routes build the same expression (shared builder, no drift)") {
     import graft.functions.{ArrayDot, SrpBuckets}
     import org.apache.spark.sql.catalyst.expressions.Literal
