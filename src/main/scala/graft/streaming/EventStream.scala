@@ -414,15 +414,19 @@ object EventStream {
         .schema(schema)
         .parquet(srcDir.getAbsolutePath)
         .withWatermark("ts", watermarkDelay)
-      val q = sessionizeStream(in, gapMs)
-        .toDF()
-        .writeStream
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
+      // both lifecycles size state identically (the checkpoint pins the
+      // state-store count at first start)
+      val q = withStateSizedShuffle(spark) {
+        sessionizeStream(in, gapMs)
+          .toDF()
+          .writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       if (!q.awaitTermination(120000)) {
         q.stop()
         throw new IllegalStateException(
@@ -542,7 +546,7 @@ object EventStream {
         round(col("value") * 100).as("value"),
         col("event_id").cast("long").as("event_id"))
     var target: DataFrame = null
-    val q = in.writeStream
+    val q = withStateSizedShuffle(spark) { in.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.withColumn("__ver", struct(col("ts"), col("event_id")))
         val incoming = graft.ops.Cdc.upsert(b, b.limit(0), "user_id", "__ver")
@@ -558,6 +562,7 @@ object EventStream {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+    }
     if (!q.awaitTermination(120000)) {
       q.stop()
       throw new IllegalStateException(s"stream upsert drain of $srcPath did not finish within 120 s")
@@ -602,6 +607,26 @@ object EventStream {
     drainToTable(spark, agg, "enrich", "complete", srcPath)
   }
 
+  /** Size streaming STATE partitioning to actual parallelism for one
+    * synchronous drain. `spark.sql.shuffle.partitions` is read at query
+    * START and fixes the state-store count for the checkpoint's
+    * lifetime; the sweep's batch lever (256 at the 100× scale) would
+    * mean 256 RocksDB stores per micro-batch on 32 cores — measured at
+    * sf10: the interval join's two state stages ran 590 s/566 s with
+    * only 8 s/33 s of CPU (tasks blocked on per-store open/commit I/O,
+    * not work). A state store per core is also the right cluster
+    * posture: state parallelism should track executor slots, not the
+    * batch shuffle width. Restored afterwards, so the batch queries'
+    * lever is untouched.
+    */
+  private def withStateSizedShuffle[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, spark.sparkContext.defaultParallelism.toString)
+    try f
+    finally spark.conf.set(key, prev)
+  }
+
   private def drainToTable(
       spark: SparkSession,
       out: DataFrame,
@@ -610,12 +635,14 @@ object EventStream {
       src: String
   ): DataFrame = {
     val name = s"stream_${kind}_${System.nanoTime()}"
-    val q = out.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStateSizedShuffle(spark) {
+      out.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     // a timed-out drain would silently return a partial table — fail loud
     if (!q.awaitTermination(120000)) {
       q.stop()
