@@ -303,9 +303,10 @@ object EventStream {
       windowLen: String,
       mode: String
   ): DataFrame = {
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val ss = stateScopedSession(spark)
+    val stream = ss.readStream.schema(schema).parquet(srcDir)
     val agg = windowedCounts(stream, "ts", "event_type", watermark, windowLen)
-    drainToTable(spark, agg, "win", mode, srcDir)
+    drainToTable(agg, "win", mode, srcDir)
   }
 
   /** Drain the events fixture through [[sessionizeStream]] with
@@ -327,13 +328,13 @@ object EventStream {
       gapMs: Long,
       watermarkDelay: String
   ): DataFrame = {
-    val in = streamEvents(spark, srcPath)
+    val in = streamEvents(stateScopedSession(spark), srcPath)
       .select(
         col("user_id").cast("long").as("user_id"),
         col("ts"),
         round(col("value") * 100).as("value"))
       .withWatermark("ts", watermarkDelay)
-    drainToTable(spark, sessionizeStream(in, gapMs).toDF(), "sess", "append", srcPath)
+    drainToTable(sessionizeStream(in, gapMs).toDF(), "sess", "append", srcPath)
   }
 
   /** Checkpoint restart-recovery proof: the [[sessionizeStream]] pipeline
@@ -410,23 +411,22 @@ object EventStream {
     // would), drain whatever is newly available, stop
     def drainStage(stage: String): Unit = {
       val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
-      val in = spark.readStream
+      // a FRESH scoped session per lifecycle, like a real restarted job;
+      // both size state identically (the checkpoint pins the state-store
+      // count at first start)
+      val in = stateScopedSession(spark).readStream
         .schema(schema)
         .parquet(srcDir.getAbsolutePath)
         .withWatermark("ts", watermarkDelay)
-      // both lifecycles size state identically (the checkpoint pins the
-      // state-store count at first start)
-      val q = withStateSizedShuffle(spark) {
-        sessionizeStream(in, gapMs)
-          .toDF()
-          .writeStream
-          .format("parquet")
-          .option("path", outDir)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-      }
+      val q = sessionizeStream(in, gapMs)
+        .toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
       if (!q.awaitTermination(120000)) {
         q.stop()
         throw new IllegalStateException(
@@ -454,14 +454,14 @@ object EventStream {
     * DISTINCT the oracle replays.
     */
   def dedupRunOnce(spark: SparkSession, srcPath: String, watermarkDelay: String): DataFrame = {
-    val in = streamEvents(spark, srcPath)
+    val in = streamEvents(stateScopedSession(spark), srcPath)
       .select(
         col("user_id").cast("long").as("user_id"),
         col("event_type"),
         col("ts"))
     val deduped = dedupWithinWatermark(in, "ts", watermarkDelay, Seq("user_id", "event_type"))
       .select(col("user_id"), col("event_type"))
-    drainToTable(spark, deduped, "dedup", "append", srcPath)
+    drainToTable(deduped, "dedup", "append", srcPath)
   }
 
   /** Stream a parquet events fixture (file or directory; `ts` is
@@ -502,14 +502,17 @@ object EventStream {
       lookbackMs: Long,
       watermarkDelay: String
   ): DataFrame = {
-    val purchases = streamEvents(spark, srcPath)
+    // ONE scoped session for both sides (a cross-session join would mix
+    // SQLConfs)
+    val ss = stateScopedSession(spark)
+    val purchases = streamEvents(ss, srcPath)
       .filter(col("event_type") === "purchase")
       .select(
         col("event_id").as("purchase_id"),
         col("user_id").as("p_user"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", watermarkDelay)
-    val clicks = streamEvents(spark, srcPath)
+    val clicks = streamEvents(ss, srcPath)
       .filter(col("event_type") === "click")
       .select(
         col("event_id").as("click_id"),
@@ -523,7 +526,7 @@ object EventStream {
                 |AND c_ts >= p_ts - INTERVAL $lookbackMs MILLISECOND
                 |AND c_ts <= p_ts""".stripMargin))
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
-    drainToTable(spark, joined, "ivj", "append", srcPath)
+    drainToTable(joined, "ivj", "append", srcPath)
   }
 
   /** Streaming CDC materialization: drain the event stream through a
@@ -539,14 +542,14 @@ object EventStream {
     * Value is pre-scaled to round(value·100) (order-free integer double).
     */
   def upsertRunOnce(spark: SparkSession, srcPath: String): DataFrame = {
-    val in = streamEvents(spark, srcPath)
+    val in = streamEvents(stateScopedSession(spark), srcPath)
       .select(
         col("user_id").cast("long").as("user_id"),
         col("ts"),
         round(col("value") * 100).as("value"),
         col("event_id").cast("long").as("event_id"))
     var target: DataFrame = null
-    val q = withStateSizedShuffle(spark) { in.writeStream
+    val q = in.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.withColumn("__ver", struct(col("ts"), col("event_id")))
         val incoming = graft.ops.Cdc.upsert(b, b.limit(0), "user_id", "__ver")
@@ -562,7 +565,6 @@ object EventStream {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    }
     if (!q.awaitTermination(120000)) {
       q.stop()
       throw new IllegalStateException(s"stream upsert drain of $srcPath did not finish within 120 s")
@@ -590,9 +592,12 @@ object EventStream {
       windowLen: String
   ): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val ev = streamEvents(spark, srcPath)
+    // one scoped session for the stream AND the static dim (single-session
+    // join)
+    val ss = stateScopedSession(spark)
+    val ev = streamEvents(ss, srcPath)
     val static = graft.queries.Tables
-      .t(spark, new java.io.File(srcPath).getParent, "events")
+      .t(ss, new java.io.File(srcPath).getParent, "events")
       .groupBy("event_type")
       .agg(count(lit(1)).as("type_total"))
     val agg = ev
@@ -604,50 +609,65 @@ object EventStream {
         col("event_type"),
         col("n"),
         col("type_total"))
-    drainToTable(spark, agg, "enrich", "complete", srcPath)
+    drainToTable(agg, "enrich", "complete", srcPath)
   }
 
-  /** Size streaming STATE partitioning to actual parallelism for one
-    * synchronous drain. `spark.sql.shuffle.partitions` is read at query
-    * START and fixes the state-store count for the checkpoint's
-    * lifetime; the sweep's batch lever (256 at the 100× scale) would
-    * mean 256 RocksDB stores per micro-batch on 32 cores — measured at
-    * sf10: the interval join's two state stages ran 590 s/566 s with
-    * only 8 s/33 s of CPU (tasks blocked on per-store open/commit I/O,
-    * not work). A state store per core is also the right cluster
-    * posture: state parallelism should track executor slots, not the
-    * batch shuffle width. Restored afterwards, so the batch queries'
-    * lever is untouched.
+  /** A session for ONE synchronous drain, with streaming STATE
+    * partitioning sized to actual parallelism. `spark.sql.shuffle
+    * .partitions` is read at query START and fixes the state-store count
+    * for the checkpoint's lifetime; the sweep's batch lever (256 at the
+    * 100× scale) would mean 256 RocksDB stores per micro-batch on 32
+    * cores — measured at sf10: the interval join's two state stages ran
+    * 590 s/566 s with only 8 s/33 s of CPU (tasks blocked on per-store
+    * open/commit I/O, not work). A state store per core is also the
+    * right cluster posture: state parallelism should track executor
+    * slots, not the batch shuffle width.
+    *
+    * A CLONED session, not set-and-restore on the shared one (r13 did
+    * the latter): the streaming query reads its conf from the frame's
+    * own session, and mutating the shared session races any batch query
+    * planned concurrently (the codebase does run parallel pipelines,
+    * e.g. ann_recall_at_k's futures). `newSession()` shares the
+    * SparkContext and cached data but isolates SQLConf; it starts from
+    * the context's SparkConf rather than the parent's RUNTIME conf, so
+    * the confs a drain depends on are carried over explicitly.
     */
-  private def withStateSizedShuffle[A](spark: SparkSession)(f: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, spark.sparkContext.defaultParallelism.toString)
-    try f
-    finally spark.conf.set(key, prev)
+  private def stateScopedSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    Seq(
+      "spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "spark.sql.session.timeZone",
+      "spark.sql.legacy.parquet.nanosAsLong"
+    ).foreach(k => spark.conf.getOption(k).foreach(ss.conf.set(k, _)))
+    ss.conf.set(
+      "spark.sql.shuffle.partitions",
+      spark.sparkContext.defaultParallelism.toString)
+    ss
   }
 
+  /** The frame must already live on a [[stateScopedSession]] — the query
+    * reads shuffle/state sizing from `out.sparkSession`, and the memory
+    * sink registers its table there too.
+    */
   private def drainToTable(
-      spark: SparkSession,
       out: DataFrame,
       kind: String,
       mode: String,
       src: String
   ): DataFrame = {
     val name = s"stream_${kind}_${System.nanoTime()}"
-    val q = withStateSizedShuffle(spark) {
-      out.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    }
+    val q = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
     // a timed-out drain would silently return a partial table — fail loud
     if (!q.awaitTermination(120000)) {
       q.stop()
       throw new IllegalStateException(s"stream drain of $src did not finish within 120 s")
     }
-    spark.table(name)
+    out.sparkSession.table(name)
   }
 }

@@ -263,4 +263,46 @@ class StreamingSpec extends SparkSpec {
       !stateFiles.exists(_.endsWith(".delta")),
       s"HDFS-provider .delta files present — RocksDB did not engage: $stateFiles")
   }
+
+  test("drain runs on a scoped session: shared conf unchanged under a concurrent batch job") {
+    // A drain sizes streaming state to actual parallelism. Pre-r14 that
+    // was a set-and-restore of spark.sql.shuffle.partitions on the SHARED
+    // session, which races any concurrently planned batch query (the
+    // engine does run parallel pipelines, e.g. ann_recall_at_k's
+    // futures). Now each drain plans on a cloned session; this spec pins
+    // the contract: a sentinel conf value on the shared session must be
+    // observed by batch jobs at EVERY point during a concurrent drain.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val sentinel = "7" // != defaultParallelism(4), != test default(4)
+    spark.conf.set(key, sentinel)
+    try {
+      val drain = Future {
+        EventStream.sessionizeRunOnce(
+          spark, sf("sf0.001") + "/events.parquet",
+          gapMs = 30 * 60 * 1000L, watermarkDelay = "0 seconds")
+      }
+      var polls = 0
+      while (!drain.isCompleted && polls < 10000) {
+        // a real concurrent batch job (shuffles on the shared session) +
+        // the conf read a concurrent planner would perform
+        assert(spark.conf.get(key) == sentinel)
+        assert(spark.range(100).groupBy((col("id") % 3).as("k")).count().count() == 3L)
+        polls += 1
+      }
+      val result = Await.result(drain, 120.seconds)
+      assert(result.count() > 0)
+      assert(spark.conf.get(key) == sentinel)
+      // the drain planned elsewhere: its frame lives on a scoped session
+      // sized to actual parallelism, not the shared one
+      assert(result.sparkSession ne spark)
+      assert(
+        result.sparkSession.conf.get(key) ==
+          spark.sparkContext.defaultParallelism.toString)
+      assert(polls > 0, "drain finished before any concurrent batch job ran")
+    } finally spark.conf.set(key, prev)
+  }
 }
