@@ -152,7 +152,7 @@ final class HttpBigQueryLoadClient(
                 "GRAFT_AUTH_TOKEN_FILE (or the graft.auth.token property) to a valid bearer token")
           if (early > 0 && early != 200)
             throw new BigQuerySink.LoadJobException(
-              s"jobs.insert failed: HTTP $early (body stream aborted: $e)")
+              s"jobs.insert failed: HTTP $early${errorDetail(conn)} (body stream aborted: $e)")
           throw e
       }
       val code = conn.getResponseCode
@@ -161,12 +161,29 @@ final class HttpBigQueryLoadClient(
           s"jobs.insert unauthorized: HTTP $code — set GRAFT_AUTH_TOKEN / " +
             "GRAFT_AUTH_TOKEN_FILE (or the graft.auth.token property) to a valid bearer token")
       if (code != 200)
-        throw new BigQuerySink.LoadJobException(s"jobs.insert failed: HTTP $code")
+        throw new BigQuerySink.LoadJobException(
+          s"jobs.insert failed: HTTP $code${errorDetail(conn)}")
       val in = conn.getInputStream
       try Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     } finally conn.disconnect()
   }
+
+  /** Best-effort `: <error.message>` suffix from the server's error body
+    * (`getErrorStream`) — a non-200 jobs.insert carries the actionable
+    * reason there (e.g. a malformed load config), and reporting only the
+    * status code discards it. Never throws: a closed/absent error stream
+    * yields an empty suffix.
+    */
+  private def errorDetail(conn: HttpURLConnection): String =
+    scala.util.Try {
+      val es = conn.getErrorStream
+      if (es == null) ""
+      else {
+        val body = try Source.fromInputStream(es, "UTF-8").mkString finally es.close()
+        extractIn(body, "error", "message").fold("")(m => s": $m")
+      }
+    }.getOrElse("")
 
   private def get(url: String): String = {
     val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]

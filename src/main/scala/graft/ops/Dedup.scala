@@ -471,11 +471,14 @@ object Dedup {
     res
   }
 
-  /** Pair counts above which the candidate-id semi-filter is skipped:
-    * the broadcast carries ≤ 2·pairs longs (~32 MB at the bound), and a
-    * pair set past it is big enough that shuffling the full per-doc
-    * frame — the shape this filter replaces — is no longer the dominant
-    * cost anyway.
+  /** DISTINCT candidate ids above which the semi-filter is skipped. The
+    * real cost at the bound is the driver-side collect that builds the
+    * broadcast — ~48 B per id row transiently (UnsafeRow object + header
+    * + backing array, not 8 B of payload), so 2M ids ≈ 100 MB of driver
+    * churn; the shipped LongHashedRelation is far smaller. A candidate
+    * set past this is big enough that shuffling the full per-doc frame —
+    * the shape this filter replaces — is no longer the dominant cost
+    * anyway.
     */
   private val MaxPairIdBroadcast = 2000000L
 
@@ -484,16 +487,19 @@ object Dedup {
     * ids — the inner joins downstream can only ever match those docs, so
     * this drops no result rows; it only keeps the full frame's bytes out
     * of the pair-join exchanges. Falls back to the unfiltered frame when
-    * the pair set is too large to broadcast (the count is one driver-side
-    * long over an already-checkpointed frame).
+    * the id set is too large to broadcast. The gate counts the DISTINCT
+    * ids (what the collect actually pays — pairs overestimate it ~2×);
+    * every caller checkpoints `cands` first, so the counting job scans
+    * materialized blocks rather than recomputing the pair mining.
     */
-  private def pairSideFilter(perDoc: DataFrame, cands: DataFrame): DataFrame =
-    if (cands.count() <= MaxPairIdBroadcast) {
-      val ids = cands.select(col("id_a").as("sid"))
-        .union(cands.select(col("id_b").as("sid")))
-        .distinct()
+  private def pairSideFilter(perDoc: DataFrame, cands: DataFrame): DataFrame = {
+    val ids = cands.select(col("id_a").as("sid"))
+      .union(cands.select(col("id_b").as("sid")))
+      .distinct()
+    if (ids.count() <= MaxPairIdBroadcast)
       perDoc.join(broadcast(ids), Seq("sid"), "leftsemi")
-    } else perDoc
+    else perDoc
+  }
 
   /** Connected components over a near-duplicate pair graph (the final
     * step of fuzzy dedup: pairs → clusters → keep one doc per cluster,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ExprBridge
 
 /** Text-analysis operators for a large-scale training-data pipeline
   * (SURVEY.md §2.11). All pure Catalyst expressions — codegen-friendly,
@@ -25,10 +26,9 @@ object TextOps {
     * to `filter(split(trim(c), "\\s+"), _ != "")` (TokenRunsSpec pins
     * the equivalence; the oracles replay the regex form).
     */
-  def tokens(c: Column): Column = {
-    registerRuns()
-    call_function(graft.functions.TokenRuns.name, c, lit(false))
-  }
+  def tokens(c: Column): Column =
+    ExprBridge.column(
+      graft.functions.TokenRuns(ExprBridge.expression(c), alnumOnly = false))
 
   /** `tokens(normalize(c))` fused into `lower` + one byte scan: maximal
     * `[a-z0-9]` runs of the lowered text. The regex chain it replaces is
@@ -36,18 +36,9 @@ object TextOps {
     * consumer pays it); case mapping stays Spark's `lower`, so Unicode
     * lowering is identical by construction.
     */
-  def normTokens(c: Column): Column = {
-    registerRuns()
-    call_function(graft.functions.TokenRuns.name, lower(c), lit(true))
-  }
-
-  /** Best-effort eager registration for naked library use (frames built
-    * off the query registry); `Tables.t` and GraftExtensions cover every
-    * registered query and SQL sessions respectively.
-    */
-  private def registerRuns(): Unit =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.functions.TokenRuns.ensureRegistered)
+  def normTokens(c: Column): Column =
+    ExprBridge.column(
+      graft.functions.TokenRuns(ExprBridge.expression(lower(c)), alnumOnly = true))
 
   /** Word n-gram shingles from an ALREADY-MATERIALIZED token array column.
     *
@@ -70,11 +61,8 @@ object TextOps {
     * materialization, n element_ats, and a concat_ws allocation each).
     * Same attribute-not-expression warning as [[shinglesFromTokens]].
     */
-  def shingleOccurrencesFromTokens(ts: Column, n: Int): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.functions.ShingleRuns.ensureRegistered)
-    call_function(graft.functions.ShingleRuns.name, ts, lit(n))
-  }
+  def shingleOccurrencesFromTokens(ts: Column, n: Int): Column =
+    ExprBridge.column(graft.functions.ShingleRuns(ExprBridge.expression(ts), n))
 
   /** Convenience form for small inputs / tests; on hot paths project
     * `tokens(c)` first and use `shinglesFromTokens` (see warning there).

@@ -304,4 +304,32 @@ class HttpBigQuerySinkSpec extends SparkSpec {
     // key present only nested → no top-level match
     assert(subObject("""{"outer":{"status":{"state":"X"}}}""", "status").isEmpty)
   }
+
+  test("a non-200 insert surfaces the server's error.message, not just the code") {
+    // BigQuery answers a rejected insert with an error BODY carrying the
+    // actionable reason; the exception must include it (pre-r14 only the
+    // status code survived)
+    val reject = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    reject.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.getRequestBody.readAllBytes()
+        val body =
+          """{"error":{"code":400,"message":"Invalid load configuration: bad sourceFormat"}}"""
+        val bytes = body.getBytes(UTF_8)
+        ex.sendResponseHeaders(400, bytes.length)
+        val os = ex.getResponseBody; os.write(bytes); os.close(); ex.close()
+      }
+    })
+    reject.start()
+    try {
+      val client = new HttpBigQueryLoadClient(
+        s"http://127.0.0.1:${reject.getAddress.getPort}", "proj",
+        pollMillis = 5, creds = CredentialProvider.static(Token))
+      val e = intercept[BigQuerySink.LoadJobException] {
+        client.loadTable(df(s2, Row(1L, "a")), "proj.ds.trej", Sink.WriteTruncate, Set.empty)
+      }
+      assert(e.getMessage.contains("400"), e.getMessage)
+      assert(e.getMessage.contains("Invalid load configuration"), e.getMessage)
+    } finally reject.stop(0)
+  }
 }

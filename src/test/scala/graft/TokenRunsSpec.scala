@@ -94,4 +94,28 @@ class TokenRunsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("requires string") || e.getMessage.contains("DATATYPE_MISMATCH"))
   }
+
+  test("tokens/normTokens need no registry: column built with no active session") {
+    // pre-r14 these routed through call_function, which resolves by NAME
+    // at analysis time — a Column built on a session-less thread and
+    // analyzed in an unregistered session failed. Direct expression
+    // construction has no registry dependency; pin that by building the
+    // columns on a thread with NO active session.
+    import graft.ops.TextOps
+    @volatile var cols: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = null
+    val t = new Thread(() => {
+      // the active session is an InheritableThreadLocal — drop the
+      // inherited one so this thread really is session-less
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      if (org.apache.spark.sql.SparkSession.getActiveSession.isEmpty)
+        cols = (TextOps.tokens(col("s")), TextOps.normTokens(col("s")))
+    })
+    t.start(); t.join()
+    import spark.implicits._
+    val r = Seq("Hello, World! 42").toDF("s")
+      .select(cols._1.as("t"), cols._2.as("n"))
+      .collect().head
+    assert(r.getSeq[String](0) == Seq("Hello,", "World!", "42"))
+    assert(r.getSeq[String](1) == Seq("hello", "world", "42"))
+  }
 }
