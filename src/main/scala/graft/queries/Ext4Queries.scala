@@ -315,7 +315,7 @@ object Ext4Queries {
     //      support — the q_token_lift blocking pattern exercised at
     //      lineitem scale (pairs per order are bounded by basket size,
     //      never the part-catalog cross) ----
-    // Shape note (two measured negatives, r12 + r13, both reverted):
+    // Shape note (three measured negatives, r12-r14, all rejected):
     // (1) checkpointing the distinct (order, part) frame before its four
     // consumers — the pinned ~1 GB starves the pair-expansion join
     // (sf10 55.7 -> 66.3 s); (2) per-order sorted baskets (collect_set)
@@ -325,7 +325,15 @@ object Ext4Queries {
     // the join they removed (sf10 64.0 -> 72.9 s isolated). The
     // self-join over lazily re-scanned columnar parquet IS the fast
     // shape at this memory budget; the pair-space partial agg is the
-    // query's inherent candidate mass.
+    // query's inherent candidate mass. (3) support-threshold prefilter
+    // (a pair needs n_ab >= 3, so semi-filtering li to parts with
+    // n_p >= 3 before the self-join is sound and would bound the
+    // expansion on a sparse corpus) — a measured NO-OP here: 0 of 2k/20k
+    // parts at sf0.01/sf0.1 appear in <3 orders (per-part mean ~30
+    // orders), and ScaleGen offsets part keys per copy, so the per-part
+    // frequency distribution at sf1/sf10 is exactly sf0.1's — the filter
+    // drops zero rows at every scale of this corpus and would only add a
+    // frequency build + semi-join probe to the hot path.
     "q_basket_lift" -> QueryDef(
       (s, d) => {
         val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
