@@ -430,6 +430,20 @@ object Similarity {
     * |queries| × rerankK exact dots — independent of corpus size — and
     * recall is governed by whether the true neighbors survive into the
     * ADC shortlist, not by ADC's (lossy) ordering of them.
+    *
+    * SIZE rerankK WITH THE CORPUS, not as a constant: quantization error
+    * pushes true neighbors further down the ADC ranking as the corpus
+    * densifies, so a fixed shortlist loses recall at scale. Measured at
+    * 64-dim/16×4/64-code (RecallProbe pqSweep, r14): recall@5 = 0.992 at
+    * 2k rows with rerankK=200 (a 10% shortlist), but the SAME rerankK at
+    * 200k rows (0.1%) reads 0.684; holding ≥0.8 there needs ≈500
+    * (0.792 @ 400, 0.872 @ 800, 0.932 @ 1600, 0.976 @ 3200). The
+    * registered queries keep the sf0.1-calibrated 200 because their
+    * DuckDB oracles replay those exact constants; a production
+    * deployment should size the shortlist as a corpus fraction —
+    * `rerankK = max(200, n/250)` (0.4%) holds ≥0.87 on this data, n/100
+    * for the 0.93+ regime — at |queries|×rerankK exact dots of refine
+    * cost.
     */
   def pqAdcTopK(
       emb: DataFrame,

@@ -131,9 +131,35 @@ object RecallProbe {
       if (nPlanted == 0) 1.0 else found.toDouble / nPlanted.toDouble)
   }
 
+  /** PQ recall@5 vs exact top-5 at one rerank-shortlist size — the
+    * rerankK scaling curve at a given corpus scale. The registered
+    * queries keep the sf0.1-calibrated rerankK=200 (the static oracle
+    * SQL replays those constants), so this probe is how the 100×-scale
+    * operating point is chosen: shortlist size must grow with the corpus
+    * (quantization error pushes true neighbors further down the ADC
+    * ranking as the corpus densifies).
+    */
+  def pqRecallAt(base: DataFrame, rerankK: Int): (Long, Long, Double) = {
+    val exact = Caching.materializeAndRelease(
+      Similarity.cosineTopKFromBase(base, k = 5, queryPred = col("cid") < 50)
+        .select("query_id", "neighbor_id"))
+    val pq = Caching.materializeAndRelease(
+      Similarity.pqAdcTopKFromBase(base, k = 5, queryPred = col("cid") < 50,
+        subspaces = 16, subDim = 4, nCodes = 64, rerankK = rerankK)
+        .select("query_id", "neighbor_id"))
+    val nExact = exact.count()
+    val hits = pq.join(exact, Seq("query_id", "neighbor_id")).count()
+    Caching.release(exact); Caching.release(pq)
+    (hits, nExact, if (nExact == 0) 1.0 else hits.toDouble / nExact.toDouble)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val skipFull = args.length > 1 && args(1) == "skipFull"
+    // `pqSweep` arg: measure PQ recall@5 across rerankK values instead of
+    // the standard probe set (`runMain graft.tools.RecallProbe /tmp/sf10
+    // pqSweep 200,400,800,1600`)
+    val pqSweep = args.length > 1 && args(1) == "pqSweep"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -144,6 +170,23 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val emb = graft.queries.Tables.t(spark, sfDir, "embeddings")
+
+    if (pqSweep) {
+      val ks = args.lift(2).getOrElse("200,400,800,1600").split(",").map(_.trim.toInt)
+      val base = Similarity.prepBase(emb, "vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = base.count()
+      ks.foreach { k =>
+        val (hits, nExact, recall) = pqRecallAt(base, k)
+        println(
+          s"""{"probe":"pq_rerank_sweep","n":$n,"rerank_k":$k,""" +
+            s""""n_hits":$hits,"n_exact":$nExact,"recall":$recall}""")
+      }
+      base.unpersist(false)
+      spark.stop()
+      return
+    }
 
     if (!skipFull)
       println(fullRecall(
