@@ -212,12 +212,16 @@ object Similarity {
     * relevant clusters.
     */
   def clusterAssign(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = prepBase(emb, idCol, vecCol)
     val centroids = base
       .filter(col("cid") < k)
       .select(col("cid").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy("cid").orderBy(col("sim").desc, col("centroid_id").asc)
+    // argmax as a declarative MAX of (sim, −centroid) structs — the same
+    // total order the window rank (sim desc, centroid_id asc) gave, but
+    // with map-side partial combine: the ×k candidate fan-out collapses
+    // to one row per vector BEFORE the shuffle, instead of sorting n×k
+    // rows through a per-vector window (20M rows at the 100× fixture for
+    // k=100). Same move as pqEncode's argmax (Similarity.pqEncode).
     base
       .crossJoin(broadcast(centroids))
       .select(
@@ -225,9 +229,9 @@ object Similarity {
         col("centroid_id"),
         (fastDot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("sim")
       )
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cid").as("vec_id"), col("centroid_id"))
+      .groupBy("cid")
+      .agg(max(struct(col("sim"), (-col("centroid_id")).as("negc"))).as("best"))
+      .select(col("cid").as("vec_id"), (-col("best.negc")).as("centroid_id"))
   }
 
   /** SemDeDup-style semantic dedup: quantize the corpus into coarse cells

@@ -494,26 +494,16 @@ object TextOps {
       k: Int = 8,
       w: Int = 4
   ): DataFrame = {
+    // one native pass per document (md5 window hashes + sliding min +
+    // ordered dedup — see WinnowRuns); coalesce keeps the legacy
+    // null-text → empty-array contract of the HOF chain it replaces
     val emptyLongs = array().cast("array<bigint>")
-    df.select(col(idCol), normalize(col(textCol)).as("__nt"))
-      .withColumn(
-        "__hs",
-        when(
-          length(col("__nt")) >= k,
-          transform(
-            sequence(lit(1), length(col("__nt")) - (k - 1)),
-            i => conv(substring(md5(col("__nt").substr(i, lit(k))), 1, 8), 16, 10).cast("long"))
-        ).otherwise(emptyLongs))
-      .withColumn(
-        "fps",
-        array_distinct(
-          when(
-            size(col("__hs")) >= w,
-            transform(
-              sequence(lit(1), size(col("__hs")) - (w - 1)),
-              j => array_min(slice(col("__hs"), j, lit(w))))
-          ).otherwise(emptyLongs)))
-      .select(col(idCol), col("fps"))
+    df.select(
+      col(idCol),
+      coalesce(
+        ExprBridge.column(graft.functions.WinnowRuns(
+          ExprBridge.expression(normalize(col(textCol))), k, w)),
+        emptyLongs).as("fps"))
   }
 
   /** Language-ID n-gram/stopword heuristic: score each candidate language

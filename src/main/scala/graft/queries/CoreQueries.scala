@@ -488,11 +488,22 @@ object CoreQueries {
     //      compare fails iff the sketch ever drifts out of bound. ----
     "q_approx_count_distinct" -> QueryDef(
       (s, d) =>
+        // Dedup the (group, value) pairs FIRST, then aggregate plainly:
+        // mixing countDistinct with a non-distinct aggregate plans an
+        // Expand + value-keyed partial agg (60M rows doubled, 936 MB
+        // shuffle, 2 GB spill at the 100× fixture — r14 forced-bench
+        // finding). The HLL sketch is insertion-idempotent (registers
+        // are maxes), so approx_count_distinct over the deduped pairs is
+        // bit-identical to the multiset sketch, the exact count becomes
+        // a plain count, and the one shuffle carries the map-side-
+        // combined distinct pairs.
         t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_partkey"))
+          .distinct()
           .groupBy("l_returnflag")
           .agg(
             approx_count_distinct(col("l_partkey")).as("__approx"),
-            countDistinct(col("l_partkey")).as("__exact"))
+            count(lit(1)).as("__exact"))
           .select(
             col("l_returnflag"),
             (abs(col("__approx") - col("__exact")).cast("double") <=

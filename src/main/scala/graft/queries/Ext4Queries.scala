@@ -155,18 +155,31 @@ object Ext4Queries {
     //      The O(m²) verify never leaves a cell — the linear-ish recipe
     //      for semantic dedup over web-scale embedding corpora ----
     "dedup_semantic" -> QueryDef(
-      (s, d) =>
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // SemDeDup's pairwise stage is O(n²/k): a FIXED cell count is
+        // quadratic at scale (k=8 measured 142.7 s at the 100× fixture —
+        // 2.5G in-cell dot products). Size the cell count with the
+        // corpus (avg cell ≈ 2000 rows → in-cell pair work grows
+        // linearly in n), exactly as the SemDeDup recipe prescribes
+        // (cluster count tracks corpus size). The oracle replays the
+        // SAME count-derived k, so the result stays hash-exact at every
+        // scale; at the sf0.01/sf0.1 gates the formula floors to the
+        // historical k=8. The count() is metadata-only on parquet.
+        val k = math.max(8L, emb.count() / 2000L).toInt
         Similarity.semanticDedup(
-          t(s, d, "embeddings"), "vec_id", "embedding",
-          k = 8, threshold = 0.35
-        ).withColumn("centroid_id", col("centroid_id").cast("long")),
-      Some("""WITH cl AS (
+          emb, "vec_id", "embedding",
+          k = k, threshold = 0.35
+        ).withColumn("centroid_id", col("centroid_id").cast("long"))
+      },
+      Some("""WITH kk AS (SELECT GREATEST(8, COUNT(*) // 2000) AS k FROM embeddings),
+             |cl AS (
              |  SELECT vid AS vec_id, cid AS centroid_id FROM (
              |    SELECT v.vec_id AS vid, c.vec_id AS cid,
              |      row_number() OVER (PARTITION BY v.vec_id
              |        ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
              |                 c.vec_id) AS rn
-             |    FROM embeddings v, embeddings c WHERE c.vec_id < 8
+             |    FROM embeddings v, embeddings c, kk WHERE c.vec_id < kk.k
              |  ) WHERE rn = 1),
              |m AS (SELECT cl.vec_id, cl.centroid_id, CAST(e.embedding AS DOUBLE[]) AS v
              |      FROM cl JOIN embeddings e USING (vec_id)),

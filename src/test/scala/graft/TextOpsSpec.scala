@@ -68,6 +68,50 @@ class TextOpsSpec extends SparkSpec {
     assert(s0.isEmpty)
   }
 
+  test("winnowing native expression matches the HOF chain (seeded, 150 strings)") {
+    // WinnowRuns replaced a transform/slice HOF chain (r14); pin value
+    // AND ORDER parity against the original Spark-expression form —
+    // md5/conv/substr/array_min/array_distinct semantics included —
+    // over random texts incl. whitespace runs, punctuation, and
+    // boundary lengths around k=8 and k+w-1.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(20260814)
+    val alphabet = "abcdefghij0123 ,.!-\t\n"
+    val texts = (1 to 150).map { i =>
+      val len = rnd.nextInt(40) + (if (i % 3 == 0) 0 else 6) // hit <k, ==k, >k+w
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } :+ (991L, "") :+ (992L, "        ") :+ (993L, null.asInstanceOf[String])
+    val df = texts.toDF("doc_id", "text")
+    val k = 8
+    val w = 4
+    val emptyLongs = array().cast("array<bigint>")
+    val hofForm = df
+      .select(col("doc_id"), graft.ops.TextOps.normalize(col("text")).as("__nt"))
+      .withColumn(
+        "__hs",
+        when(
+          length(col("__nt")) >= k,
+          transform(
+            sequence(lit(1), length(col("__nt")) - (k - 1)),
+            i => conv(substring(md5(col("__nt").substr(i, lit(k))), 1, 8), 16, 10).cast("long"))
+        ).otherwise(emptyLongs))
+      .withColumn(
+        "fps",
+        array_distinct(
+          when(
+            size(col("__hs")) >= w,
+            transform(
+              sequence(lit(1), size(col("__hs")) - (w - 1)),
+              j => array_min(slice(col("__hs"), j, lit(w))))
+          ).otherwise(emptyLongs)))
+      .select(col("doc_id"), col("fps"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("fps").toList).toMap
+    val native = graft.ops.TextOps.winnowFingerprints(df, "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("fps").toList).toMap
+    assert(native == hofForm)
+    assert(native.values.exists(_.nonEmpty))
+  }
+
   test("langId picks the language with most marker hits") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
