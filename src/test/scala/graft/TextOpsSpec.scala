@@ -112,6 +112,24 @@ class TextOpsSpec extends SparkSpec {
     assert(native.values.exists(_.nonEmpty))
   }
 
+  test("WinnowRuns interpreted eval equals generated code") {
+    val inputs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaaaaaa"), (3L, "short"), (4L, ""), (5L, "exactly8"))
+    def run(codegen: String): Map[Long, List[Long]] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try graft.ops.TextOps.winnowFingerprints(
+        inputs.toDF("doc_id", "text"), "doc_id", "text", k = 8, w = 4)
+        .collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("fps").toList)
+        .toMap
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val gen = run("CODEGEN_ONLY")
+    assert(gen == run("NO_CODEGEN"))
+    assert(gen(1L).nonEmpty && gen(3L).isEmpty)
+  }
+
   test("langId picks the language with most marker hits") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
