@@ -140,4 +140,48 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 20L, None, None),
       (3L, 31L, Some(30L), Some("click"))))
   }
+
+  test("histogram discrete quantile equals sort-rank quantile (seeded, heavy ties)") {
+    // q_quantile_disc (r14) computes the rank-r order statistic as the
+    // smallest value whose cumulative count reaches r, from the (group,
+    // value) histogram, instead of a per-group row_number sort. Pin the
+    // identity where it could break: heavy ties, rank targets landing
+    // exactly on a tie run's boundary, groups of size 1, odd/even sizes.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(14)
+    val rows = (1 to 4000).map { i =>
+      val g = s"g${rnd.nextInt(7)}"
+      // small value domain → long tie runs
+      (g, rnd.nextInt(9).toDouble, i.toLong)
+    } :+ (("solo", 3.0, 99991L))
+    val df = rows.toDF("g", "v", "id")
+
+    def histForm(q: Double) = {
+      val counts = df.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("g").orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("g")
+      counts
+        .withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("n", sum(col("c")).over(wn))
+        .groupBy("g")
+        .agg(min(when(col("cum") >= greatest(lit(1L), ceil(lit(q) * col("n"))),
+          col("v"))).as("qv"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    def sortForm(q: Double) = {
+      val w = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+      val wn = Window.partitionBy("g")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("g")
+        .agg(max(when(col("rn") === greatest(lit(1L), ceil(lit(q) * col("n"))),
+          col("v"))).as("qv"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    for (q <- Seq(0.1, 0.5, 0.9, 0.999))
+      assert(histForm(q) == sortForm(q), s"quantile $q diverged")
+  }
 }
