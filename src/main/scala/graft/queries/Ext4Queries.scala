@@ -358,8 +358,15 @@ object Ext4Queries {
         // hash insert per generated pair was pure overhead on the
         // query's heaviest stage; (b) AQE cannot coalesce an explicit-N
         // user repartition, so the agg keeps full width instead of the
-        // measured 35 coalesced tasks spilling ~1.2 GB
-        val nPart = s.sessionState.conf.numShufflePartitions
+        // measured 35 coalesced tasks spilling ~1.2 GB. 2× the batch
+        // lever (r14 A/B at sf10: 37.9/37.3 s vs 43.8/51.1 s at 1×,
+        // sf0.1 indifferent): the ~1.5B-pair agg state per task halves,
+        // cutting memory pressure on the complete agg. The remaining
+        // 450 MB spill is the self-join's SMJ sorts, not the agg —
+        // a SHUFFLE_HASH hint removes it entirely but costs +37% wall
+        // (hash-build over 235k keys/partition loses to the sorted
+        // merge; measured negative, rejected).
+        val nPart = s.sessionState.conf.numShufflePartitions * 2
         val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
           .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
           .filter(col("pa") < col("pb"))
