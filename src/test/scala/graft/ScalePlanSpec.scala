@@ -345,4 +345,52 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q_quantile_disc computes quantiles from the histogram, never a fact-table sort window") {
+    // r14: the rank-r order statistic comes from the (group, value)
+    // histogram + cumsum — the sort form moved the whole fact table into
+    // 3 returnflag window partitions (725 MB shuffle into 3 tasks at the
+    // 100x fixture). row_number anywhere in this plan means the
+    // regression is back.
+    val plan = graft.SparkEntry
+      .queries("q_quantile_disc")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), plan)
+    // the window must run over the aggregated histogram: exactly one
+    // aggregate (partial+final pair) BELOW the window operator
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q_approx_count_distinct plans no Expand (dedup-first, not mixed-distinct agg)") {
+    // r14: countDistinct mixed with a plain aggregate plans an Expand
+    // over the fact table (rows doubled, 2 GB spill at the 100x
+    // fixture); the dedup-first shape must keep Expand out of the plan
+    val plan = graft.SparkEntry
+      .queries("q_approx_count_distinct")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
+
+  test("clusterAssign argmax is an aggregate with map-side combine, not a window rank") {
+    // r14: the n x k candidate fan-out must collapse via partial
+    // max-struct aggregation before any exchange — a per-vector
+    // row_number window would sort the whole fan-out
+    val plan = graft.ops.Similarity
+      .clusterAssign(
+        graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings"),
+        "vec_id", "embedding", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("row_number"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+  }
+
+  test("text_winnow_fingerprint is shuffle-free: one native projection over the scan") {
+    val plan = graft.SparkEntry
+      .queries("text_winnow_fingerprint")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("graft_winnow_runs"), plan)
+  }
 }
