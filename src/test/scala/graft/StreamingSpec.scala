@@ -264,6 +264,40 @@ class StreamingSpec extends SparkSpec {
       s"HDFS-provider .delta files present — RocksDB did not engage: $stateFiles")
   }
 
+  test("left-outer interval join = inner matches + watermark-proven nulls only") {
+    val src = sf("sf0.001") + "/events.parquet"
+    val lookback = 6 * 3600 * 1000L
+    val inner = EventStream.intervalJoinRunOnce(spark, src, lookback, "0 seconds")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val left = EventStream.intervalJoinLeftRunOnce(spark, src, lookback, "0 seconds")
+      .collect()
+    val leftMatched = left.filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val leftNulls = left.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    // matched subset emits watermark-independently: identical to inner
+    assert(leftMatched == inner)
+    // null rows exist, and never for a purchase that also matched
+    assert(leftNulls.nonEmpty)
+    assert(leftNulls.intersect(leftMatched.map(_._1)).isEmpty)
+    // every purchase appears at most once as a null row
+    val nullList = left.filter(_.isNullAt(1)).map(_.getLong(0))
+    assert(nullList.length == nullList.distinct.length)
+    // eviction contract: nulls only for purchases strictly below the
+    // min-of-two-inputs watermark; head purchases stay buffered
+    val ev = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+    val wm = math.min(
+      ev.filter(col("event_type") === "purchase").agg(max("ts_us")).head().getLong(0),
+      ev.filter(col("event_type") === "click").agg(max("ts_us")).head().getLong(0))
+    val purchaseTs = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "ts_us").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(leftNulls.forall(pid => purchaseTs(pid) < wm))
+    // completeness: every unmatched purchase below the watermark DID emit
+    val unmatchedBelow = purchaseTs.collect {
+      case (pid, ts) if ts < wm && !leftMatched.exists(_._1 == pid) => pid
+    }.toSet
+    assert(unmatchedBelow == leftNulls)
+  }
+
   test("drain runs on a scoped session: shared conf unchanged under a concurrent batch job") {
     // A drain sizes streaming state to actual parallelism. Pre-r14 that
     // was a set-and-restore of spark.sql.shuffle.partitions on the SHARED
