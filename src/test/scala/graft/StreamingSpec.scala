@@ -264,6 +264,55 @@ class StreamingSpec extends SparkSpec {
       s"HDFS-provider .delta files present — RocksDB did not engage: $stateFiles")
   }
 
+  test("stateful restart survives a CHANGED shuffle conf: checkpoint pins the state-store count") {
+    // the cluster-resize property: spark.sql.shuffle.partitions is read
+    // at first query start and pinned in the checkpoint for the state's
+    // lifetime; a restarted lifecycle with a DIFFERENT session conf must
+    // recover and produce the same result, not re-shard state. Stage 1
+    // runs a windowed count at 3 partitions, stage 2 adds data and
+    // restarts the same checkpoint on a session configured with 7.
+    val src = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
+      .select("ts", "event_type", "value")
+    val srcDir = Files.createTempDirectory("resize-src").toString
+    val outDir = Files.createTempDirectory("resize-out").toString + "/sink"
+    val ckpt = Files.createTempDirectory("resize-ckpt").toString
+    val half = (src.count() / 2).toInt
+    src.limit(half).coalesce(1).write.mode("append").parquet(srcDir)
+
+    def drain(parts: String): Unit = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", parts)
+      val q = ss.readStream.schema(src.schema).parquet(srcDir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+
+    drain("3")
+    src.exceptAll(src.limit(half)).coalesce(1).write.mode("append").parquet(srcDir)
+    drain("7") // restarted lifecycle under a different conf
+    // the two-lifecycle output must equal the watermark-passed subset of
+    // the single-run complete aggregation (same assertion family as
+    // runOnceAppend)
+    val got = windowTriples(spark.read.parquet(outDir)
+      .select(col("ws"), col("event_type"), col("n")))
+    val complete = windowTriples(
+      src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n")))
+    assert(got.nonEmpty && got.subsetOf(complete))
+    // windows the final watermark passed are all present and exact
+    val cutoff = got.map(_._1.getTime).max
+    assert((complete -- got).forall(_._1.getTime > cutoff))
+  }
+
   test("left-outer interval join = inner matches + watermark-proven nulls only") {
     val src = sf("sf0.001") + "/events.parquet"
     val lookback = 6 * 3600 * 1000L
