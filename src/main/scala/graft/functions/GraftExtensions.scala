@@ -55,5 +55,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleRuns.builder
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier(WinnowRuns.name),
+        new ExpressionInfo(classOf[WinnowRuns].getName, null, WinnowRuns.name),
+        WinnowRuns.builder
+      )
+    )
   }
 }

@@ -46,7 +46,7 @@ case class WinnowRuns(child: Expression, k: Int, w: Int) extends UnaryExpression
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def prettyName: String = "graft_winnow_runs"
+  override def prettyName: String = WinnowRuns.name
 
   override protected def nullSafeEval(value: Any): Any =
     WinnowRuns.run(value.asInstanceOf[UTF8String], k, w)
@@ -60,8 +60,21 @@ case class WinnowRuns(child: Expression, k: Int, w: Int) extends UnaryExpression
 }
 
 object WinnowRuns {
+  val name = "graft_winnow_runs"
 
   private val Empty = new GenericArrayData(Array.empty[Any])
+
+  /** SQL-route builder (GraftExtensions): k and w arrive as int
+    * literals, consumed at plan build (the ShingleRuns discipline).
+    */
+  val builder: Seq[Expression] => Expression = exprs => {
+    def intLit(e: Expression): Int = e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(s"expected int literal, got $other")
+    }
+    WinnowRuns(exprs.head, intLit(exprs(1)), intLit(exprs(2)))
+  }
 
   /** Shared kernel (interpreted and generated paths). */
   def run(s: UTF8String, k: Int, w: Int): ArrayData = {

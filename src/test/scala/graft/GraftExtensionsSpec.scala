@@ -69,6 +69,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out == Seq("a b c", "b c d"))
   }
 
+  test("graft_winnow_runs resolves from SQL and matches the TextOps column route") {
+    val fresh = spark.newSession()
+    val text = "the quick brown fox jumps over the lazy dog"
+    val sqlOut = fresh.sql(
+      s"SELECT graft_winnow_runs('$text', 8, 4) AS f")
+      .collect()(0).getSeq[Long](0)
+    import fresh.implicits._
+    val colOut = graft.ops.TextOps
+      .winnowFingerprints(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", 8, 4)
+      .collect()(0).getAs[scala.collection.Seq[Long]]("fps")
+    // the SQL route skips normalize(); this text is already normalized,
+    // so the two routes must agree exactly
+    assert(sqlOut.nonEmpty && sqlOut == colOut)
+  }
+
   test("both routes build the same expression (shared builder, no drift)") {
     import graft.functions.{ArrayDot, SrpBuckets}
     import org.apache.spark.sql.catalyst.expressions.Literal
