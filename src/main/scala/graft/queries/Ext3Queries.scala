@@ -615,35 +615,29 @@ object Ext3Queries {
       "per-group z-score via exact integer moments, broadcast stats"
     ),
 
-    // exact interpolated percentiles (p50/p90) per group: rank positions
-    // by window, pick the two bracketing order statistics with
-    // conditional aggregation, interpolate with the IDENTICAL double
-    // formula on both engines (built-in percentile_cont impls differ in
-    // association order, so the formula is spelled out)
+    // exact interpolated percentiles (p50/p90) per group via two-phase
+    // distributed selection (ops/Quantiles): the previous window form
+    // sorted the whole table inside 5 priority partitions — parallelism
+    // capped at |groups| at any cluster size (13.6× scale ratio at the
+    // 100× fixture). Selection picks the IDENTICAL bracketing order
+    // statistics; the interpolation formula is spelled out the same on
+    // both engines (built-in percentile_cont impls differ in
+    // association order)
     "q_percentile_cont" -> QueryDef(
       (s, d) => {
-        val wOrd = org.apache.spark.sql.expressions.Window
-          .partitionBy("o_orderpriority")
-          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-        val wAll = org.apache.spark.sql.expressions.Window.partitionBy("o_orderpriority")
-        t(s, d, "orders")
-          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-          .withColumn("rn", row_number().over(wOrd))
-          .withColumn("n", count(lit(1)).over(wAll))
-          .withColumn("k5", (col("n") - 1) * lit(0.5))
-          .withColumn("k9", (col("n") - 1) * lit(0.9))
-          .groupBy("o_orderpriority")
+        val st = graft.ops.Quantiles.bracketingStats(
+          t(s, d, "orders").select(
+            col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
+          "o_orderpriority", "o_totalprice", "o_orderkey",
+          ps = Seq(0.5, 0.9), bucketWidth = 1000.0)
+        st
+          .withColumn("value",
+            col("lo") + (col("k") - floor(col("k"))) * (col("hi") - col("lo")))
+          .groupBy("g")
           .agg(
-            min(when(col("rn") === floor(col("k5")) + 1, col("o_totalprice"))).as("l5"),
-            min(when(col("rn") === ceil(col("k5")) + 1, col("o_totalprice"))).as("h5"),
-            min(when(col("rn") === floor(col("k9")) + 1, col("o_totalprice"))).as("l9"),
-            min(when(col("rn") === ceil(col("k9")) + 1, col("o_totalprice"))).as("h9"),
-            min(col("k5")).as("__k5"),
-            min(col("k9")).as("__k9"))
-          .select(
-            col("o_orderpriority"),
-            (col("l5") + (col("__k5") - floor(col("__k5"))) * (col("h5") - col("l5"))).as("p50"),
-            (col("l9") + (col("__k9") - floor(col("__k9"))) * (col("h9") - col("l9"))).as("p90"))
+            min(when(col("p") === 0.5, col("value"))).as("p50"),
+            min(when(col("p") === 0.9, col("value"))).as("p90"))
+          .select(col("g").as("o_orderpriority"), col("p50"), col("p90"))
       },
       Some("""WITH b AS (
              |  SELECT o_orderpriority, o_totalprice,

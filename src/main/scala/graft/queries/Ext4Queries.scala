@@ -987,7 +987,9 @@ object Ext4Queries {
     //      excerpts) that symmetric Jaccard misses at size skew ----
     "dedup_containment" -> QueryDef(
       (s, d) =>
-        Dedup.containmentPairsFromShingles(
+        // r14: prefix filter on the contained side (AllPairs lemma —
+        // identical output to the dense index join, pinned by DedupSpec)
+        Dedup.prefixContainmentPairsFromShingles(
           SharedIntermediates.shingles(s, d),
           thresholdNum = 4, thresholdDen = 5, maxShingleFreq = Some(50)),
       Some("""WITH toks AS (

@@ -184,4 +184,46 @@ class AnalyticsSpec extends SparkSpec {
     for (q <- Seq(0.1, 0.5, 0.9, 0.999))
       assert(histForm(q) == sortForm(q), s"quantile $q diverged")
   }
+
+  test("two-phase selection equals the window sort form for bracketing order stats") {
+    // ops/Quantiles.bracketingStats replaces the |groups|-partition
+    // window sort with bucketed selection. Pin value-for-value equality
+    // against the sort form where selection could break: rank targets on
+    // bucket boundaries, duplicated values spanning buckets, singleton
+    // groups, integral k (lo == hi), and a bucket width so coarse that
+    // several targets land in the same bucket.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 5000).map { i =>
+      (s"g${rnd.nextInt(5)}", rnd.nextInt(200).toDouble / 2.0, i.toLong)
+    } ++ Seq(("solo", 7.5, 99991L), ("pair", 1.0, 99992L), ("pair", 2.0, 99993L))
+    val df = rows.toDF("g", "v", "id")
+    val ps = Seq(0.25, 0.5, 0.9, 0.999)
+
+    def sortForm: Set[(String, Double, Double, Double)] = {
+      val w = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+      val wn = Window.partitionBy("g")
+      val ranked = df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      ps.flatMap { p =>
+        ranked
+          .withColumn("k", (col("n") - 1) * lit(p))
+          .groupBy("g")
+          .agg(
+            min(when(col("rn") === floor(col("k")) + 1, col("v"))).as("lo"),
+            min(when(col("rn") === ceil(col("k")) + 1, col("v"))).as("hi"))
+          .collect().map(r => (r.getString(0), p, r.getDouble(1), r.getDouble(2)))
+      }.toSet
+    }
+    for (width <- Seq(0.7, 5.0, 1000.0)) {
+      val sel = graft.ops.Quantiles
+        .bracketingStats(df, "g", "v", "id", ps, bucketWidth = width)
+        .select("g", "p", "lo", "hi")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+      assert(sel == sortForm, s"bucketWidth=$width: selection diverged from sort form")
+    }
+  }
 }

@@ -147,6 +147,62 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty, "size-skewed subset must be invisible to Jaccard >= 0.8")
   }
 
+  test("prefix-filtered Jaccard equals the dense inverted-index path on the fixture") {
+    val sh = Dedup.shingleRows(
+      graft.queries.Tables.t(spark, sf("sf0.001"), "documents"), "doc_id", "text", 3)
+    // registry shape (t = 4/5, df cap 50) AND a loose threshold that
+    // admits many more pairs — both must agree row-for-row with the
+    // dense path (the prefix filter is lossless by the AllPairs lemma)
+    for ((num, den, cap) <- Seq((4, 5, Some(50)), (1, 2, None))) {
+      val dense = Dedup.ngramJaccardPairsFromShingles(sh, num, den, cap)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val pref = Dedup.prefixJaccardPairsFromShingles(sh, num, den, cap)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(dense.nonEmpty, s"fixture should contain pairs at $num/$den")
+      assert(pref == dense, s"t=$num/$den cap=$cap: prefix path diverged from dense path")
+    }
+  }
+
+  test("prefix-filtered containment equals the dense path on the fixture") {
+    val sh = Dedup.shingleRows(
+      graft.queries.Tables.t(spark, sf("sf0.001"), "documents"), "doc_id", "text", 3)
+    for ((num, den, cap) <- Seq((4, 5, Some(50)), (1, 2, None))) {
+      val dense = Dedup.containmentPairsFromShingles(sh, num, den, cap)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val pref = Dedup.prefixContainmentPairsFromShingles(sh, num, den, cap)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(dense.nonEmpty, s"fixture should contain containment pairs at $num/$den")
+      assert(pref == dense, s"t=$num/$den cap=$cap: prefix containment diverged from dense")
+    }
+  }
+
+  test("prefix paths: synthetic edges — identical docs, embedded doc, df cap") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("lazy", "sleepy")
+    val short0 = "alpha beta gamma delta epsilon"
+    val long0 = short0 + " zeta eta theta iota kappa lambda mu nu xi"
+    val df = docs(1L -> base, 2L -> base, 3L -> near, 4L -> short0, 5L -> long0,
+      6L -> "completely unrelated corpus words about engines")
+    val sh = Dedup.shingleRows(df, "doc_id", "text", 3)
+    // identical pair found at any threshold; near pair at 1/2 only
+    val jHi = Dedup.prefixJaccardPairsFromShingles(sh, 9, 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(jHi == Set((1L, 2L)))
+    val jLo = Dedup.prefixJaccardPairsFromShingles(sh, 1, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(jLo.contains((1L, 2L)) && jLo.contains((1L, 3L)))
+    // directional containment: short ⊂ long, plus the identical pair both ways
+    val cont = Dedup.prefixContainmentPairsFromShingles(sh, 4, 5)
+      .select("contained_id", "container_id").as[(Long, Long)].collect().toSet
+    assert(cont.contains((4L, 5L)) && !cont.contains((5L, 4L)), cont.toString)
+    assert(cont.contains((1L, 2L)) && cont.contains((2L, 1L)), cont.toString)
+    // df cap drops non-discriminative shingles entirely (dense-path parity)
+    val capped = Dedup.prefixJaccardPairsFromShingles(
+      Dedup.shingleRows(docs(1L -> "a b c", 2L -> "a b c", 3L -> "a b c"), "doc_id", "text", 3),
+      1, 2, maxShingleFreq = Some(2))
+    assert(capped.count() == 0)
+  }
+
   test("chunkDedup: corpus-wide first occurrence survives, text reassembled in order") {
     // chunk size 2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [c d]
     // repeated within doc 3 itself would also dedup — covered by doc 4

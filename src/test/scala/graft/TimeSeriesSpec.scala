@@ -61,6 +61,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Map(1L -> 1L))
   }
 
+  test("proximityCount rank-difference equals brute force on seeded random data") {
+    // the r14 rank-difference form (F(t+w) − F(t−w−1) over two-level
+    // bucket prefix sums) must agree with the O(n²) definition on data
+    // hitting its edges: bounds on exact bucket boundaries, empty
+    // buckets between bounds, ties at the window edge, pre-1970
+    // (negative µs) timestamps exercising the floor-div
+    val rnd = new scala.util.Random(77)
+    val ls = (1 to 300).map(i => (i.toLong, rnd.nextLong(4000L) - 2000L))
+    val rs = (1 to 500).map(i => (1000L + i, rnd.nextLong(4000L) - 2000L))
+    def ev(rows: Seq[(Long, Long)]) = rows
+      .toDF("id", "us").select(col("id"), timestamp_micros(col("us")).as("ts"))
+    for (w <- Seq(1L, 7L, 100L, 333L)) {
+      val expect = ls.map { case (id, t) =>
+        id -> rs.count { case (_, r) => math.abs(t - r) <= w }.toLong
+      }.toMap
+      val got = TimeSeries.proximityCount(ev(ls), ev(rs), "id", "ts", windowUs = w)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"window $w diverged from brute force")
+    }
+  }
+
   test("proximityCount plans as a hash join on the bucket key, never a nested loop") {
     val ev = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
     val plan = TimeSeries
