@@ -230,66 +230,65 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** Shared prefix-filter build: hash + df-cap the shingle frame exactly
-    * as [[shingleInterSizes]] does, then rank each document's shingles in
-    * the GLOBAL rarest-first order (ascending document frequency, ties by
-    * hash — a total order, so prefixes are deterministic). Returns the
-    * ranked frame (`sid, s, sz, rk`) and the persisted capped frame the
-    * caller must release. One window shuffle by `sid` replaces the dense
-    * path's full-index self-join as the dominant pre-candidate cost.
+    * as [[shingleInterSizes]] does, then collect each document's
+    * (df, hash) pairs with ONE hash aggregation and sort them in-row
+    * (`sort_array` on the struct = ascending document frequency, ties by
+    * hash — the deterministic GLOBAL rarest-first total order the
+    * AllPairs lemma needs). Deliberately NOT a `row_number` window: the
+    * window form shuffles AND sorts every shingle row inside
+    * partitionBy(sid) and re-materializes the full frame, which the sf10
+    * probe measured at 665 s cumulative run for the window+checkpoint
+    * stage alone — 10× the cost of sorting the same elements inside
+    * their per-doc arrays after a plain hash agg.
+    *
+    * Prefix length per doc is `sz − ⌈t·sz⌉ + 1`, integer-exact.
+    * Lemma (AllPairs): if |A∩B| ≥ α then, under any global element
+    * order, the first |A|−α+1 elements of A and the first |B|−α+1 of B
+    * share the MINIMAL common element (else all α common elements would
+    * have to fit in a suffix of length α−1). Jaccard ≥ num/den implies
+    * |A∩B| ≥ ⌈t·max(|A|,|B|)⌉ ≥ ⌈t·|A|⌉, so the per-doc bound is a
+    * superset of the required prefix; containment |A∩B|/|A| ≥ t implies
+    * the same bound on the contained side.
+    *
+    * Returns (sid, arr, sz, pfx) PERSISTED — the caller releases it.
+    * `arr` holds the doc's DISTINCT shingle hashes, so it doubles as the
+    * exact verification set (`array_intersect` cardinality equals the
+    * dense inverted-index intersection count) and verification re-reads
+    * no corpus data; `sz` matches the dense path's per-doc size because
+    * both count the same capped rows.
     */
-  private def rankedShingles(
+  private def prefixDocArrays(
       shingles: DataFrame,
+      thresholdNum: Int,
+      thresholdDen: Int,
       maxShingleFreq: Option[Int]
-  ): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+  ): DataFrame = {
     val sh = shingles.select(col("sid"), xxhash64(col("s")).as("s"))
     val freq0 = sh.groupBy("s").agg(count(lit(1)).as("df_freq"))
     // same cap semantics as the dense path: sizes and prefixes both come
     // from the capped set (mixing capped/uncapped drops all-heavy pairs)
     val freq = maxShingleFreq.map(c => freq0.filter(col("df_freq") <= c)).getOrElse(freq0)
-    val shF = sh.join(freq, "s")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val byDoc = Window.partitionBy("sid")
-    val ranked = shF
-      .withColumn("rk", row_number().over(byDoc.orderBy(col("df_freq"), col("s"))))
-      .withColumn("sz", count(lit(1)).over(byDoc))
-    (ranked, shF)
-  }
-
-  /** `rk ≤ |d| − ⌈t·|d|⌉ + 1` — the prefix-filter bound, integer-exact.
-    * Lemma (AllPairs): if |A∩B| ≥ α then, under any global element
-    * order, the first |A|−α+1 elements of A and the first |B|−α+1 of B
-    * share the MINIMAL common element (else all α common elements would
-    * have to fit in a suffix of length α−1). Jaccard ≥ num/den implies
-    * |A∩B| ≥ ⌈t·max(|A|,|B|)⌉ ≥ ⌈t·|A|⌉, so the per-doc bound below is a
-    * superset of the required prefix; containment |A∩B|/|A| ≥ t implies
-    * the same bound on the contained side.
-    */
-  private def prefixBound(thresholdNum: Int, thresholdDen: Int): Column =
-    col("rk") <= expr(
-      s"sz - ((sz * $thresholdNum + ${thresholdDen - 1}) DIV $thresholdDen) + 1")
-
-  /** Per-doc shingle-hash arrays for exactly the docs appearing in the
-    * (checkpointed) candidate pair set — the verification side of the
-    * prefix join. `sz` is recomputed from the same capped rows, so it
-    * equals the dense path's per-doc size. Arrays hold each doc's
-    * DISTINCT shingle hashes, so `array_intersect` cardinality is the
-    * exact intersection count the inverted-index join would produce.
-    */
-  private def candidateDocArrays(shF: DataFrame, cands: DataFrame): DataFrame =
-    pairSideFilter(shF.select("sid", "s"), cands)
+    sh.join(freq, "s")
       .groupBy("sid")
-      .agg(collect_list(col("s")).as("arr"), count(lit(1)).as("sz"))
+      .agg(sort_array(collect_list(struct(col("df_freq"), col("s")))).as("ds"))
+      .select(
+        col("sid"),
+        expr("transform(ds, x -> x.s)").as("arr"),
+        size(col("ds")).cast("long").as("sz"))
+      .withColumn("pfx", slice(col("arr"), lit(1),
+        expr(s"sz - ((sz * $thresholdNum + ${thresholdDen - 1}) DIV $thresholdDen) + 1")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Exact n-gram Jaccard pairs — identical output to
     * [[ngramJaccardPairsFromShingles]] — via prefix-filtered candidate
-    * generation. The 100 TB shape: the only corpus-wide joins are the
-    * df join and one window sort by doc; the self-join that dominates
-    * the dense path runs on the ~(1−t) prefix fraction of the index,
-    * and exact verification touches only candidate documents (semi-
-    * filtered, per-doc arrays — no second corpus-wide pair expansion).
-    * A size filter (Jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t) prunes
-    * candidates before the distinct.
+    * generation. The 100 TB shape: one corpus-wide df join and one hash
+    * agg by doc; the self-join that dominates the dense path runs on the
+    * ~(1−t) prefix fraction of the index, and exact verification touches
+    * only candidate documents (semi-filtered scan of the persisted
+    * per-doc arrays — no second corpus-wide pass). A size filter
+    * (Jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t) prunes candidates before
+    * the distinct.
     */
   def prefixJaccardPairsFromShingles(
       shingles: DataFrame,
@@ -297,11 +296,8 @@ object Dedup {
       thresholdDen: Int,
       maxShingleFreq: Option[Int] = None
   ): DataFrame = {
-    val (ranked, shF) = rankedShingles(shingles, maxShingleFreq)
-    val prefix = ranked
-      .filter(prefixBound(thresholdNum, thresholdDen))
-      .select(col("sid"), col("s"), col("sz"))
-      .localCheckpoint(true)
+    val docs = prefixDocArrays(shingles, thresholdNum, thresholdDen, maxShingleFreq)
+    val prefix = docs.select(col("sid"), col("sz"), explode(col("pfx")).as("s"))
     val a = prefix.select(col("sid").as("id_a"), col("s"), col("sz").as("sz_a"))
     val b = prefix.select(col("sid").as("id_b"), col("s"), col("sz").as("sz_b"))
     val cands = a.join(b, Seq("s"))
@@ -312,16 +308,15 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
       .localCheckpoint(true)
-    Caching.release(prefix)
-    val docs = candidateDocArrays(shF, cands)
+    val va = pairSideFilter(docs.select(col("sid"), col("arr"), col("sz")), cands)
     val out = cands
-      .join(docs.select(col("sid").as("id_a"), col("arr").as("arr_a"), col("sz").as("size_a")), "id_a")
-      .join(docs.select(col("sid").as("id_b"), col("arr").as("arr_b"), col("sz").as("size_b")), "id_b")
+      .join(va.select(col("sid").as("id_a"), col("arr").as("arr_a"), col("sz").as("size_a")), "id_a")
+      .join(va.select(col("sid").as("id_b"), col("arr").as("arr_b"), col("sz").as("size_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .filter(
         col("inter") * thresholdDen >= (col("size_a") + col("size_b") - col("inter")) * thresholdNum)
       .select("id_a", "id_b", "inter", "size_a", "size_b")
-    val res = materializeAndRelease(out, shF)
+    val res = materializeAndRelease(out, docs)
     Caching.release(cands)
     res
   }
@@ -341,34 +336,31 @@ object Dedup {
       thresholdDen: Int,
       maxShingleFreq: Option[Int] = None
   ): DataFrame = {
-    val (ranked, shF) = rankedShingles(shingles, maxShingleFreq)
-    val prefixA = ranked
-      .filter(prefixBound(thresholdNum, thresholdDen))
-      .select(col("sid").as("id_a"), col("s"), col("sz").as("sz_a"))
-      .localCheckpoint(true)
-    val sizes = shF.groupBy("sid").agg(count(lit(1)).as("sz_b"))
-    val full = shF.join(sizes, "sid").select(col("sid").as("id_b"), col("s"), col("sz_b"))
+    val docs = prefixDocArrays(shingles, thresholdNum, thresholdDen, maxShingleFreq)
+    val prefixA = docs.select(
+      col("sid").as("id_a"), explode(col("pfx")).as("s"), col("sz").as("sz_a"))
+    val full = docs.select(
+      col("sid").as("id_b"), explode(col("arr")).as("s"), col("sz").as("sz_b"))
     val cands = prefixA.join(full, Seq("s"))
       .filter(col("id_a") =!= col("id_b") &&
         col("sz_b") * thresholdDen >= col("sz_a") * thresholdNum)
       .select("id_a", "id_b")
       .distinct()
       .localCheckpoint(true)
-    Caching.release(prefixA)
-    val docs = candidateDocArrays(shF, cands)
+    val va = pairSideFilter(docs.select(col("sid"), col("arr"), col("sz")), cands)
     val out = cands
       .join(
-        docs.select(col("sid").as("id_a"), col("arr").as("arr_a"), col("sz").as("size_contained")),
+        va.select(col("sid").as("id_a"), col("arr").as("arr_a"), col("sz").as("size_contained")),
         "id_a")
       .join(
-        docs.select(col("sid").as("id_b"), col("arr").as("arr_b"), col("sz").as("size_container")),
+        va.select(col("sid").as("id_b"), col("arr").as("arr_b"), col("sz").as("size_container")),
         "id_b")
       .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .filter(col("inter") * thresholdDen >= col("size_contained") * thresholdNum)
       .select(
         col("id_a").as("contained_id"), col("id_b").as("container_id"),
         col("inter"), col("size_contained"), col("size_container"))
-    val res = materializeAndRelease(out, shF)
+    val res = materializeAndRelease(out, docs)
     Caching.release(cands)
     res
   }

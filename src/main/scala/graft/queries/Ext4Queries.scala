@@ -987,9 +987,14 @@ object Ext4Queries {
     //      excerpts) that symmetric Jaccard misses at size skew ----
     "dedup_containment" -> QueryDef(
       (s, d) =>
-        // r14: prefix filter on the contained side (AllPairs lemma —
-        // identical output to the dense index join, pinned by DedupSpec)
-        Dedup.prefixContainmentPairsFromShingles(
+        // r14 measured negative: the prefix-filtered form
+        // (Dedup.prefixContainmentPairsFromShingles, output-identical,
+        // pinned by DedupSpec) ran 60-92 s isolated at sf10 vs ~40 s for
+        // this dense single-pass form, at the SAME ~4 GB shuffle — the
+        // container side cannot be prefix-filtered (only the contained
+        // side's prefix is bounded by the lemma), so the index join
+        // stays full-size and the per-doc array build is pure overhead.
+        Dedup.containmentPairsFromShingles(
           SharedIntermediates.shingles(s, d),
           thresholdNum = 4, thresholdDen = 5, maxShingleFreq = Some(50)),
       Some("""WITH toks AS (
