@@ -62,13 +62,19 @@ object Quantiles {
       .withColumn("b", floor(col("v") / lit(bucketWidth)).cast("long"))
 
     // phase 1: per-(group, bucket) counts — map-side combined, the only
-    // corpus-wide shuffle, and it carries |groups × buckets| rows
+    // corpus-wide shuffle, and it carries |groups × buckets| rows.
+    // Eagerly checkpointed: `cum` feeds targets, ranks, AND the located
+    // join — left lazy, every downstream reference re-runs the phase-1
+    // fact scan (measured: 15 scans of the fact table in the registry
+    // query's plan); checkpointing the tiny counts frame pins the scan
+    // count at two (phase 1 here, phase 3 below).
     val counts = base.groupBy("g", "b").agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy("g").orderBy(col("b").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(Window.partitionBy("g")))
+      .localCheckpoint(true)
 
     // phase 2: target ranks per (group, p), then the bucket whose
     // cumulative count first reaches each rank
@@ -93,11 +99,15 @@ object Quantiles {
       .withColumn("rn", row_number().over(
         Window.partitionBy("g", "b").orderBy(col("v").asc, col("tb").asc)))
       .select(col("g").as("ig"), col("b").as("ib"), col("rn"), col("v"))
+    // checkpointed for the same reason as `cum`: rankValue is joined
+    // once per target rank column below — lazy, each join re-ranks the
+    // phase-3 scan; eager, the fact table is read exactly twice total
     val rankValue = located
       .join(inBucket,
         located("g") === col("ig") && located("b") === col("ib") &&
           col("rn") === located("r") - located("base"))
       .select(located("g").as("g"), col("r"), col("v"))
+      .localCheckpoint(true)
 
     targets
       .join(rankValue.select(col("g"), col("r").as("r_lo"), col("v").as("lo")), Seq("g", "r_lo"))

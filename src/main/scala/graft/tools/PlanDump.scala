@@ -1,0 +1,17 @@
+package graft.tools
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]").appName("plandump")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- args.drop(1)) {
+      println(s"==== $q ====")
+      println(graft.SparkEntry.queries(q)(spark, args(0)).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+  }
+}
