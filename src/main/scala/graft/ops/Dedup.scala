@@ -257,7 +257,7 @@ object Dedup {
     * no corpus data; `sz` matches the dense path's per-doc size because
     * both count the same capped rows.
     */
-  private def prefixDocArrays(
+  private[graft] def prefixDocArrays(
       shingles: DataFrame,
       thresholdNum: Int,
       thresholdDen: Int,

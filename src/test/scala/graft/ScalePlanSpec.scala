@@ -393,4 +393,90 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(plan.contains("graft_winnow_runs"), plan)
   }
+
+  test("prefixDocArrays ranks inside per-doc arrays: one hash agg, never a window sort") {
+    // the r14 window variant (row_number over partitionBy(sid)) measured
+    // 665 s cumulative in its sf10 stage; the array form must stay a
+    // plain aggregation (sort_array is in-row) with NO window anywhere
+    val docs = graft.ops.Dedup.prefixDocArrays(
+      graft.ops.Dedup.shingleRows(
+        graft.queries.Tables.t(spark, sf("sf0.001"), "documents"), "doc_id", "text", 3),
+      thresholdNum = 4, thresholdDen = 5, maxShingleFreq = Some(50))
+    val plan = docs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("row_number"), plan)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    // sort_array rides in the aggregate's result expressions, which the
+    // physical toString elides (and the persisted frame's optimizedPlan
+    // is the cache relation) — assert it on the raw logical plan
+    assert(docs.queryExecution.logical.toString.contains("sort_array"),
+      docs.queryExecution.logical.toString)
+    graft.ops.Caching.release(docs)
+  }
+
+  test("proximityCount windows run over the bucket inventory, never the fact table") {
+    // the rank-difference form's two windows (segment prefix sum +
+    // cross-segment totals) must sit above the inventory aggregation —
+    // a window whose subtree reaches a file scan without an intervening
+    // aggregate would be sorting event rows, not bucket counts
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE's plan node hides its subtree from collect(); build this plan
+    // with AQE off — the window/aggregate nesting is identical either way
+    val ev = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try graft.ops.TimeSeries
+        .proximityCount(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "error"),
+          "event_id", "ts", windowUs = 900000000L)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size == 2, s"expected the 2 inventory windows, got ${windows.size}")
+    for (w <- windows) {
+      def scansBelowFirstAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case _: BaseAggregateExec => false
+        case s: FileSourceScanExec => true
+        case other => other.children.exists(scansBelowFirstAgg)
+      }
+      assert(!scansBelowFirstAgg(w.child),
+        s"window reads a file scan with no aggregate in between:\n$w")
+    }
+  }
+
+  test("bracketingStats reads the fact table exactly twice (counts scan + located-bucket scan)") {
+    // regression pin for the r14 finding: lazy cum/rankValue re-ran the
+    // phase-1 scan per downstream reference (15 fact scans in the
+    // registry query's plan). Count actual records read off parquet
+    // across ALL jobs the operator triggers: must be ~2x the table, not
+    // 4x+ (tiny side-frames add only |groups x buckets| rows).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val dir = sf("sf0.001")
+    val n = graft.queries.Tables.t(spark, dir, "orders").count()
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val l = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        read.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
+    }
+    org.apache.spark.graft.ListenerBus.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // coarse buckets so the checkpointed side frames (whose cache
+      // re-reads also count as recordsRead) stay ≪ n and the bound below
+      // genuinely measures fact-table scans
+      graft.ops.Quantiles.bracketingStats(
+        graft.queries.Tables.t(spark, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
+        "o_orderpriority", "o_totalprice", "o_orderkey",
+        ps = Seq(0.5, 0.9), bucketWidth = 20000.0).collect()
+      org.apache.spark.graft.ListenerBus.drain(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(l)
+    val r = read.get()
+    assert(r >= 2 * n, s"expected both phase scans to read the table: read=$r n=$n")
+    assert(r < 3 * n, s"fact table re-scanned beyond the two phases: read=$r n=$n")
+  }
 }
