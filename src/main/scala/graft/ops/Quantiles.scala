@@ -57,6 +57,8 @@ object Quantiles {
       bucketWidth: Double
   ): DataFrame = {
     require(ps.nonEmpty && bucketWidth > 0)
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentile fractions must be in [0, 1]: ${ps.filterNot(p => p >= 0.0 && p <= 1.0).mkString(", ")}")
     val base = df.select(
       col(groupCol).as("g"), col(valueCol).as("v"), col(tieCol).as("tb"))
       .withColumn("b", floor(col("v") / lit(bucketWidth)).cast("long"))

@@ -74,6 +74,12 @@ object TimeSeries {
     * bucket) — 24× fewer pairs than the bucketed join at any density,
     * and the ratio improves as the window widens. All arithmetic is
     * integral; results are exact.
+    *
+    * Duplicate left (id, ts) rows are pre-aggregated to a multiplicity
+    * weight so every bound row is unique before the rank arithmetic —
+    * each occurrence contributes its full count (the pair-join
+    * semantics). Left rows with a null timestamp have no defined window;
+    * they are kept with n_nearby = 0.
     */
   def proximityCount(
       left: DataFrame,
@@ -90,13 +96,18 @@ object TimeSeries {
     def fdiv(x: Column, b: Long): Column =
       ((x - pmod(x, lit(b))) / lit(b)).cast("long")
 
+    // duplicate (id, ts) left rows collapse to one bound pair with a
+    // multiplicity weight — (lid, sign, x) is then a unique bound key,
+    // so the partial/cum_before terms below count once per DISTINCT
+    // bound and the weight restores per-occurrence semantics
     val bounds = left
       .select(col(idCol).as("__lid"), unix_micros(col(tsCol)).as("__lus"))
-      .select(col("__lid"), explode(array(
+      .groupBy("__lid", "__lus").agg(count(lit(1)).as("__mult"))
+      .select(col("__lid"), col("__mult"), explode(array(
         struct((col("__lus") + windowUs).as("x"), lit(1L).as("sign")),
         struct((col("__lus") - windowUs - 1).as("x"), lit(-1L).as("sign"))
       )).as("bd"))
-      .select(col("__lid"), col("bd.x").as("x"), col("bd.sign").as("sign"))
+      .select(col("__lid"), col("__mult"), col("bd.x").as("x"), col("bd.sign").as("sign"))
       .withColumn("__b", fdiv(col("x"), bucketUs))
     val r = right
       .select(unix_micros(col(tsCol)).as("__rus"))
@@ -121,13 +132,18 @@ object TimeSeries {
     val cumBefore = withIn.join(segBefore, "__seg")
       .select(col("__b"), (col("seg_before") + col("cum_in") - col("c")).as("cum_before"))
 
-    // partial term: right rows in the bound's own fine bucket with ts ≤ x
+    // partial term: right rows in the bound's own fine bucket with ts ≤ x.
+    // Group key includes x (each distinct bound counted once); null-ts
+    // bounds have a null bucket, match nothing, and keep part = 0.
     val partial = bounds.join(r, Seq("__b"), "left")
-      .groupBy("__lid", "sign", "__b")
+      .groupBy("__lid", "sign", "x", "__b", "__mult")
       .agg(sum(when(col("__rus") <= col("x"), 1L).otherwise(0L)).as("part"))
 
-    partial.join(cumBefore, Seq("__b"))
+    // left join: null-bucket bounds (null left ts) have no inventory row
+    // — keep them with cum_before = 0 so their id surfaces with 0
+    partial.join(cumBefore, Seq("__b"), "left")
+      .withColumn("cum_before", coalesce(col("cum_before"), lit(0L)))
       .groupBy(col("__lid").as(idCol))
-      .agg(sum(col("sign") * (col("cum_before") + col("part"))).as("n_nearby"))
+      .agg(sum(col("sign") * col("__mult") * (col("cum_before") + col("part"))).as("n_nearby"))
   }
 }

@@ -82,6 +82,33 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("proximityCount sums per-occurrence counts for duplicate left ids") {
+    def ev(rows: (Long, Long)*) = rows.toSeq
+      .toDF("id", "us")
+      .select(col("id"), timestamp_micros(col("us")).as("ts"))
+    // id 1 occurs twice at the SAME ts (2 rights in window → 2+2=4) and
+    // id 2 twice at near-equal ts in the same fine bucket (3 and 2
+    // matches → 5). The r14 form merged bound rows across occurrences —
+    // exact duplicates doubled `part` but counted `cum_before` once.
+    val left = ev(1L -> 1000L, 1L -> 1000L, 2L -> 5000L, 2L -> 5003L)
+    val right = ev(10L -> 950L, 11L -> 1050L, 12L -> 4950L, 13L -> 5001L, 14L -> 5100L)
+    val out = TimeSeries.proximityCount(left, right, "id", "ts", windowUs = 100L)
+      .as[(Long, Long)].collect().toMap
+    // id 1: 950/1050 within ±100 of both occurrences → 2+2; id 2: all of
+    // 4950/5001/5100 within ±100 of both 5000 and 5003 → 3+3
+    assert(out == Map(1L -> 4L, 2L -> 6L))
+  }
+
+  test("proximityCount keeps null-timestamp left rows with n_nearby = 0") {
+    val left = Seq((1L, Some(1000L)), (2L, None)).toDF("id", "us")
+      .select(col("id"), timestamp_micros(col("us")).as("ts"))
+    val right = Seq((10L, 950L)).toDF("id", "us")
+      .select(col("id"), timestamp_micros(col("us")).as("ts"))
+    val out = TimeSeries.proximityCount(left, right, "id", "ts", windowUs = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L))
+  }
+
   test("proximityCount plans as a hash join on the bucket key, never a nested loop") {
     val ev = graft.queries.Tables.t(spark, sf("sf0.001"), "events")
     val plan = TimeSeries
