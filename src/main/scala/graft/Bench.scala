@@ -3,11 +3,28 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // `--repeat N` (or SPARK_GRAFT_BENCH_REPEAT): time each query N times
+    // back-to-back and record the per-query MEDIAN — the sf10 protocol
+    // fix (r14 verdict #3): single sweeps on this host ride a ±20-35%
+    // noise band, and medians put per-query claims on a stable footing
+    // without hand-run isolated triples. Use an odd N; for even N the
+    // upper median is taken. The driver passes no args, so its gate
+    // record stays a single-pass sweep.
+    val repeat = {
+      val fromArgs = args.sliding(2).collectFirst {
+        case Array("--repeat", n) => n.toInt
+      }.orElse(args.collectFirst {
+        case a if a.startsWith("--repeat=") => a.stripPrefix("--repeat=").toInt
+      })
+      math.max(1, fromArgs.orElse(sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt)).getOrElse(1))
+    }
     // optional positional comma-separated name filter (mirrors Verify's):
     // `runMain graft.Bench q_a,q_b` times just those queries at the
     // driver's exact session config — the isolated-re-measure path that
     // previously required env-var gymnastics. No args = full inventory.
-    val argFilter = args.headOption.filter(_.nonEmpty).map(_.split(",").toSet)
+    val argFilter = args.filterNot(_.startsWith("--repeat"))
+      .filterNot(a => a.forall(_.isDigit) && args.contains("--repeat"))
+      .headOption.filter(_.nonEmpty).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle partitions default to the thread count (the driver's
     // contract config) but are overridable for scale-proof sweeps:
@@ -72,9 +89,8 @@ object Bench {
       Some(l)
     }
     val perQueryMetrics = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // one isolated, forced timing of one query
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // isolate per-query timing: drop caches left by previous queries AND
       // their localCheckpoint result blocks — clearCache() does not touch
       // checkpoint RDD blocks, and leaving their release to the
@@ -113,17 +129,41 @@ object Bench {
         org.apache.spark.graft.ListenerBus.drain(spark.sparkContext)
         val b = before.get
         val a = l.snapshot()
+        // under --repeat the LAST run's bytes win — per-run byte deltas
+        // are deterministic for a fixed plan, so any run's are the record
         perQueryMetrics(name) =
           s"""{"shuffle_read":${a._1 - b._1},"shuffle_write":${a._2 - b._2},""" +
             s""""mem_spill":${a._3 - b._3},"disk_spill":${a._4 - b._4}}"""
       }
       // failed queries record -1 (guard-skips -2) so the JSON can't
       // masquerade as a fast pass
-      val sec = if (outcome > 0) (t1 - t0) / 1e9 else outcome
+      if (outcome > 0) (t1 - t0) / 1e9 else outcome
+    }
+
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var marker = 0.0 // -1/-2 if any run fails/guard-skips
+      var i = 1
+      // a failed/guard-skipped run ends the repeats — repeating a
+      // deterministic failure only re-pays its cost
+      while (i <= repeat && marker == 0.0) {
+        val s = timeOnce(name, fn)
+        if (s > 0) {
+          runs += s
+          if (repeat > 1) println(s"""{"query":"$name","run":$i,"sec":$s}""")
+        } else marker = s
+        i += 1
+      }
+      val sec =
+        if (marker != 0.0) marker
+        else if (repeat == 1) runs.head
+        else runs.sorted.apply(runs.length / 2) // median (upper for even N)
       // one short line per query, printed as it finishes: live progress
       // locally, and the only per-query record that survives a
       // bounded-tail capture of this process's stdout
-      println(s"""{"query":"$name","sec":$sec}""")
+      println(s"""{"query":"$name","sec":$sec${if (repeat > 1) s""","median_of":$repeat""" else ""}}""")
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -143,7 +183,8 @@ object Bench {
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(
         p,
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}\n"""
+        (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+          s""""sf":"$sfDir","repeat":$repeat}\n""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: Throwable =>
@@ -169,7 +210,7 @@ object Bench {
         s""""sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},""" +
         s""""failed":${arr(failed)},"n_guard_skipped":${skipped.size},""" +
         s""""guard_skipped":${arr(skipped)},"queries_truncated_to":"slowest20",""" +
-        s""""full_record":"$outPath"}""")
+        s""""repeat":$repeat,"full_record":"$outPath"}""")
     spark.stop()
   }
 

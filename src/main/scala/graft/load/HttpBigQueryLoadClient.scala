@@ -27,25 +27,44 @@ import scala.util.control.NonFatal
   *    `LoadJobConfig` carries at `data_load.py:40-44`); part 2
   *    (`application/octet-stream`): the frame as NDJSON. Response: job
   *    JSON with `jobReference.jobId` and `status.state`.
+  *  - `POST {base}/bigquery/v2/projects/{project}/jobs`
+  *    (`application/json`) — the staged variant: the same load-job
+  *    configuration plus `sourceUris` pointing at executor-written
+  *    NDJSON shards; no data part in the request.
   *  - `GET {base}/bigquery/v2/projects/{project}/jobs/{jobId}` — polled
   *    until `status.state == "DONE"` (the `load_job.result()` wait);
   *    `status.errorResult` → [[BigQuerySink.LoadJobException]] (the
   *    GoogleAPIError path `data_load.py:66-70` wraps);
   *    `statistics.load.outputRows` is the returned row count.
   *
-  * The NDJSON payload streams through `toJSON.toLocalIterator` — one
-  * partition at a time through a chunked request body, never a full
-  * collect (the reference materializes its whole `List[Dict]`). The
-  * 100 TB path remains the distributed connector / GCS-staged load
-  * documented on [[BigQueryLoadClient]]; this client is the faithful
-  * JSON load-job lifecycle at the reference's config-batch scale.
+  * Two body paths, selected by `stagingRoot`:
+  *
+  *  - **multipart (default)** — the NDJSON payload streams through
+  *    `toJSON.toLocalIterator`, one partition at a time through a
+  *    chunked request body, never a full collect (the reference
+  *    materializes its whole `List[Dict]`). Faithful to the reference's
+  *    in-process `load_table_from_json`, but a driver funnel: every
+  *    byte of a load transits one JVM. Right at the reference's
+  *    config-batch scale only.
+  *  - **staged (`stagingRoot = Some(root)`)** — the 100 TB shape:
+  *    EXECUTORS write the frame as NDJSON shards under
+  *    `{root}/graft-stage-{uuid}/` (`df.toJSON.write.text`, one shard
+  *    per partition — `root` is the `gs://bucket/prefix` stand-in), and
+  *    `jobs.insert` is a plain-JSON POST whose load config carries
+  *    `sourceUris` instead of a multipart body — the documented
+  *    GCS-staged load-job shape. No row ever transits the driver; the
+  *    staging directory is best-effort deleted once the job reaches a
+  *    terminal state. Disposition / schemaUpdateOptions / autodetect
+  *    knobs are byte-identical to the multipart config, and both paths
+  *    share the same poll → DONE → errorResult lifecycle.
   */
 final class HttpBigQueryLoadClient(
     base: String,
     override val project: String,
     pollMillis: Long = 50,
     creds: CredentialProvider = CredentialProvider.resolve,
-    maxWaitMillis: Long = 120000
+    maxWaitMillis: Long = 120000,
+    stagingRoot: Option[String] = None
 ) extends BigQueryLoadClient {
 
   import HttpBigQueryLoadClient._
@@ -64,25 +83,50 @@ final class HttpBigQueryLoadClient(
       case Sink.WriteAppend   => "WRITE_APPEND"
       case Sink.WriteTruncate => "WRITE_TRUNCATE"
     }
-    val config =
+    // the knob block is built ONCE and shared verbatim by both body
+    // paths — staged loads differ only by the appended sourceUris, so
+    // dispositions/schema options/autodetect are byte-identical on the
+    // wire whichever path carries the data
+    def config(sourceUris: Seq[String]): String = {
+      val uris =
+        if (sourceUris.isEmpty) ""
+        else s""","sourceUris":[${sourceUris.map(u => "\"" + esc(u) + "\"").mkString(",")}]"""
       s"""{"configuration":{"load":{
          |"destinationTable":{"projectId":"${esc(proj)}","datasetId":"${esc(dataset)}","tableId":"${esc(table)}"},
          |"writeDisposition":"$wireDisposition",
          |"schemaUpdateOptions":[${schemaUpdateOptions.toSeq.sorted.map(o => "\"" + esc(o) + "\"").mkString(",")}],
          |"sourceFormat":"NEWLINE_DELIMITED_JSON",
-         |"autodetect":true}}}""".stripMargin.replace("\n", "")
-    // failures wrap like everything else: the reference converts ANY
-    // load-path exception to its RuntimeError (`data_load.py:71-75`) —
-    // including Spark task failures surfaced while streaming the NDJSON
-    // body — and LoadJobException is that analogue, so the catch is
-    // NonFatal, not just IOException
-    val insertBody =
-      try insertJob(config, df)
-      catch {
-        case e: BigQuerySink.LoadJobException => throw e
-        case NonFatal(e) =>
-          throw new BigQuerySink.LoadJobException(s"jobs.insert failed: $e")
-      }
+         |"autodetect":true$uris}}}""".stripMargin.replace("\n", "")
+    }
+    stagingRoot match {
+      case None => awaitJob(insertWrapped(insertJob(config(Nil), df)))
+      case Some(root) =>
+        // stage shards (distributed write), insert by reference, and
+        // drop the staging directory once the job is terminal — success,
+        // errorResult, or deadline alike (a retry restages fresh shards)
+        val (dir, uris) = stageShards(df, root)
+        try awaitJob(insertWrapped(insertJobStaged(config(uris))))
+        finally cleanupStaging(df, dir)
+    }
+  }
+
+  /** The reference converts ANY load-path exception to its RuntimeError
+    * (`data_load.py:71-75`) — including Spark task failures surfaced
+    * while streaming/staging the NDJSON — and LoadJobException is that
+    * analogue, so the catch is NonFatal, not just IOException.
+    */
+  private def insertWrapped(insert: => String): String =
+    try insert
+    catch {
+      case e: BigQuerySink.LoadJobException => throw e
+      case NonFatal(e) =>
+        throw new BigQuerySink.LoadJobException(s"jobs.insert failed: $e")
+    }
+
+  /** Shared job lifecycle from the insert response: poll to DONE,
+    * surface errorResult, return outputRows.
+    */
+  private def awaitJob(insertBody: String): Long = {
     val jobId = extractIn(insertBody, "jobReference", "jobId").getOrElse(
       throw new BigQuerySink.LoadJobException(s"no jobId in insert response: $insertBody"))
     // bounded wait: a server that never reaches DONE (or answers without
@@ -155,6 +199,68 @@ final class HttpBigQueryLoadClient(
               s"jobs.insert failed: HTTP $early${errorDetail(conn)} (body stream aborted: $e)")
           throw e
       }
+      val code = conn.getResponseCode
+      if (code == 401 || code == 403)
+        throw new BigQuerySink.LoadJobException(
+          s"jobs.insert unauthorized: HTTP $code — set GRAFT_AUTH_TOKEN / " +
+            "GRAFT_AUTH_TOKEN_FILE (or the graft.auth.token property) to a valid bearer token")
+      if (code != 200)
+        throw new BigQuerySink.LoadJobException(
+          s"jobs.insert failed: HTTP $code${errorDetail(conn)}")
+      val in = conn.getInputStream
+      try Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    } finally conn.disconnect()
+  }
+
+  /** Distributed NDJSON staging: executors write one shard per
+    * partition under a fresh UUID directory beneath `root` (the
+    * `gs://bucket/prefix` stand-in — any Hadoop-FS URI works). Returns
+    * the directory and the sorted shard URIs for `sourceUris`. Empty
+    * partitions yield empty shard files — harmless NDJSON (zero rows) —
+    * but a frame with no shards at all fails loudly rather than
+    * submitting a job BigQuery would reject with a "no files" error
+    * after the poll wait.
+    */
+  private def stageShards(df: DataFrame, root: String): (String, Seq[String]) = {
+    val dir = s"${root.stripSuffix("/")}/graft-stage-${java.util.UUID.randomUUID()}"
+    df.toJSON.write.text(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val uris = fs.listStatus(p).iterator
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).toSeq.sorted
+    if (uris.isEmpty)
+      throw new BigQuerySink.LoadJobException(s"staged load produced no shards under $dir")
+    (dir, uris)
+  }
+
+  /** Best-effort: staged shards are job input, not state — a failed
+    * delete must never mask the load result (production would pair this
+    * with a bucket lifecycle rule).
+    */
+  private def cleanupStaging(df: DataFrame, dir: String): Unit =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+
+  /** Staged insert: plain-JSON `jobs.insert` — the config (with
+    * `sourceUris`) IS the body; no data part.
+    */
+  private def insertJobStaged(configJson: String): String = {
+    val url = s"$base/bigquery/v2/projects/$project/jobs"
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/json; charset=UTF-8")
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(120000)
+    creds.token().foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+    try {
+      val out = conn.getOutputStream
+      try out.write(configJson.getBytes(UTF_8))
+      finally out.close()
       val code = conn.getResponseCode
       if (code == 401 || code == 403)
         throw new BigQuerySink.LoadJobException(

@@ -441,14 +441,28 @@ object Similarity {
     * 64-dim/16×4/64-code (RecallProbe pqSweep, r14): recall@5 = 0.992 at
     * 2k rows with rerankK=200 (a 10% shortlist), but the SAME rerankK at
     * 200k rows (0.1%) reads 0.684; holding ≥0.8 there needs ≈500
-    * (0.792 @ 400, 0.872 @ 800, 0.932 @ 1600, 0.976 @ 3200). The
-    * registered queries keep the sf0.1-calibrated 200 because their
-    * DuckDB oracles replay those exact constants; a production
-    * deployment should size the shortlist as a corpus fraction —
-    * `rerankK = max(200, n/250)` (0.4%) holds ≥0.87 on this data, n/100
-    * for the 0.93+ regime — at |queries|×rerankK exact dots of refine
-    * cost.
+    * (0.792 @ 400, 0.872 @ 800, 0.932 @ 1600, 0.976 @ 3200). Pass
+    * [[AdaptiveRerank]] to size the shortlist from the corpus:
+    * `rerankK = max(200, ⌈n/250⌉)` (a 0.4% fraction that floors to the
+    * measured-0.99 constant at gate scale and reads 0.872 at 200k rows).
+    * The count is derived from the corpus frame itself, so a DuckDB
+    * oracle replays the same constant as a `COUNT(*)` scalar subquery —
+    * the [[semanticDedup]] cell-count pattern. Refine cost stays
+    * |queries| × rerankK exact dots. `n/100` buys the 0.93+ regime if a
+    * deployment needs it.
     */
+  /** Sentinel for `rerankK`: size the ADC shortlist from the corpus,
+    * `max(200, ⌈n/250⌉)` — see [[adaptiveRerankK]].
+    */
+  val AdaptiveRerank: Int = -1
+
+  /** The corpus-adaptive ADC shortlist size: a 0.4% corpus fraction with
+    * a floor of 200 (the sf0.1-calibrated constant the fraction equals
+    * at gate scale). Integer ceiling, so the oracle-side
+    * `GREATEST(200, (COUNT(*) + 249) // 250)` reproduces it exactly.
+    */
+  def adaptiveRerankK(n: Long): Int = math.max(200L, (n + 249L) / 250L).toInt
+
   def pqAdcTopK(
       emb: DataFrame,
       idCol: String,
@@ -481,6 +495,13 @@ object Similarity {
       nCodes: Int,
       rerankK: Int
   ): DataFrame = {
+    // AdaptiveRerank resolves here, from the corpus frame itself: on the
+    // raw-parquet path the count is a column-pruned footer scan; on the
+    // shared-base path (ann_recall_at_k) the frame is already persisted
+    // and counted. Resolving before the plan is built keeps the
+    // shortlist bound a literal in the TopK ranking.
+    val effRerankK =
+      if (rerankK == AdaptiveRerank) adaptiveRerankK(baseN.count()) else rerankK
     val base = baseN.select(col("cid").cast("long").as("cid"), col("v"))
     // wide code-POSITION word: one row per corpus vector, one 1-based
     // LUT index per subspace. Positions (the code's rank in the
@@ -561,9 +582,9 @@ object Similarity {
     val adcScored = scored
       .filter(col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid").as("neighbor_id"), adc.as("sim"))
-    if (rerankK <= 0) rankTopK(adcScored, k)
+    if (effRerankK <= 0) rankTopK(adcScored, k)
     else {
-      val shortlist = rankTopK(adcScored, rerankK).select("query_id", "neighbor_id")
+      val shortlist = rankTopK(adcScored, effRerankK).select("query_id", "neighbor_id")
       val corpus = baseN.select(col("cid").cast("long").as("cid"), col("v"), col("nrm"))
       val queriesN = corpus
         .filter(queryPred)

@@ -201,11 +201,12 @@ object Ext4Queries {
         Similarity.pqAdcTopK(
           t(s, d, "embeddings"), "vec_id", "embedding",
           k = 5, queryPred = col("cid") < 50,
-          subspaces = 16, subDim = 4, nCodes = 64, rerankK = 200
+          subspaces = 16, subDim = 4, nCodes = 64,
+          rerankK = Similarity.AdaptiveRerank
         ).withColumn("rank", col("rank").cast("long")),
       Some {
         s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |${ExtQueries.pqTopkCtes(subspaces = 16, subDim = 4, nCodes = 64, rerankK = 200, k = 5, queryBound = 50)}
+           |${ExtQueries.pqTopkCtes(subspaces = 16, subDim = 4, nCodes = 64, rerankSql = ExtQueries.pqAdaptiveRerankSql, k = 5, queryBound = 50)}
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM pq""".stripMargin
       },
       "PQ ADC shortlist + exact re-rank: LUT-scored compressed-corpus ANN"

@@ -133,11 +133,10 @@ object RecallProbe {
 
   /** PQ recall@5 vs exact top-5 at one rerank-shortlist size — the
     * rerankK scaling curve at a given corpus scale. The registered
-    * queries keep the sf0.1-calibrated rerankK=200 (the static oracle
-    * SQL replays those constants), so this probe is how the 100×-scale
-    * operating point is chosen: shortlist size must grow with the corpus
-    * (quantization error pushes true neighbors further down the ADC
-    * ranking as the corpus densifies).
+    * queries size the shortlist adaptively (r15:
+    * `Similarity.AdaptiveRerank` → max(200, ⌈n/250⌉), count-replayed in
+    * the oracle); this probe measures the curve around that operating
+    * point — pass a negative rerankK to probe the adaptive bound itself.
     */
   def pqRecallAt(base: DataFrame, rerankK: Int): (Long, Long, Double) = {
     val exact = Caching.materializeAndRelease(
@@ -178,10 +177,11 @@ object RecallProbe {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = base.count()
       ks.foreach { k =>
-        val (hits, nExact, recall) = pqRecallAt(base, k)
+        val eff = if (k < 0) Similarity.adaptiveRerankK(n) else k
+        val (hits, nExact, recall) = pqRecallAt(base, eff)
         println(
-          s"""{"probe":"pq_rerank_sweep","n":$n,"rerank_k":$k,""" +
-            s""""n_hits":$hits,"n_exact":$nExact,"recall":$recall}""")
+          s"""{"probe":"pq_rerank_sweep","n":$n,"rerank_k":$eff,""" +
+            s""""adaptive":${k < 0},"n_hits":$hits,"n_exact":$nExact,"recall":$recall}""")
       }
       base.unpersist(false)
       spark.stop()

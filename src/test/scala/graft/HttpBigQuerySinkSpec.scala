@@ -89,6 +89,8 @@ class HttpBigQuerySinkSpec extends SparkSpec {
       if (auth != s"Bearer $Token") return (401, "")
       if (ex.getRequestMethod == "POST" && path.endsWith("/jobs") && path.contains("/upload/")) {
         insertJob(ex)
+      } else if (ex.getRequestMethod == "POST" && path.endsWith("/jobs")) {
+        insertJobStaged(ex)
       } else if (ex.getRequestMethod == "GET" && path.contains("/jobs/")) {
         getJob(path.substring(path.lastIndexOf('/') + 1))
       } else (404, "")
@@ -102,12 +104,31 @@ class HttpBigQuerySinkSpec extends SparkSpec {
         .map(_.trim).filter(p => p.nonEmpty && p != "--")
       val config = parts(0).substring(parts(0).indexOf("\r\n\r\n") + 4)
       val ndjson = parts(1).substring(parts(1).indexOf("\r\n\r\n") + 4)
+      applyLoad(config, ndjson.linesIterator.filter(_.nonEmpty).map(parseNdjsonRow).toVector)
+    }
+
+    /** The GCS-staged shape: plain-JSON body IS the config; rows come
+      * from the `sourceUris` shard files (the stub resolves `file:` URIs
+      * from local disk — its bucket stand-in).
+      */
+    private def insertJobStaged(ex: HttpExchange): (Int, String) = {
+      val config = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val uris = ("\"sourceUris\"\\s*:\\s*\\[([^\\]]*)\\]").r
+        .findFirstMatchIn(config).map(_.group(1)).getOrElse("")
+        .split(',').map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      val rows = uris.toVector.flatMap { u =>
+        val p = java.nio.file.Paths.get(java.net.URI.create(u))
+        java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty).map(parseNdjsonRow)
+      }
+      applyLoad(config, rows)
+    }
+
+    private def applyLoad(config: String, rows: Vector[Map[String, String]]): (Int, String) = {
       configsSeen.add(config)
       val tableId = Seq("projectId", "datasetId", "tableId")
         .map(k => field(config, k).get).mkString(".")
       val disposition = field(config, "writeDisposition").get
       val allowAdd = config.contains("ALLOW_FIELD_ADDITION")
-      val rows = ndjson.linesIterator.filter(_.nonEmpty).map(parseNdjsonRow).toVector
       val fields = rows.flatMap(_.keys).distinct
       val result: Either[String, Long] = (tables.get(tableId), disposition) match {
         case (None, _) | (_, "WRITE_TRUNCATE") =>
@@ -265,6 +286,79 @@ class HttpBigQuerySinkSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("did not reach DONE") && e.getMessage.contains("RUNNING"))
     } finally stuck.stop(0)
+  }
+
+  // ---- GCS-staged load path (stagingRoot): sourceUris jobs.insert ----
+
+  private def stagedClient(root: java.nio.file.Path, creds: CredentialProvider =
+      CredentialProvider.static(Token)) =
+    new HttpBigQueryLoadClient(base, "proj", pollMillis = 5,
+      creds = creds, stagingRoot = Some(root.toString))
+
+  private def stageDirsUnder(root: java.nio.file.Path): Seq[String] =
+    if (!java.nio.file.Files.exists(root)) Seq.empty
+    else java.nio.file.Files.list(root).iterator.asScala
+      .map(_.getFileName.toString).filter(_.startsWith("graft-stage-")).toSeq
+
+  test("staged load: executors write shards, jobs.insert carries sourceUris, lifecycle completes") {
+    val root = java.nio.file.Files.createTempDirectory("bqstage")
+    requests.clear(); configsSeen.clear()
+    val sink = new BigQuerySink(stagedClient(root), "ds")
+    val n = sink.load(
+      df(s2, Row(1L, "a"), Row(2L, "b"), Row(3L, "c")),
+      "cfg_staged", Sink.WriteTruncate)
+    assert(n === 3)
+    val t = tables("proj.ds.010_warner_dl_lf_cfg_staged")
+    assert(t.rows.size === 3 && t.fields.toSet === Set("id", "name"))
+    // wire shape: a PLAIN jobs.insert (no /upload/), config carries the
+    // shard URIs and the same knobs the multipart path sends
+    val post = requests.asScala.find(_.startsWith("POST")).get
+    assert(!post.contains("/upload/"), post)
+    val cfg = configsSeen.asScala.last
+    assert(cfg.contains("\"sourceUris\":[\"file:"), cfg)
+    assert(cfg.contains("WRITE_TRUNCATE") && cfg.contains("ALLOW_FIELD_ADDITION"))
+    assert(cfg.contains("NEWLINE_DELIMITED_JSON") && cfg.contains("\"autodetect\":true"))
+    // the client polled the same lifecycle as multipart
+    assert(requests.asScala.count(_.startsWith("GET")) >= 2)
+    // staging directory is cleaned up after the job completes
+    assert(stageDirsUnder(root).isEmpty, stageDirsUnder(root))
+  }
+
+  test("staged config knobs are byte-identical to the multipart path's") {
+    configsSeen.clear()
+    freshSink().load(df(s2, Row(1L, "a")), "cfg_wire", Sink.WriteAppend)
+    val multipartCfg = configsSeen.asScala.last
+    val root = java.nio.file.Files.createTempDirectory("bqstage")
+    new BigQuerySink(stagedClient(root), "ds")
+      .load(df(s2, Row(2L, "b")), "cfg_wire", Sink.WriteAppend)
+    val stagedCfg = configsSeen.asScala.last
+    // strip only the sourceUris suffix; everything else must match byte
+    // for byte (disposition, schema options, format, autodetect, table)
+    val stripped = stagedCfg.replaceFirst(",\"sourceUris\":\\[[^\\]]*\\]", "")
+    assert(stripped === multipartCfg, s"\nstaged:    $stagedCfg\nmultipart: $multipartCfg")
+  }
+
+  test("staged append adding a field without the option surfaces the errorResult and still cleans up") {
+    val root = java.nio.file.Files.createTempDirectory("bqstage")
+    val client = stagedClient(root)
+    client.loadTable(df(s2, Row(1L, "a")), "proj.ds.t_staged_noevolve", Sink.WriteTruncate, Set.empty)
+    val s3 = s2.add(StructField("extra", StringType, nullable = true))
+    val e = intercept[BigQuerySink.LoadJobException] {
+      client.loadTable(df(s3, Row(2L, "b", "x")), "proj.ds.t_staged_noevolve", Sink.WriteAppend, Set.empty)
+    }
+    assert(e.getMessage.contains("Cannot add fields"))
+    assert(stageDirsUnder(root).isEmpty, stageDirsUnder(root))
+  }
+
+  test("staged 401 surfaces the auth guidance and leaves no table or staging litter") {
+    val root = java.nio.file.Files.createTempDirectory("bqstage")
+    val unauthed = stagedClient(root, creds = CredentialProvider.none)
+    val e = intercept[BigQuerySink.LoadJobException] {
+      unauthed.loadTable(df(s2, Row(1L, "a")), "proj.ds.t_staged_401", Sink.WriteTruncate, Set.empty)
+    }
+    assert(e.getMessage.contains("401") && e.getMessage.contains("GRAFT_AUTH_TOKEN"))
+    assert(!tables.contains("proj.ds.t_staged_401"))
+    assert(stageDirsUnder(root).isEmpty, stageDirsUnder(root))
   }
 
   test("field scans are scoped: nested error text cannot shadow status/statistics fields") {

@@ -209,6 +209,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.05, s"ADC recall@5 = $recall vs exact dot ranking")
   }
 
+  test("AdaptiveRerank: shortlist formula and equivalence to the floored constant at gate scale") {
+    // the formula: 0.4% of the corpus, ceiling division, floored at 200
+    assert(Similarity.adaptiveRerankK(100L) == 200)
+    assert(Similarity.adaptiveRerankK(50000L) == 200)
+    assert(Similarity.adaptiveRerankK(50001L) == 201) // ceil, not floor
+    assert(Similarity.adaptiveRerankK(200000L) == 800)
+    // below 50k rows the adaptive bound IS 200, so the sentinel must
+    // reproduce the static-200 output row-for-row (the gate-scale
+    // hash-exactness the oracle subquery relies on)
+    val df = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
+    def run(rk: Int) = Similarity.pqAdcTopK(df, "vec_id", "embedding",
+      k = 5, queryPred = col("cid") < 30,
+      subspaces = 4, subDim = 16, nCodes = 8, rerankK = rk)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(run(Similarity.AdaptiveRerank) == run(200))
+  }
+
   test("semanticDedup equals brute-force per-cell pruning; keeps exactly one per dup chain") {
     val df = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
     val out = Similarity.semanticDedup(df, "vec_id", "embedding", k = 8, threshold = 0.35)
