@@ -329,6 +329,21 @@ object Dedup {
     * container) rows; both directions of a mutual pair arise naturally
     * from each doc's own prefix. Size filter: |A∩B| ≤ min(|A|,|B|)
     * forces |B|·den ≥ |A|·num.
+    *
+    * r15 adds the PPJoin POSITIONAL filter (Xiao et al., WWW 2008) to
+    * candidate generation: a match at 0-based positions (i, j) in the
+    * df-sorted arrays bounds the overlap by `1 + min(|A|−i−1, |B|−j−1)`
+    * — every common element other than the MINIMAL one is greater under
+    * the shared global order, hence strictly after both positions.
+    * Lossless: a qualifying pair's minimal common element always
+    * satisfies the bound (the other |A∩B|−1 common elements all sit in
+    * both suffixes), and the AllPairs lemma puts that element inside
+    * A's prefix — so the pair always survives via at least that match.
+    * The filter runs map-side on the join output, BEFORE the candidate
+    * `distinct` exchange, and is sharpest exactly where the candidate
+    * mass concentrates: hot shingles sort LAST in the df-ascending
+    * order, so their matches sit late in the container array and fail
+    * the bound unless the contained doc is tiny.
     */
   def prefixContainmentPairsFromShingles(
       shingles: DataFrame,
@@ -337,13 +352,18 @@ object Dedup {
       maxShingleFreq: Option[Int] = None
   ): DataFrame = {
     val docs = prefixDocArrays(shingles, thresholdNum, thresholdDen, maxShingleFreq)
-    val prefixA = docs.select(
-      col("sid").as("id_a"), explode(col("pfx")).as("s"), col("sz").as("sz_a"))
-    val full = docs.select(
-      col("sid").as("id_b"), explode(col("arr")).as("s"), col("sz").as("sz_b"))
+    val prefixA = docs
+      .select(col("sid").as("id_a"), col("sz").as("sz_a"), posexplode(col("pfx")))
+      .select(col("id_a"), col("sz_a"), col("pos").as("ia"), col("col").as("s"))
+    val full = docs
+      .select(col("sid").as("id_b"), col("sz").as("sz_b"), posexplode(col("arr")))
+      .select(col("id_b"), col("sz_b"), col("pos").as("ib"), col("col").as("s"))
+    // required = ⌈t·|A|⌉, integer-exact
+    val required = expr(s"(sz_a * $thresholdNum + ${thresholdDen - 1}) DIV $thresholdDen")
     val cands = prefixA.join(full, Seq("s"))
       .filter(col("id_a") =!= col("id_b") &&
-        col("sz_b") * thresholdDen >= col("sz_a") * thresholdNum)
+        col("sz_b") * thresholdDen >= col("sz_a") * thresholdNum &&
+        lit(1L) + least(col("sz_a") - col("ia") - 1L, col("sz_b") - col("ib") - 1L) >= required)
       .select("id_a", "id_b")
       .distinct()
       .localCheckpoint(true)

@@ -988,14 +988,19 @@ object Ext4Queries {
     //      excerpts) that symmetric Jaccard misses at size skew ----
     "dedup_containment" -> QueryDef(
       (s, d) =>
-        // r14 measured negative: the prefix-filtered form
-        // (Dedup.prefixContainmentPairsFromShingles, output-identical,
-        // pinned by DedupSpec) ran 60-92 s isolated at sf10 vs ~40 s for
-        // this dense single-pass form, at the SAME ~4 GB shuffle — the
-        // container side cannot be prefix-filtered (only the contained
-        // side's prefix is bounded by the lemma), so the index join
-        // stays full-size and the per-doc array build is pure overhead.
-        Dedup.containmentPairsFromShingles(
+        // r14 measured the bare prefix form as a NEGATIVE (60-92 s vs
+        // ~40 s dense at the same ~4 GB shuffle — the container side
+        // admits no prefix bound, so candidates stayed dense-sized).
+        // r15 added the PPJoin POSITIONAL filter, which kills the
+        // late-position (hot-shingle) candidates map-side BEFORE the
+        // distinct: alternating sf10 triples now read wall PARITY with
+        // dense (33.1 vs 31.6 s medians) at 22% less shuffle (3.25 vs
+        // 4.13 GB) and 97% less spill (31 MB vs 1.1 GB) — the better
+        // 100 TB shape, so the prefix+positional form is registered.
+        // Output row-identical (DedupSpec parity + same sf10 row count),
+        // oracle unchanged. Cost at tiny scale: ~+0.5 s fixed (per-doc
+        // array build) at sf0.1 — recorded in bench/r15_notes.md.
+        Dedup.prefixContainmentPairsFromShingles(
           SharedIntermediates.shingles(s, d),
           thresholdNum = 4, thresholdDen = 5, maxShingleFreq = Some(50)),
       Some("""WITH toks AS (

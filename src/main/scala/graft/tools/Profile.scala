@@ -1,67 +1,60 @@
 package graft.tools
 
-import graft.ops.{Caching, Similarity}
-import graft.queries.Tables
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import graft.ops.Dedup
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-// scratch profiler (current target: ann_recall_at_k constituent cost)
+// scratch profiler (current target: dedup_containment candidate mass —
+// dense inverted-index vs prefix + PPJoin positional filter, the r15
+// verdict-#5 A/B; alternating D/P runs so host drift hits both arms)
 object Profile {
-  def time[A](tag: String)(f: => A): A = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"PROF $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-  }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    @volatile var stages = List.empty[(Int, Long, Long, String)] // id, runMs, tasks, name
+    val sr = new java.util.concurrent.atomic.AtomicLong
+    val sp = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val i = sc.stageInfo
-        stages ::= ((i.stageId, i.taskMetrics.executorRunTime, i.numTasks,
-          i.name.take(90)))
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          sp.addAndGet(m.diskBytesSpilled)
+        }
       }
     })
 
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val emb = Tables.t(spark, dir, "embeddings")
-    val base = Similarity.prepBase(emb, "vec_id", "embedding")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("base.count")(base.count())
-    val pred = col("cid") < 50
-    time("exact")(Caching.materializeAndRelease(
-      Similarity.cosineTopKFromBase(base, 5, pred).select("query_id", "neighbor_id")))
-    time("lsh")(Caching.materializeAndRelease(
-      Similarity.annLshTopKFromBase(base, 5, pred, 4, 12)))
-    time("ivf")(Caching.materializeAndRelease(
-      Similarity.ivfTopKFromBase(base, 5, pred, 8, 5, 0)))
-    stages = Nil
-    time("pq")(Caching.materializeAndRelease(
-      Similarity.pqAdcTopKFromBase(base, 5, pred, 16, 4, 64, 200)))
-    // stage events arrive asynchronously — drain before reading, or the
-    // heaviest stage can be missing from the report
-    org.apache.spark.graft.ListenerBus.drain(spark.sparkContext)
-    println("PQ stages (id, runMs, tasks, name), heaviest first:")
-    stages.sortBy(-_._2).take(12).foreach { case (id, ms, n, nm) =>
-      println(f"  stage $id%5d run=$ms%7d ms tasks=$n%3d $nm")
+    def shingles() = Dedup.shingleRows(
+      graft.queries.Tables.t(spark, dir, "documents"), "doc_id", "text", n = 3)
+
+    def run(tag: String, i: Int)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      org.apache.spark.graft.ListenerBus.drain(spark.sparkContext)
+      val (r0, p0) = (sr.get, sp.get)
+      val t0 = System.nanoTime()
+      val n = f.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerBus.drain(spark.sparkContext)
+      println(f"PROF $tag run=$i wall=$wall%.2f s rows=$n " +
+        f"shufR=${(sr.get - r0) / 1024 / 1024} MB spill=${(sp.get - p0) / 1024 / 1024} MB")
     }
-    // second pass, warm JVM
-    time("exact2")(Caching.materializeAndRelease(
-      Similarity.cosineTopKFromBase(base, 5, pred).select("query_id", "neighbor_id")))
-    time("lsh2")(Caching.materializeAndRelease(
-      Similarity.annLshTopKFromBase(base, 5, pred, 4, 12)))
-    time("ivf2")(Caching.materializeAndRelease(
-      Similarity.ivfTopKFromBase(base, 5, pred, 8, 5, 0)))
-    time("pq2")(Caching.materializeAndRelease(
-      Similarity.pqAdcTopKFromBase(base, 5, pred, 16, 4, 64, 200)))
+
+    // registered shape: t = 4/5, cap = 50 (Ext4Queries dedup_containment)
+    for (i <- 1 to 3) {
+      run("dense", i)(
+        Dedup.containmentPairsFromShingles(shingles(), 4, 5, Some(50)))
+      run("prefix+pos", i)(
+        Dedup.prefixContainmentPairsFromShingles(shingles(), 4, 5, Some(50)))
+    }
     spark.stop()
   }
 }
