@@ -153,6 +153,8 @@ object RecallProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: RecallProbe <sfDir> [skipFull | pqSweep [k1,k2,... (-1 = adaptive)]]")
     val sfDir = args(0)
     val skipFull = args.length > 1 && args(1) == "skipFull"
     // `pqSweep` arg: measure PQ recall@5 across rerankK values instead of

@@ -48,6 +48,7 @@ object ScaleGen {
   private val VEC = 10000000L
 
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleGen <srcSfDir> <dstDir> [factor=10]")
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10

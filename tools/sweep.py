@@ -57,7 +57,7 @@ def ensure_fixture(scale):
         sys.exit(f"ScaleGen failed for {sf_dir}")
 
 
-def bench(scale, label):
+def bench(scale, label, repeat=1):
     sf_dir, _, partitions, heap = SCALES[scale]
     out = ROOT / "bench" / f"{label}_sf{scale}.json"
     env = {
@@ -69,7 +69,8 @@ def bench(scale, label):
         "SPARK_GRAFT_BENCH_METRICS": "1",
     }
     t0 = time.time()
-    r = run(["sbt", "-batch", "runMain graft.Bench"], env=env, capture=True)
+    main_cmd = "runMain graft.Bench" + (f" --repeat {repeat}" if repeat > 1 else "")
+    r = run(["sbt", "-batch", main_cmd], env=env, capture=True)
     wall = time.time() - t0
     # Bench wrote the full total-line to `out`; the bytes line (shuffle/
     # spill accounting) is stdout-only — append it so scaling_report sees
@@ -141,6 +142,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("label", help="round label, e.g. r11")
     ap.add_argument("--scales", default="0.1,1,10")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="per-query repeats; Bench records medians (r15 sf10 protocol)")
     args = ap.parse_args()
     scales = [s.strip() for s in args.scales.split(",")]
     for s in scales:
@@ -150,7 +153,7 @@ def main():
     outs = {}
     for s in scales:
         ensure_fixture(s)
-        outs[s] = bench(s, args.label)
+        outs[s] = bench(s, args.label, args.repeat)
 
     # A partial re-run (e.g. `--scales 10` after an interrupted sweep)
     # reuses this label's already-recorded files for the scaling report
