@@ -470,17 +470,29 @@ object Ext3Queries {
     ),
 
     // rolling 7-day distinct users per window-end day: windowed COUNT
-    // DISTINCT is not a window function on any engine — the scale shape
-    // is the bounded day-offset explode (×7 on the per-(user,day)
-    // DISTINCT frame, which is ≪ events), then one hash aggregate
+    // DISTINCT is not a window function on any engine. r15 shape: ONE
+    // corpus shuffle — groupBy(user) with a map-side-partial
+    // collect_set(day) (per-user day sets are calendar-bounded, ≤ the
+    // fixture's ~90 days), then the user's distinct window-ends computed
+    // IN-ROW (flatten + array_distinct over the 7-day offsets) and
+    // counted with a plain agg: each user contributes each wend exactly
+    // once, so count(*) IS the distinct-user count and the former
+    // second corpus-wide dedup exchange disappears. (The prior
+    // distinct → ×7 explode → count_distinct form re-deduplicated
+    // (user, wend) across the cluster: 238 MB second exchange and a
+    // 44 s finalize stage at sf10 — StageProbe r15, bench/r15_notes.md.)
     "q_rolling_distinct" -> QueryDef(
       (s, d) =>
         t(s, d, "events")
-          .select(to_date(col("ts")).as("day"), col("user_id"))
-          .distinct()
-          .select(col("user_id"), explode(sequence(col("day"), date_add(col("day"), 6))).as("wend"))
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .groupBy("user_id")
+          .agg(collect_set(col("day")).as("days"))
+          .select(
+            col("user_id"),
+            explode(array_distinct(flatten(
+              transform(col("days"), dd => sequence(dd, date_add(dd, 6)))))).as("wend"))
           .groupBy(date_format(col("wend"), "yyyy-MM-dd").as("window_end"))
-          .agg(count_distinct(col("user_id")).as("n_users")),
+          .agg(count(lit(1)).as("n_users")),
       Some("""WITH du AS (
              |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events),
              |x AS (
