@@ -414,6 +414,28 @@ class ScalePlanSpec extends SparkSpec {
     graft.ops.Caching.release(docs)
   }
 
+  test("q_rolling_distinct: one corpus exchange, no second distinct-agg of (user, wend)") {
+    // the r15 shape dedups days per user in ONE map-side-partial
+    // collect_set and counts exploded in-row-distinct window-ends with a
+    // plain agg — exactly 2 exchanges (user groupBy + tiny window_end
+    // agg), no Expand, no count(DISTINCT ...) anywhere. A third exchange
+    // would mean the corpus-wide (user, wend) dedup crept back.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try graft.SparkEntry.queries("q_rolling_distinct")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 2, s"expected 2 exchanges, got ${exchanges.size}:\n$plan")
+    assert(!plan.toString.contains("Expand"), plan.toString)
+    // array_distinct (in-row) is the point; count(distinct …) is the
+    // corpus-wide dedup this shape removed
+    assert(!plan.toString.toLowerCase.contains("count(distinct"),
+      plan.toString.linesIterator.take(20).mkString("\n"))
+  }
+
   test("proximityCount windows run over the bucket inventory, never the fact table") {
     // the rank-difference form's two windows (segment prefix sum +
     // cross-segment totals) must sit above the inventory aggregation —
