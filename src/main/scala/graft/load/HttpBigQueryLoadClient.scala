@@ -103,10 +103,22 @@ final class HttpBigQueryLoadClient(
       case Some(root) =>
         // stage shards (distributed write), insert by reference, and
         // drop the staging directory once the job is terminal — success,
-        // errorResult, or deadline alike (a retry restages fresh shards)
-        val (dir, uris) = stageShards(df, root)
-        try awaitJob(insertWrapped(insertJobStaged(config(uris))))
-        finally cleanupStaging(df, dir)
+        // errorResult, deadline, or a mid-write task failure alike (the
+        // dir name is fixed BEFORE the write so a partial write cannot
+        // leak shards; a retry restages under a fresh uuid)
+        val dir = s"${root.stripSuffix("/")}/graft-stage-${java.util.UUID.randomUUID()}"
+        try {
+          // Spark task failures during the shard write wrap like every
+          // other load-path failure (the reference's blanket conversion)
+          val uris =
+            try stageShards(df, dir)
+            catch {
+              case e: BigQuerySink.LoadJobException => throw e
+              case NonFatal(e) =>
+                throw new BigQuerySink.LoadJobException(s"staging write failed: $e")
+            }
+          awaitJob(insertWrapped(insertJobStaged(config(uris))))
+        } finally cleanupStaging(df, dir)
     }
   }
 
@@ -214,16 +226,15 @@ final class HttpBigQueryLoadClient(
   }
 
   /** Distributed NDJSON staging: executors write one shard per
-    * partition under a fresh UUID directory beneath `root` (the
-    * `gs://bucket/prefix` stand-in — any Hadoop-FS URI works). Returns
-    * the directory and the sorted shard URIs for `sourceUris`. Empty
-    * partitions yield empty shard files — harmless NDJSON (zero rows) —
-    * but a frame with no shards at all fails loudly rather than
-    * submitting a job BigQuery would reject with a "no files" error
-    * after the poll wait.
+    * partition into `dir` (under the `gs://bucket/prefix` stand-in —
+    * any Hadoop-FS URI works; the caller fixes the directory name
+    * before the write so cleanup covers partial writes). Returns the
+    * sorted shard URIs for `sourceUris`. Empty partitions yield empty
+    * shard files — harmless NDJSON (zero rows) — but a frame with no
+    * shards at all fails loudly rather than submitting a job BigQuery
+    * would reject with a "no files" error after the poll wait.
     */
-  private def stageShards(df: DataFrame, root: String): (String, Seq[String]) = {
-    val dir = s"${root.stripSuffix("/")}/graft-stage-${java.util.UUID.randomUUID()}"
+  private def stageShards(df: DataFrame, dir: String): Seq[String] = {
     df.toJSON.write.text(dir)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
@@ -232,7 +243,7 @@ final class HttpBigQueryLoadClient(
       .map(_.getPath.toString).toSeq.sorted
     if (uris.isEmpty)
       throw new BigQuerySink.LoadJobException(s"staged load produced no shards under $dir")
-    (dir, uris)
+    uris
   }
 
   /** Best-effort: staged shards are job input, not state — a failed
