@@ -485,6 +485,11 @@ object Ext3Queries {
       (s, d) =>
         t(s, d, "events")
           .select(col("user_id"), to_date(col("ts")).as("day"))
+          // COUNT(DISTINCT user_id) ignores nulls; the plain count(*)
+          // over per-user rows below would count a null-user group, so
+          // the null exclusion must be explicit to stay oracle-exact on
+          // any input
+          .filter(col("user_id").isNotNull)
           .groupBy("user_id")
           .agg(collect_set(col("day")).as("days"))
           .select(
