@@ -89,6 +89,9 @@ object Bench {
       Some(l)
     }
     val perQueryMetrics = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-run walls under --repeat — the band behind each median, kept in
+    // the full record so a median record discloses its spread (r15)
+    val perQueryRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     // one isolated, forced timing of one query
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // isolate per-query timing: drop caches left by previous queries AND
@@ -160,6 +163,7 @@ object Bench {
         if (marker != 0.0) marker
         else if (repeat == 1) runs.head
         else runs.sorted.apply(runs.length / 2) // median (upper for even N)
+      if (repeat > 1) perQueryRuns(name) = runs.toSeq
       // one short line per query, printed as it finishes: live progress
       // locally, and the only per-query record that survives a
       // bounded-tail capture of this process's stdout
@@ -181,10 +185,15 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      val runsField =
+        if (perQueryRuns.isEmpty) ""
+        else perQueryRuns
+          .map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
+          .mkString(""","runs":{""", ",", "}")
       java.nio.file.Files.write(
         p,
         (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-          s""""sf":"$sfDir","repeat":$repeat}\n""")
+          s""""sf":"$sfDir","repeat":$repeat$runsField}\n""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: Throwable =>
