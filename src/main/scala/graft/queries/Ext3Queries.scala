@@ -506,7 +506,7 @@ object Ext3Queries {
              |SELECT strftime(wend, '%Y-%m-%d') AS window_end,
              |       COUNT(DISTINCT user_id) AS n_users
              |FROM x GROUP BY 1""".stripMargin),
-      "7-day rolling distinct users via day-offset explode"
+      "7-day rolling distinct users via per-user in-row window-end expansion"
     ),
 
     // time-weighted average value per user: each event's value holds
