@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ops.{Dedup, GlobalRank, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fourth wave of extension operators — the curation/packaging layer of a
@@ -12,7 +13,66 @@ import org.apache.spark.sql.functions._
 object Ext4Queries {
   import Tables.t
 
+  /** Sink+source round-trip for one interchange format: write a
+    * deterministic 10% hash sample of `documents`, read it back with an
+    * EXPLICIT schema (inference is an extra scan and a nondeterminism
+    * source), and aggregate per lang with an md5-chunk content
+    * fingerprint. The oracle replays the SAME aggregation over the
+    * parquet directly, so any row loss or text/encoding corruption in
+    * the round-trip hash-mismatches — the fidelity contract for the
+    * formats a training pipeline actually ships: JSONL (line-oriented;
+    * splittable because a distributed write shards it into many files —
+    * never whole-shard gzip at 100 TB, the codec kills splits) and ORC
+    * (the columnar alternative when downstream is another SQL engine).
+    * The fingerprint is an 8-hex md5 chunk (< 2^32) summed over ≤10% of
+    * the corpus — exact in BIGINT on both engines. The staging path is
+    * applicationId-scoped: deterministic within a run, collision-free
+    * across concurrent harness processes.
+    */
+  private def formatRoundtrip(s: SparkSession, d: String, format: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(
+        conv(substring(md5(concat(lit("rt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 100 < 10)
+      .select(
+        col("doc_id").cast("long").as("doc_id"), col("source"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), col("text"))
+    val dir = s"/tmp/graft-roundtrip/${s.sparkContext.applicationId}/$format"
+    docs.write.mode("overwrite").format(format).save(dir)
+    s.read
+      .schema("doc_id BIGINT, source STRING, lang STRING, n_chars BIGINT, text STRING")
+      .format(format).load(dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        // concat (NOT concat_ws): a null text must null the row's
+        // fingerprint on both engines, not collapse to md5(doc_id)
+        sum(conv(
+          substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 8),
+          16, 10).cast("long")).as("content_fp"))
+  }
+
+  private val roundtripOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang, n_chars, text FROM documents
+      |  WHERE CAST(('0x' || substr(md5('rt:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10)
+      |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8)) AS BIGINT)) AS BIGINT) AS content_fp
+      |FROM s GROUP BY 1""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- interchange-format round-trips: the sink+source fidelity
+    //      gates for shipped training data (see formatRoundtrip) ----
+    "q_jsonl_roundtrip" -> QueryDef(
+      (s, d) => formatRoundtrip(s, d, "json"),
+      Some(roundtripOracle),
+      "JSONL sink+source round-trip fidelity vs the direct aggregation"),
+    "q_orc_roundtrip" -> QueryDef(
+      (s, d) => formatRoundtrip(s, d, "orc"),
+      Some(roundtripOracle),
+      "ORC sink+source round-trip fidelity vs the direct aggregation"),
 
     // ---- Gopher-style quality gate: word-count / mean-word-length /
     //      stopword / top-token-dominance rules from one token explode,
