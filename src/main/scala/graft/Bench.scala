@@ -10,21 +10,41 @@ object Bench {
     // without hand-run isolated triples. Use an odd N; for even N the
     // upper median is taken. The driver passes no args, so its gate
     // record stays a single-pass sweep.
-    val repeat = {
-      val fromArgs = args.sliding(2).collectFirst {
-        case Array("--repeat", n) => n.toInt
-      }.orElse(args.collectFirst {
-        case a if a.startsWith("--repeat=") => a.stripPrefix("--repeat=").toInt
-      })
-      math.max(1, fromArgs.orElse(sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt)).getOrElse(1))
+    // positional parse that consumes ONLY the token following a bare
+    // `--repeat` (not every all-digit positional), and fails loudly on a
+    // trailing `--repeat` with no value — a silent repeat=1 would record
+    // a single-pass sweep under a median-protocol label
+    val (repeatArg, positional) = {
+      var rep: Option[Int] = None
+      val rest = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < args.length) {
+        args(i) match {
+          case "--repeat" =>
+            if (i + 1 >= args.length)
+              sys.error("--repeat requires a value (e.g. --repeat 3)")
+            rep = Some(args(i + 1).toInt) // unparseable value throws — loud
+            i += 2
+          case a if a.startsWith("--repeat=") =>
+            rep = Some(a.stripPrefix("--repeat=").toInt)
+            i += 1
+          case a =>
+            rest += a
+            i += 1
+        }
+      }
+      (rep, rest.toSeq)
     }
+    val repeat = math.max(
+      1,
+      repeatArg
+        .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt))
+        .getOrElse(1))
     // optional positional comma-separated name filter (mirrors Verify's):
     // `runMain graft.Bench q_a,q_b` times just those queries at the
     // driver's exact session config — the isolated-re-measure path that
     // previously required env-var gymnastics. No args = full inventory.
-    val argFilter = args.filterNot(_.startsWith("--repeat"))
-      .filterNot(a => a.forall(_.isDigit) && args.contains("--repeat"))
-      .headOption.filter(_.nonEmpty).map(_.split(",").toSet)
+    val argFilter = positional.headOption.filter(_.nonEmpty).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle partitions default to the thread count (the driver's
     // contract config) but are overridable for scale-proof sweeps:
@@ -92,8 +112,15 @@ object Bench {
     // per-run walls under --repeat — the band behind each median, kept in
     // the full record so a median record discloses its spread (r15)
     val perQueryRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    // one isolated, forced timing of one query
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // one isolated, forced timing of one query; returns (wall-or-marker,
+    // this run's byte-delta json) so the caller can keep the MEDIAN run's
+    // metrics rather than the last run's — spill bytes depend on memory
+    // pressure (cache state, GC), not just the plan, so pairing the
+    // median wall with an arbitrary run's spill misrepresents the record
+    def timeOnce(
+        name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame
+    ): (Double, Option[String]) = {
       // isolate per-query timing: drop caches left by previous queries AND
       // their localCheckpoint result blocks — clearCache() does not touch
       // checkpoint RDD blocks, and leaving their release to the
@@ -128,41 +155,46 @@ object Bench {
       // capture the end time BEFORE the metrics drain, so the bus wait
       // never inflates the timed number
       val t1 = System.nanoTime()
-      metrics.foreach { l =>
+      val bytesJson = metrics.map { l =>
         org.apache.spark.graft.ListenerBus.drain(spark.sparkContext)
         val b = before.get
         val a = l.snapshot()
-        // under --repeat the LAST run's bytes win — per-run byte deltas
-        // are deterministic for a fixed plan, so any run's are the record
-        perQueryMetrics(name) =
-          s"""{"shuffle_read":${a._1 - b._1},"shuffle_write":${a._2 - b._2},""" +
-            s""""mem_spill":${a._3 - b._3},"disk_spill":${a._4 - b._4}}"""
+        s"""{"shuffle_read":${a._1 - b._1},"shuffle_write":${a._2 - b._2},""" +
+          s""""mem_spill":${a._3 - b._3},"disk_spill":${a._4 - b._4}}"""
       }
       // failed queries record -1 (guard-skips -2) so the JSON can't
       // masquerade as a fast pass
-      if (outcome > 0) (t1 - t0) / 1e9 else outcome
+      (if (outcome > 0) (t1 - t0) / 1e9 else outcome, bytesJson)
     }
 
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val runBytes = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
       var marker = 0.0 // -1/-2 if any run fails/guard-skips
       var i = 1
       // a failed/guard-skipped run ends the repeats — repeating a
       // deterministic failure only re-pays its cost
       while (i <= repeat && marker == 0.0) {
-        val s = timeOnce(name, fn)
+        val (s, bytes) = timeOnce(name, fn)
         if (s > 0) {
           runs += s
+          runBytes += bytes
           if (repeat > 1) println(s"""{"query":"$name","run":$i,"sec":$s}""")
         } else marker = s
         i += 1
       }
+      // median wall (upper for even N), and the METRICS OF THAT SAME RUN
+      // — the published wall and its spill/shuffle bytes come from one
+      // execution, not a wall from run 2 paired with bytes from run 3
+      val medianIdx =
+        if (marker != 0.0 || runs.isEmpty) -1
+        else runs.zipWithIndex.sortBy(_._1).apply(runs.length / 2)._2
       val sec =
         if (marker != 0.0) marker
-        else if (repeat == 1) runs.head
-        else runs.sorted.apply(runs.length / 2) // median (upper for even N)
+        else runs(medianIdx)
+      if (medianIdx >= 0) runBytes(medianIdx).foreach(perQueryMetrics(name) = _)
       if (repeat > 1) perQueryRuns(name) = runs.toSeq
       // one short line per query, printed as it finishes: live progress
       // locally, and the only per-query record that survives a

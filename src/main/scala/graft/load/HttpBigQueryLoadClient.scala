@@ -117,7 +117,13 @@ final class HttpBigQueryLoadClient(
               case NonFatal(e) =>
                 throw new BigQuerySink.LoadJobException(s"staging write failed: $e")
             }
-          awaitJob(insertWrapped(insertJobStaged(config(uris))))
+          // zero shards (a zero-partition frame, e.g. everything filtered
+          // out): BigQuery rejects a load config with no sourceUris, but
+          // the job must still run — a zero-row WRITE_TRUNCATE truncates
+          // the table. Fall back to the multipart body so the same valid
+          // input behaves identically on both body paths.
+          if (uris.isEmpty) awaitJob(insertWrapped(insertJob(config(Nil), df)))
+          else awaitJob(insertWrapped(insertJobStaged(config(uris))))
         } finally cleanupStaging(df, dir)
     }
   }
@@ -230,9 +236,10 @@ final class HttpBigQueryLoadClient(
     * any Hadoop-FS URI works; the caller fixes the directory name
     * before the write so cleanup covers partial writes). Returns the
     * sorted shard URIs for `sourceUris`. Empty partitions yield empty
-    * shard files — harmless NDJSON (zero rows) — but a frame with no
-    * shards at all fails loudly rather than submitting a job BigQuery
-    * would reject with a "no files" error after the poll wait.
+    * shard files — harmless NDJSON (zero rows). A frame with no shards at
+    * all returns an empty Seq; the caller falls back to the multipart
+    * body rather than submitting a job BigQuery would reject with a "no
+    * files" error after the poll wait.
     */
   private def stageShards(df: DataFrame, dir: String): Seq[String] = {
     df.toJSON.write.text(dir)
@@ -241,8 +248,6 @@ final class HttpBigQueryLoadClient(
     val uris = fs.listStatus(p).iterator
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).toSeq.sorted
-    if (uris.isEmpty)
-      throw new BigQuerySink.LoadJobException(s"staged load produced no shards under $dir")
     uris
   }
 

@@ -452,9 +452,13 @@ object Similarity {
     * deployment needs it.
     */
   /** Sentinel for `rerankK`: size the ADC shortlist from the corpus,
-    * `max(200, ⌈n/250⌉)` — see [[adaptiveRerankK]].
+    * `max(200, ⌈n/250⌉)` — see [[adaptiveRerankK]]. `Int.MinValue`, NOT a
+    * small negative: every value in the documented `<= 0` range keeps its
+    * original "skip the exact re-rank" semantics, so a legacy caller
+    * passing -1 to disable rerank still gets the disable path rather than
+    * a silent adaptive shortlist plus an extra count() job.
     */
-  val AdaptiveRerank: Int = -1
+  val AdaptiveRerank: Int = Int.MinValue
 
   /** The corpus-adaptive ADC shortlist size: a 0.4% corpus fraction with
     * a floor of 200 (the sf0.1-calibrated constant the fraction equals

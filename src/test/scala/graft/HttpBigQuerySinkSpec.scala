@@ -324,6 +324,22 @@ class HttpBigQuerySinkSpec extends SparkSpec {
     assert(stageDirsUnder(root).isEmpty, stageDirsUnder(root))
   }
 
+  test("staged zero-row frame loads successfully (0 rows) — same outcome as the multipart path") {
+    // a zero-row frame previously succeeded via multipart but could
+    // throw on the staged path; now both body paths yield a zero-row
+    // load. Spark writes at least one (empty) shard even for a
+    // zero-partition frame, so this flows through the staged body; the
+    // defensive no-shards fallback (a filesystem listing no part files)
+    // reuses the multipart body for the same zero-row outcome.
+    val root = java.nio.file.Files.createTempDirectory("bqstage")
+    requests.clear(); configsSeen.clear()
+    val zeroPart = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s2)
+    val n = stagedClient(root).loadTable(zeroPart, "proj.ds.t_staged_empty", Sink.WriteTruncate, Set.empty)
+    assert(n === 0)
+    // and the staging directory is still cleaned up
+    assert(stageDirsUnder(root).isEmpty, stageDirsUnder(root))
+  }
+
   test("staged config knobs are byte-identical to the multipart path's") {
     configsSeen.clear()
     freshSink().load(df(s2, Row(1L, "a")), "cfg_wire", Sink.WriteAppend)
