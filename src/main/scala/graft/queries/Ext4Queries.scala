@@ -29,7 +29,12 @@ object Ext4Queries {
     * applicationId-scoped: deterministic within a run, collision-free
     * across concurrent harness processes.
     */
-  private def formatRoundtrip(s: SparkSession, d: String, format: String): DataFrame = {
+  private def formatRoundtrip(
+      s: SparkSession,
+      d: String,
+      format: String,
+      writeOptions: Map[String, String] = Map.empty,
+      readOptions: Map[String, String] = Map.empty): DataFrame = {
     val docs = t(s, d, "documents")
       .filter(
         conv(substring(md5(concat(lit("rt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
@@ -38,9 +43,10 @@ object Ext4Queries {
         col("doc_id").cast("long").as("doc_id"), col("source"), col("lang"),
         col("n_chars").cast("long").as("n_chars"), col("text"))
     val dir = s"/tmp/graft-roundtrip/${s.sparkContext.applicationId}/$format"
-    docs.write.mode("overwrite").format(format).save(dir)
-    s.read
+    docs.write.mode("overwrite").options(writeOptions).format(format).save(dir)
+    val agg = s.read
       .schema("doc_id BIGINT, source STRING, lang STRING, n_chars BIGINT, text STRING")
+      .options(readOptions)
       .format(format).load(dir)
       .groupBy("lang")
       .agg(
@@ -51,7 +57,61 @@ object Ext4Queries {
         sum(conv(
           substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 8),
           16, 10).cast("long")).as("content_fp"))
+    // Materialize the aggregate (one row per lang — bounded) and DELETE
+    // the staging directory before returning: the lazy frame would pin
+    // the staged files for the caller's lifetime, and applicationId-fresh
+    // runs otherwise accumulate staging data unboundedly across sweeps.
+    val out = s.createDataFrame(agg.collectAsList(), agg.schema)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    // drop the per-application parent too once its last format is gone
+    val parent = p.getParent
+    if (fs.exists(parent) && fs.listStatus(parent).isEmpty) fs.delete(parent, true)
+    out
   }
+
+  /** The pinned CSV round-trip dialect — CSV's null/empty/quote/newline
+    * encodings are exactly what the md5-chunk fingerprint exists to
+    * catch, and three Spark defaults silently corrupt a naive
+    * write-then-read (measured by RoundtripSpec): the writer TRIMS
+    * trailing whitespace (`ignoreTrailingWhiteSpace` defaults true on
+    * write), a nullValue TOKEN collides with equal-valued data (the
+    * writer never quotes a value that contains no quote/delimiter/
+    * newline), and backslash-escape is not what RFC-4180 readers expect.
+    * The dialect:
+    *  - null → UNQUOTED empty field, empty string → QUOTED `""` (both
+    *    are the write defaults); univocity distinguishes the two on
+    *    read — unquoted empty hits `nullValue` (default ""→null), quoted
+    *    empty hits `emptyValue` (pinned to ""→empty string) — so the
+    *    null/empty split survives with NO in-band token to collide with
+    *    data;
+    *  - `escape = "`: RFC-4180 doubled-quote escaping instead of Spark's
+    *    backslash default, pinned on BOTH sides;
+    *  - write-side whitespace trimming off, so padded values survive;
+    *  - `multiLine = true` on read: embedded newlines survive (note: a
+    *    multiLine CSV file is NOT input-splittable — at 100 TB ship
+    *    JSONL/ORC and keep CSV for bounded interchange extracts, which
+    *    is exactly the 10% sample this gate exercises).
+    */
+  private[graft] val csvWriteOptions: Map[String, String] = Map(
+    "emptyValue" -> "\"\"",
+    "escape" -> "\"",
+    "ignoreLeadingWhiteSpace" -> "false",
+    "ignoreTrailingWhiteSpace" -> "false")
+
+  private[graft] val csvReadOptions: Map[String, String] = Map(
+    // the parser maps an unquoted empty field to nullValue BEFORE the
+    // null comparison, but it also compares every other datum to the
+    // same token — so the default nullValue="" would null a quoted
+    // empty string too. A NUL sentinel keeps unquoted-empty→null while
+    // quoted-empty→"" survives via emptyValue (caveat: a data value
+    // that IS a lone NUL character would read as null — not encodable
+    // distinctly in this dialect, and absent from any text corpus)
+    "nullValue" -> "\u0000",
+    "emptyValue" -> "",
+    "escape" -> "\"",
+    "multiLine" -> "true")
 
   private val roundtripOracle: String =
     """WITH s AS (
@@ -73,6 +133,10 @@ object Ext4Queries {
       (s, d) => formatRoundtrip(s, d, "orc"),
       Some(roundtripOracle),
       "ORC sink+source round-trip fidelity vs the direct aggregation"),
+    "q_csv_roundtrip" -> QueryDef(
+      (s, d) => formatRoundtrip(s, d, "csv", csvWriteOptions, csvReadOptions),
+      Some(roundtripOracle),
+      "CSV sink+source round-trip fidelity under the pinned null/empty/quote dialect"),
 
     // ---- Gopher-style quality gate: word-count / mean-word-length /
     //      stopword / top-token-dominance rules from one token explode,
