@@ -10,7 +10,8 @@ object SurveyDump {
     val all: Seq[(String, graft.queries.QueryDef)] =
       graft.queries.CoreQueries.defs ++ graft.queries.SqlQueries.defs ++
         graft.queries.ExtQueries.defs ++ graft.queries.Ext2Queries.defs ++
-        graft.queries.Ext3Queries.defs ++ graft.queries.Ext4Queries.defs
+        graft.queries.Ext3Queries.defs ++ graft.queries.Ext4Queries.defs ++
+        graft.queries.Ext5Queries.defs
     all.foreach { case (n, qd) =>
       val d = qd.description.replace("\t", " ").replace("\n", " ")
       println(s"SURVEYROW\t$n\t${qd.oracle.isDefined}\t$d")
