@@ -62,5 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowRuns.builder
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier(BpeMergeRuns.name),
+        new ExpressionInfo(classOf[BpeMergeRuns].getName, null, BpeMergeRuns.name),
+        BpeMergeRuns.builder
+      )
+    )
   }
 }

@@ -1,0 +1,129 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ExprBridge
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.BpeMergeRuns
+
+/** Distributed BPE merge training (Sennrich et al. 2016, the word-level
+  * formulation every tokenizer trainer uses): start from per-word
+  * character sequences with an end-of-word marker, then repeatedly
+  * (1) count adjacent symbol pairs weighted by word frequency,
+  * (2) take the most frequent pair (ties broken lexicographically),
+  * (3) replace its leftmost non-overlapping occurrences in every
+  * sequence with the concatenated symbol.
+  *
+  * 100 TB shape — the [[Similarity]] Lloyd-step recipe applied to text:
+  *  - ONE corpus-wide shuffle builds the word-frequency vocab; every
+  *    training iteration after that runs over the vocab frame (bounded
+  *    by DISTINCT words, not corpus tokens — the classic reason
+  *    word-level BPE scales);
+  *  - the per-iteration pair aggregate is map-side combinable and its
+  *    output is bounded by the distinct adjacent-pair count; only the
+  *    ARGMAX row crosses to the driver (`orderBy.limit(1)` plans
+  *    TakeOrdered — no global sort), so the driver holds M merge rows
+  *    total, exactly the sanctioned bounded-codebook pattern;
+  *  - re-tokenization is a narrow codegen'd projection
+  *    ([[BpeMergeRuns]]) with the merge stamped in as literals — M
+  *    chained projections stay one whole-stage-codegen span over the
+  *    persisted vocab.
+  *
+  * Everything is count arithmetic + binary string order, so a SQL
+  * oracle replays the merge sequence exactly (the greedy-leftmost merge
+  * is replayed via match-run parity: overlapping matches only occur
+  * inside runs of the same pair, where greedy keeps even offsets).
+  *
+  * Caveat: symbols are Java chars (UTF-16 units) on the Spark side and
+  * unicode code points in DuckDB replay — identical on BMP text; the
+  * fixture is ASCII. A production byte-level trainer would start from
+  * bytes instead.
+  */
+object Bpe {
+
+  /** End-of-word marker symbol (its own trailing symbol, so merges can
+    * learn word-final units without gluing the marker onto characters).
+    */
+  val EndOfWord = "</w>"
+
+  /** (w, freq): the one corpus-wide aggregation. */
+  def wordVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+
+  /** (w, freq, s): initial symbol sequences — characters plus the
+    * end-of-word marker.
+    */
+  def initialSeqs(vocab: DataFrame): DataFrame =
+    vocab.select(
+      col("w"),
+      col("freq"),
+      concat(split(col("w"), ""), array(lit(EndOfWord))).as("s"))
+
+  /** One learned merge: rank order, the pair, the merged symbol, and the
+    * weighted pair count that won the argmax.
+    */
+  final case class Merge(
+      mergeRank: Long,
+      symA: String,
+      symB: String,
+      merged: String,
+      pairCount: Long)
+
+  /** Train `numMerges` merges over the corpus; returns the merge table
+    * (merge_rank, sym_a, sym_b, merged, pair_count), merge_rank
+    * ascending — the artifact a tokenizer ships.
+    */
+  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val vocab = wordVocab(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var seqs = initialSeqs(vocab)
+      val merges = ArrayBuffer.empty[Merge]
+      var rank = 1
+      var exhausted = false
+      while (rank <= numMerges && !exhausted) {
+        // pair = "a b" (symbols never contain whitespace — they are
+        // non-space characters and concatenations thereof), so the
+        // 2-shingle string IS the pair key and its binary order is the
+        // deterministic tiebreak on both engines
+        val top = seqs
+          .select(col("freq"), explode(TextOps.shinglesFromTokens(col("s"), 2)).as("pair"))
+          .groupBy("pair")
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(1)
+          .collect()
+        if (top.isEmpty) {
+          // every word fully merged into one symbol — nothing left to learn
+          exhausted = true
+        } else {
+          val pair = top(0).getString(0)
+          val cnt = top(0).getLong(1)
+          val sep = pair.indexOf(' ')
+          val (a, b) = (pair.substring(0, sep), pair.substring(sep + 1))
+          merges += Merge(rank.toLong, a, b, a + b, cnt)
+          seqs = seqs.select(
+            col("w"),
+            col("freq"),
+            ExprBridge.column(
+              BpeMergeRuns(ExprBridge.expression(col("s")), a, b)).as("s"))
+          rank += 1
+        }
+      }
+      import spark.implicits._
+      merges.toSeq.toDF()
+        .select(
+          col("mergeRank").as("merge_rank"),
+          col("symA").as("sym_a"),
+          col("symB").as("sym_b"),
+          col("merged"),
+          col("pairCount").as("pair_count"))
+    } finally vocab.unpersist(blocking = false)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Decontam
+import graft.ops.{Bpe, Decontam}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,14 @@ object Ext5Queries {
 
   /** GPT-3-style width: 13 consecutive words. */
   private val GramN = 13
+
+  /** Merge-table depth for the BPE registry entry — enough iterations
+    * that later merges build ON earlier merged symbols (multi-level
+    * units), bounded so the unrolled oracle stays tractable. Declared
+    * BEFORE `defs` (object-initialization order: `defs` captures it
+    * eagerly).
+    */
+  private val BpeMerges = 8
 
   private def splitDocs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(
@@ -73,6 +81,74 @@ object Ext5Queries {
               |  (NOT t.is_bench AND t.doc_id NOT IN (SELECT doc_id FROM hits)) AS keep
               |FROM toks t""".stripMargin),
       "per-document decontamination verdicts: held-out / contaminated / keep-for-training"
+    ),
+
+    // ---- distributed BPE merge training: M deterministic iterations of
+    //      pair-count aggregate → argmax collect → codegen re-tokenize.
+    //      The oracle replays the ENTIRE training loop (the
+    //      ann_ivf_trained_topk pattern): M unrolled CTE blocks, each
+    //      re-deriving the greedy-leftmost merge via match-run parity ----
+    "text_bpe_train" -> QueryDef(
+      (s, d) => Bpe.trainMerges(t(s, d, "documents"), "text", numMerges = BpeMerges),
+      Some(bpeOracle(BpeMerges)),
+      s"BPE tokenizer training: top-$BpeMerges merges, the full loop oracle-replayed"
     )
   )
+
+  /** DuckDB replay of [[graft.ops.Bpe.trainMerges]]: vocab + initial
+    * char sequences, then per iteration (unrolled — oracle SQL is
+    * static): pair counts weighted by freq, argmax with the pair-string
+    * tiebreak, and the greedy-leftmost merge. Greedy replay: a match at
+    * position j overlaps the match at j-1 only inside a run of identical
+    * pairs, and greedy keeps exactly the EVEN OFFSETS within each
+    * maximal match run (gaps-and-islands + offset parity); a kept match
+    * consumes position j+1 (the lag filter). `seq$i`/`m$i` are
+    * MATERIALIZED: DuckDB inlines CTEs by default, and each iteration
+    * references the previous sequence frame twice — inlined, the plan
+    * tree doubles per iteration (2^M blowup; measured as a multi-minute
+    * hang at M=8).
+    */
+  private def bpeOracle(m: Int): String = {
+    val iters = (1 to m).map { i =>
+      val prev = s"seq${i - 1}"
+      s"""p$i AS (
+         |  SELECT s[j] || ' ' || s[j+1] AS pair, SUM(freq) AS cnt
+         |  FROM $prev, LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS j) t$i
+         |  GROUP BY 1),
+         |m$i AS MATERIALIZED (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |x$i AS (
+         |  SELECT w, freq, j, s[j] AS sym,
+         |    COALESCE(j < len(s) AND s[j] || ' ' || s[j+1] = (SELECT pair FROM m$i), false) AS mt
+         |  FROM $prev, LATERAL (SELECT unnest(generate_series(1, len(s))) AS j) u$i),
+         |r$i AS (
+         |  SELECT w, freq, j, sym, mt,
+         |    CASE WHEN mt THEN j - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY j) END AS grp
+         |  FROM x$i),
+         |k$i AS (
+         |  SELECT w, freq, j, sym,
+         |    (mt AND (j - MIN(j) OVER (PARTITION BY w, grp)) % 2 = 0) AS take
+         |  FROM r$i),
+         |c$i AS (
+         |  SELECT w, freq, j, sym, take,
+         |    COALESCE(lag(take) OVER (PARTITION BY w ORDER BY j), false) AS consumed
+         |  FROM k$i),
+         |seq$i AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    list(CASE WHEN take THEN (SELECT replace(pair, ' ', '') FROM m$i) ELSE sym END ORDER BY j)
+         |      FILTER (WHERE NOT consumed) AS s
+         |  FROM c$i GROUP BY w, freq)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to m).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_rank,
+         |  split_part(pair, ' ', 1) AS sym_a, split_part(pair, ' ', 2) AS sym_b,
+         |  replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT t AS w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS t
+       |    FROM documents) GROUP BY 1),
+       |seq0 AS (SELECT w, freq, list_append(regexp_split_to_array(w, ''), '</w>') AS s FROM v),
+       |$iters
+       |$rows""".stripMargin
+  }
 }

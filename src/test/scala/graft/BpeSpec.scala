@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.BpeMergeRuns
+import graft.ops.Bpe
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ExprBridge
+
+/** BPE merge-training semantics (`text_bpe_train`): the greedy-leftmost
+  * merge kernel, determinism of the learned table, and parity with an
+  * in-test reference trainer.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mergeOnce(seq: Seq[String], a: String, b: String): Seq[String] = {
+    val df = Seq(Tuple1(seq)).toDF("s")
+    df.select(
+        ExprBridge.column(BpeMergeRuns(ExprBridge.expression(col("s")), a, b)).as("s"))
+      .as[Seq[String]].head()
+  }
+
+  test("merge kernel is greedy-leftmost and non-overlapping") {
+    assert(mergeOnce(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(mergeOnce(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(mergeOnce(Seq("x", "a", "b", "a", "b", "y"), "a", "b") === Seq("x", "ab", "ab", "y"))
+    // a merged element is not reconsidered within the same pass
+    assert(mergeOnce(Seq("a", "b", "b"), "a", "b") === Seq("ab", "b"))
+    // no match → unchanged
+    assert(mergeOnce(Seq("b", "a"), "a", "b") === Seq("b", "a"))
+    // short/empty sequences
+    assert(mergeOnce(Seq("a"), "a", "b") === Seq("a"))
+    assert(mergeOnce(Seq.empty[String], "a", "b") === Seq.empty[String])
+  }
+
+  /** Straight-line reference trainer: scala.collection maps, no Spark. */
+  private def referenceTrain(words: Seq[String], m: Int): Seq[(String, String, Long)] = {
+    val freq = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var seqs: Map[List[String], Long] =
+      freq.groupBy { case (w, _) => w.map(_.toString).toList :+ Bpe.EndOfWord }
+        .map { case (s, m2) => s -> m2.values.sum }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to m) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, f) <- seqs; p <- s.sliding(2) if p.size == 2)
+        counts((p.head, p(1))) = counts.getOrElse((p.head, p(1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, s"$x $y") }
+        out += ((a, b, c))
+        def apply(s: List[String]): List[String] = s match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: apply(rest)
+          case x :: rest                          => x :: apply(rest)
+          case Nil                                => Nil
+        }
+        seqs = seqs.groupBy { case (s, _) => apply(s) }.map { case (s, m2) => s -> m2.values.sum }
+      }
+    }
+    out.toSeq
+  }
+
+  test("trained merge table matches the straight-line reference trainer") {
+    val words = Seq(
+      "low", "low", "low", "lower", "lower", "lowest",
+      "new", "new", "newer", "newer", "newer", "wider")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val got = Bpe.trainMerges(docs, "text", numMerges = 6)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq
+    assert(got === referenceTrain(words, 6))
+  }
+
+  test("training is deterministic and later merges build on earlier merged symbols") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet").select("text")
+    val t1 = Bpe.trainMerges(docs, "text", numMerges = 8).collect().toSeq
+    val t2 = Bpe.trainMerges(docs, "text", numMerges = 8).collect().toSeq
+    assert(t1 === t2)
+    assert(t1.size === 8)
+    // ranks ascend 1..8 and at least one later merge consumes a merged
+    // symbol (multi-char sym_a or sym_b) — the defining BPE property
+    assert(t1.map(_.getLong(0)) === (1L to 8L))
+    val multiLevel = t1.exists(r =>
+      (r.getString(1).length > 1 && r.getString(1) != Bpe.EndOfWord) ||
+        (r.getString(2).length > 1 && r.getString(2) != Bpe.EndOfWord))
+    assert(multiLevel, t1.mkString("\n"))
+  }
+
+  test("exhaustion: more requested merges than learnable pairs ends the table early") {
+    val docs = Seq("a a a").toDF("text") // one word "a": seq [a, </w>] → 1 learnable merge
+    val t = Bpe.trainMerges(docs, "text", numMerges = 10).collect()
+    assert(t.length === 1)
+    assert((t(0).getString(1), t(0).getString(2)) === ("a", Bpe.EndOfWord))
+  }
+}
