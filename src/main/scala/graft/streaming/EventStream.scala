@@ -303,7 +303,7 @@ object EventStream {
       windowLen: String,
       mode: String
   ): DataFrame = {
-    val ss = stateScopedSession(spark)
+    val ss = stateScopedSession(spark, srcDir)
     val stream = ss.readStream.schema(schema).parquet(srcDir)
     val agg = windowedCounts(stream, "ts", "event_type", watermark, windowLen)
     drainToTable(agg, "win", mode, srcDir)
@@ -328,7 +328,7 @@ object EventStream {
       gapMs: Long,
       watermarkDelay: String
   ): DataFrame = {
-    val in = streamEvents(stateScopedSession(spark), srcPath)
+    val in = streamEvents(stateScopedSession(spark, srcPath), srcPath)
       .select(
         col("user_id").cast("long").as("user_id"),
         col("ts"),
@@ -414,7 +414,7 @@ object EventStream {
       // a FRESH scoped session per lifecycle, like a real restarted job;
       // both size state identically (the checkpoint pins the state-store
       // count at first start)
-      val in = stateScopedSession(spark).readStream
+      val in = stateScopedSession(spark, srcDir.getAbsolutePath).readStream
         .schema(schema)
         .parquet(srcDir.getAbsolutePath)
         .withWatermark("ts", watermarkDelay)
@@ -454,7 +454,7 @@ object EventStream {
     * DISTINCT the oracle replays.
     */
   def dedupRunOnce(spark: SparkSession, srcPath: String, watermarkDelay: String): DataFrame = {
-    val in = streamEvents(stateScopedSession(spark), srcPath)
+    val in = streamEvents(stateScopedSession(spark, srcPath), srcPath)
       .select(
         col("user_id").cast("long").as("user_id"),
         col("event_type"),
@@ -504,7 +504,7 @@ object EventStream {
   ): DataFrame = {
     // ONE scoped session for both sides (a cross-session join would mix
     // SQLConfs)
-    val ss = stateScopedSession(spark)
+    val ss = stateScopedSession(spark, srcPath)
     val purchases = streamEvents(ss, srcPath)
       .filter(col("event_type") === "purchase")
       .select(
@@ -552,7 +552,7 @@ object EventStream {
       lookbackMs: Long,
       watermarkDelay: String
   ): DataFrame = {
-    val ss = stateScopedSession(spark)
+    val ss = stateScopedSession(spark, srcPath)
     val purchases = streamEvents(ss, srcPath)
       .filter(col("event_type") === "purchase")
       .select(
@@ -591,7 +591,7 @@ object EventStream {
     * Value is pre-scaled to round(value·100) (order-free integer double).
     */
   def upsertRunOnce(spark: SparkSession, srcPath: String): DataFrame = {
-    val in = streamEvents(stateScopedSession(spark), srcPath)
+    val in = streamEvents(stateScopedSession(spark, srcPath), srcPath)
       .select(
         col("user_id").cast("long").as("user_id"),
         col("ts"),
@@ -643,7 +643,7 @@ object EventStream {
     import org.apache.spark.sql.functions.broadcast
     // one scoped session for the stream AND the static dim (single-session
     // join)
-    val ss = stateScopedSession(spark)
+    val ss = stateScopedSession(spark, srcPath)
     val ev = streamEvents(ss, srcPath)
     val static = graft.queries.Tables
       .t(ss, new java.io.File(srcPath).getParent, "events")
@@ -662,15 +662,25 @@ object EventStream {
   }
 
   /** A session for ONE synchronous drain, with streaming STATE
-    * partitioning sized to actual parallelism. `spark.sql.shuffle
+    * partitioning sized to the drain's INPUT. `spark.sql.shuffle
     * .partitions` is read at query START and fixes the state-store count
-    * for the checkpoint's lifetime; the sweep's batch lever (256 at the
-    * 100× scale) would mean 256 RocksDB stores per micro-batch on 32
-    * cores — measured at sf10: the interval join's two state stages ran
-    * 590 s/566 s with only 8 s/33 s of CPU (tasks blocked on per-store
-    * open/commit I/O, not work). A state store per core is also the
-    * right cluster posture: state parallelism should track executor
-    * slots, not the batch shuffle width.
+    * for the checkpoint's lifetime; every store then pays RocksDB
+    * open/commit (+ changelog upload) PER MICRO-BATCH regardless of how
+    * many rows it holds — measured at sf10 (r14): the interval join's
+    * two state stages ran 590 s/566 s with only 8 s/33 s of CPU (tasks
+    * blocked on per-store lifecycle I/O, not work), and at sf0.1 (r15
+    * StageProbe) 32 stores × ~3k rows/store paid ~450–780 ms of
+    * open/commit per (store, batch) — the whole wall of the top three
+    * bench entries. So: stores = clamp(rows/32k, 4, parallelism) — a
+    * store per ~32k input rows keeps per-store state far under memory
+    * while amortizing the fixed lifecycle cost, the floor keeps the
+    * flush batch parallel, and the cap keeps big drains at one store
+    * per executor slot (state parallelism tracks slots, not batch
+    * shuffle width: the sweep's 256-partition lever must not mean 256
+    * stores per batch on 32 cores). The row count is a parquet
+    * footer-metadata job (no column scan). A restart against an
+    * existing checkpoint keeps the checkpoint's pinned store count
+    * whatever this conf says — the resize-restart spec covers that.
     *
     * A CLONED session, not set-and-restore on the shared one (r13 did
     * the latter): the streaming query reads its conf from the frame's
@@ -681,7 +691,7 @@ object EventStream {
     * the context's SparkConf rather than the parent's RUNTIME conf, so
     * the confs a drain depends on are carried over explicitly.
     */
-  private def stateScopedSession(spark: SparkSession): SparkSession = {
+  private def stateScopedSession(spark: SparkSession, srcPath: String): SparkSession = {
     val ss = spark.newSession()
     Seq(
       "spark.sql.streaming.stateStore.providerClass",
@@ -689,10 +699,22 @@ object EventStream {
       "spark.sql.session.timeZone",
       "spark.sql.legacy.parquet.nanosAsLong"
     ).foreach(k => spark.conf.getOption(k).foreach(ss.conf.set(k, _)))
-    ss.conf.set(
-      "spark.sql.shuffle.partitions",
-      spark.sparkContext.defaultParallelism.toString)
+    ss.conf.set("spark.sql.shuffle.partitions", stateParallelism(ss, srcPath).toString)
     ss
+  }
+
+  /** `clamp(rows/32k, 4, defaultParallelism)` — see [[stateScopedSession]].
+    * Falls back to full parallelism (the pre-sizing behavior) if the
+    * source cannot be counted.
+    */
+  private def stateParallelism(ss: SparkSession, srcPath: String): Int = {
+    val cap = ss.sparkContext.defaultParallelism
+    // the count needs the same nanos normalization the stream read uses
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rows =
+      try ss.read.parquet(srcPath).count()
+      catch { case scala.util.control.NonFatal(_) => return cap }
+    math.min(cap.toLong, math.max(4L, rows / 32768L)).toInt
   }
 
   /** The frame must already live on a [[stateScopedSession]] — the query

@@ -92,6 +92,41 @@ def bench(scale, label, repeat=1):
     return out
 
 
+def recall(scale, label, out):
+    """Append the recall floor to the scale's bench record (VERDICT r15
+    #6): planted SRP recall + the registered ann_recall_at_k replay
+    (lsh/ivf/pq recall@5 vs exact) via graft.tools.RecallProbe, one JSON
+    line per probe appended to the record file — the same pattern as the
+    bytes line, so the recall evidence lives IN the round record instead
+    of ad-hoc side files. Full O(n^2) SRP recall only at the gate scale
+    (the exact validator's tractability bound)."""
+    sf_dir, _, partitions, heap = SCALES[scale]
+    env = {
+        "SPARK_GRAFT_CPUS": "32",
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS": partitions,
+        "SPARK_DRIVER_MEM": heap,
+    }
+    mode = "" if scale == "0.1" else " skipFull"
+    t0 = time.time()
+    r = run(["sbt", "-batch", f"runMain graft.tools.RecallProbe {sf_dir}{mode}"],
+            env=env, capture=True)
+    lines = []
+    for line in r.stdout.splitlines():
+        m = re.search(r'(\{"probe":.*\})', line)
+        if m:
+            lines.append(m.group(1))
+    print(f"[sweep] recall sf{scale}: rc={r.returncode} wall={time.time()-t0:.0f}s "
+          f"{len(lines)} probe lines", flush=True)
+    if r.returncode != 0 or not lines:
+        print(r.stdout[-2000:])
+        sys.exit(f"recall probe failed at sf{scale}")
+    if out.exists():
+        with open(out, "a") as f:
+            for l in lines:
+                f.write(l + "\n")
+    return lines
+
+
 def summarize(path):
     with open(path) as f:
         d = json.loads(f.readline())
@@ -144,6 +179,8 @@ def main():
     ap.add_argument("--scales", default="0.1,1,10")
     ap.add_argument("--repeat", type=int, default=1,
                     help="per-query repeats; Bench records medians (r15 sf10 protocol)")
+    ap.add_argument("--no-recall", action="store_true",
+                    help="skip the per-scale recall probe (on by default; r15 verdict #6)")
     args = ap.parse_args()
     scales = [s.strip() for s in args.scales.split(",")]
     for s in scales:
@@ -151,9 +188,12 @@ def main():
             sys.exit(f"unknown scale {s}; choose from {list(SCALES)}")
 
     outs = {}
+    recalls = {}
     for s in scales:
         ensure_fixture(s)
         outs[s] = bench(s, args.label, args.repeat)
+        if not args.no_recall:
+            recalls[s] = recall(s, args.label, outs[s])
 
     # A partial re-run (e.g. `--scales 10` after an interrupted sweep)
     # reuses this label's already-recorded files for the scaling report
@@ -186,7 +226,10 @@ def main():
             f.write(f"- total {m['total_sec']} s over {m['n_queries']} queries; "
                     f"{m['n_failed']} failed {m['failed']}; guard-skipped {m['guard_skipped']}\n")
             f.write("- slowest: "
-                    + ", ".join(f"{k} {v:.1f}s" for k, v in m["slowest"]) + "\n\n")
+                    + ", ".join(f"{k} {v:.1f}s" for k, v in m["slowest"]) + "\n")
+            for l in recalls.get(s, []):
+                f.write(f"- recall: {l}\n")
+            f.write("\n")
         for s, suffix in (("1", "sf01_to_sf1"), ("10", "sf01_to_sf10")):
             report = ROOT / "bench" / f"{args.label}_scaling_{suffix}.txt"
             if s in outs and report.exists():
