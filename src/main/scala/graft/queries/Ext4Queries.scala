@@ -474,28 +474,60 @@ object Ext4Queries {
     // frequency build + semi-join probe to the hot path.
     "q_basket_lift" -> QueryDef(
       (s, d) => {
-        val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
-        val nOrders = li.select("l_orderkey").distinct().agg(count(lit(1)).as("n_orders"))
+        val nPart = s.sessionState.conf.numShufflePartitions * 2
+        val liRaw = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        // plan-time shape pick from the scan's COLUMN-PRUNED size stats
+        // (file bytes × projected-width ratio — no job): past ~100 MB of
+        // pruned input (≈20M+ (order, part) rows; the fixture reads
+        // 2.2 MB / 27 MB / 312 MB at sf0.1/1/10) the classic shape's
+        // spill (r15's one remaining sf10 spiller) moves to the
+        // SPILL-PROOF shape; below it the classic AQE-coalesced shape is
+        // ~1 s faster (gate-scale triples) because the spill it avoids
+        // never happens there.
+        //
+        // The spill-proof shape (r16 StageProbe: after the r15 fixes,
+        // ALL remaining spill — 2.8 GB over four stages at sf10 — was
+        // the distinct's partial hash build, re-executed per consumer):
+        // (a) explicit-N repartition on (order, part) BEFORE the
+        // distinct — distribution satisfied → the partial drops out and
+        // with it the per-task 60M-row hash build (pairs are mostly
+        // unique, so the partial barely compacted the exchange anyway:
+        // 597 MB written post-partial vs ~650 MB raw); (b) n_orders
+        // from the RAW table, not the pair-distinct frame (stacking the
+        // two distincts re-ran the pair partial just to count orders);
+        // (c) explicit-N repartition on l_orderkey before the
+        // self-join, so the SMJ sorts keep full width instead of AQE's
+        // ~35 coalesced tasks. Measured sf10 triples: classic
+        // 33.2 s / 4.9 GB disk spill → spill-proof 28.3 s / ZERO spill
+        // (mem AND disk); sf1 classic 5.2 s beats spill-proof 6.3 s,
+        // hence the threshold.
+        val spillProof =
+          liRaw.queryExecution.optimizedPlan.stats.sizeInBytes > (100L << 20)
+        val li =
+          if (spillProof)
+            liRaw.repartition(nPart, col("l_orderkey"), col("l_partkey")).distinct()
+          else liRaw.distinct()
+        val nOrders =
+          (if (spillProof) t(s, d, "lineitem").select("l_orderkey").distinct()
+           else li.select("l_orderkey").distinct())
+            .agg(count(lit(1)).as("n_orders"))
         val pf = li.groupBy("l_partkey").agg(count(lit(1)).as("n_p"))
         // explicit-N repartition on the pair key before the aggregation:
         // (a) the partial aggregate drops out (distribution satisfied →
-        // one complete agg) — pairs are mostly unique, so the map-side
-        // hash insert per generated pair was pure overhead on the
-        // query's heaviest stage; (b) AQE cannot coalesce an explicit-N
-        // user repartition, so the agg keeps full width instead of the
-        // measured 35 coalesced tasks spilling ~1.2 GB. 2× the batch
-        // lever (r14 A/B at sf10: 37.9/37.3 s vs 43.8/51.1 s at 1×,
-        // sf0.1 indifferent): the ~1.5B-pair agg state per task halves,
-        // cutting memory pressure on the complete agg. The remaining
-        // 450 MB spill is the self-join's SMJ sorts, not the agg —
-        // a SHUFFLE_HASH hint removes it entirely but costs +37% wall
-        // (hash-build over 235k keys/partition loses to the sorted
-        // merge; measured negative, rejected).
-        val nPart = s.sessionState.conf.numShufflePartitions * 2
-        val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
+        // one complete agg) — the map-side hash insert per generated
+        // pair was pure overhead on the query's heaviest stage; (b) AQE
+        // cannot coalesce an explicit-N user repartition, so the agg
+        // keeps full width instead of the measured 35 coalesced tasks
+        // spilling ~1.2 GB. 2× the batch lever (r14 A/B at sf10:
+        // 37.9/37.3 s vs 43.8/51.1 s at 1×, sf0.1 indifferent): the
+        // ~1.5B-pair agg state per task halves, cutting memory pressure
+        // on the complete agg. (A SHUFFLE_HASH join hint instead:
+        // measured negative, +37% wall.)
+        val liJ = if (spillProof) li.repartition(nPart, col("l_orderkey")) else li
+        val pairs = liJ.select(col("l_orderkey"), col("l_partkey").as("pa"))
+          .join(liJ.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
           .filter(col("pa") < col("pb"))
-          .repartition(nPart, col("pa"), col("pb"))
+          .repartition(nPart * (if (spillProof) 2 else 1), col("pa"), col("pb"))
           .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
           .filter(col("n_ab") >= 3)
         pairs
