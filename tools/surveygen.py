@@ -46,6 +46,8 @@ OP_SUITES = {
     "TopKAgg": ["GlobalRankSpec"],
     "SharedIntermediates": ["SharedIntermediatesSpec"],
     "Tables": ["FixtureContractSpec"],
+    "Decontam": ["DecontamSpec"],
+    "Bpe": ["BpeSpec"],
 }
 
 
