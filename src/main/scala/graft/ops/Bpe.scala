@@ -81,6 +81,23 @@ object Bpe {
     */
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
+    trainMergeSeq(docs, textCol, numMerges).toDF()
+      .select(
+        col("mergeRank").as("merge_rank"),
+        col("symA").as("sym_a"),
+        col("symB").as("sym_b"),
+        col("merged"),
+        col("pairCount").as("pair_count"))
+  }
+
+  /** The training loop itself — the collected (bounded: `numMerges`-row)
+    * merge list, for callers that APPLY the table rather than ship it.
+    */
+  private[graft] def trainMergeSeq(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int): Seq[Merge] = {
     val vocab = wordVocab(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var seqs = initialSeqs(vocab)
@@ -116,14 +133,46 @@ object Bpe {
           rank += 1
         }
       }
-      import spark.implicits._
-      merges.toSeq.toDF()
-        .select(
-          col("mergeRank").as("merge_rank"),
-          col("symA").as("sym_a"),
-          col("symB").as("sym_b"),
-          col("merged"),
-          col("pairCount").as("pair_count"))
+      merges.toSeq
     } finally vocab.unpersist(blocking = false)
+  }
+
+  /** Apply a learned merge list to a vocab's initial sequences — a pure
+    * chained-projection replay (one codegen'd [[BpeMergeRuns]] per merge,
+    * rank order; no jobs). The tokenizer-inference half of BPE.
+    */
+  def applyMerges(vocab: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.sortBy(_.mergeRank).foldLeft(initialSeqs(vocab)) { (df, m) =>
+      df.select(
+        col("w"),
+        col("freq"),
+        ExprBridge.column(
+          BpeMergeRuns(ExprBridge.expression(col("s")), m.symA, m.symB)).as("s"))
+    }
+
+  /** Encode the corpus under a freshly-trained merge table: per-document
+    * whitespace-token and BPE-token counts — the tokens-per-document
+    * metric a pretraining pipeline budgets shards and context windows
+    * with (the compression ratio n_tokens_bpe / n_chars is the classic
+    * tokenizer-quality readout). Plan: train (bounded argmax collects),
+    * replay the merges over the vocab (chained codegen projections),
+    * then ONE corpus token scan joined against the BROADCAST
+    * (vocab-bounded) word → symbol-count table.
+    */
+  def encodeTokenCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numMerges: Int): DataFrame = {
+    val merges = trainMergeSeq(docs, textCol, numMerges)
+    val wl = applyMerges(wordVocab(docs, textCol), merges)
+      .select(col("w"), size(col("s")).as("n_sym"))
+    docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("w"))
+      .join(broadcast(wl), "w")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens_ws"),
+        sum(col("n_sym").cast("long")).as("n_tokens_bpe"))
   }
 }

@@ -92,6 +92,17 @@ object Ext5Queries {
       (s, d) => Bpe.trainMerges(t(s, d, "documents"), "text", numMerges = BpeMerges),
       Some(bpeOracle(BpeMerges)),
       s"BPE tokenizer training: top-$BpeMerges merges, the full loop oracle-replayed"
+    ),
+
+    // ---- BPE tokenizer INFERENCE over the trained table: per-document
+    //      whitespace vs BPE token counts (the tokens-per-doc metric
+    //      shard/context budgeting runs on). Train → replay merges over
+    //      the vocab (chained codegen projections) → ONE corpus token
+    //      scan joined to the broadcast word→|symbols| table ----
+    "text_bpe_encode" -> QueryDef(
+      (s, d) => Bpe.encodeTokenCounts(t(s, d, "documents"), "doc_id", "text", BpeMerges),
+      Some(bpeEncodeOracle(BpeMerges)),
+      s"per-doc token counts under the trained $BpeMerges-merge BPE vs whitespace tokens"
     )
   )
 
@@ -108,7 +119,10 @@ object Ext5Queries {
     * tree doubles per iteration (2^M blowup; measured as a multi-minute
     * hang at M=8).
     */
-  private def bpeOracle(m: Int): String = {
+  /** The shared training-replay CTE chain (vocab → seq0 → per-iteration
+    * blocks up to seq`m`), consumed by both BPE oracles.
+    */
+  private def bpeCtes(m: Int): String = {
     val iters = (1 to m).map { i =>
       val prev = s"seq${i - 1}"
       s"""p$i AS (
@@ -138,17 +152,36 @@ object Ext5Queries {
          |      FILTER (WHERE NOT consumed) AS s
          |  FROM c$i GROUP BY w, freq)""".stripMargin
     }.mkString(",\n")
+    s"""v AS (
+       |  SELECT t AS w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS t
+       |    FROM documents) GROUP BY 1),
+       |seq0 AS (SELECT w, freq, list_append(regexp_split_to_array(w, ''), '</w>') AS s FROM v),
+       |$iters""".stripMargin
+  }
+
+  private def bpeOracle(m: Int): String = {
     val rows = (1 to m).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS merge_rank,
          |  split_part(pair, ' ', 1) AS sym_a, split_part(pair, ' ', 2) AS sym_b,
          |  replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH v AS (
-       |  SELECT t AS w, COUNT(*) AS freq FROM (
-       |    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS t
-       |    FROM documents) GROUP BY 1),
-       |seq0 AS (SELECT w, freq, list_append(regexp_split_to_array(w, ''), '</w>') AS s FROM v),
-       |$iters
+    s"""WITH ${bpeCtes(m)}
        |$rows""".stripMargin
   }
+
+  /** Encode oracle: the same training replay, then per-document token
+    * counts — whitespace tokens joined to the trained word → |symbols|
+    * table.
+    */
+  private def bpeEncodeOracle(m: Int): String =
+    s"""WITH ${bpeCtes(m)},
+       |wl AS (SELECT w, len(s) AS n_sym FROM seq$m),
+       |dt AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+       |  FROM documents)
+       |SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_ws,
+       |  CAST(SUM(n_sym) AS BIGINT) AS n_tokens_bpe
+       |FROM dt JOIN wl USING (w) GROUP BY 1""".stripMargin
 }

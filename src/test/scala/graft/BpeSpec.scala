@@ -85,6 +85,34 @@ class BpeSpec extends SparkSpec {
     assert(multiLevel, t1.mkString("\n"))
   }
 
+  test("encodeTokenCounts: per-doc counts match a hand replay; bounds hold") {
+    // corpus: "ab ab cd" + "ab". Merges (freq-ranked, M=3):
+    //   1: (a,b) cnt 3 → ab | 2: (ab,</w>) cnt 3 → ab</w> | 3: (c,d) cnt 1
+    // final |symbols|: "ab" → 1 (ab</w>), "cd" → 2 (cd, </w>)
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
+    val got = Bpe.encodeTokenCounts(docs, "doc_id", "text", numMerges = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(1L -> ((3L, 4L)), 2L -> ((1L, 1L))))
+  }
+
+  test("encode bounds: ws tokens <= bpe tokens <= chars + words (fixture corpus)") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val enc = Bpe.encodeTokenCounts(docs, "doc_id", "text", numMerges = 8)
+    // every word is >= 1 symbol (lower bound) and <= len(word)+1 chars+marker
+    val bad = enc
+      .join(docs, "doc_id")
+      .filter(col("n_tokens_bpe") < col("n_tokens_ws") ||
+        col("n_tokens_bpe") > length(col("text")) + col("n_tokens_ws"))
+      .count()
+    assert(bad === 0L)
+    // merges actually compress: the corpus total must sit strictly below
+    // the un-merged ceiling (chars + markers)
+    val row = enc.agg(sum("n_tokens_ws"), sum("n_tokens_bpe")).head()
+    assert(row.getLong(1) < spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .agg(sum(length(regexp_replace(col("text"), "\\s+", "")))).head().getLong(0) + row.getLong(0))
+  }
+
   test("exhaustion: more requested merges than learnable pairs ends the table early") {
     val docs = Seq("a a a").toDF("text") // one word "a": seq [a, </w>] → 1 learnable merge
     val t = Bpe.trainMerges(docs, "text", numMerges = 10).collect()
