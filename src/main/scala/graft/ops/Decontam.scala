@@ -24,8 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
-  /** Distinct (id, is_bench, gram) rows: one row per document per
-    * distinct word n-gram. `benchCol` marks the held-out side.
+  /** Distinct (id, is_bench, gram-HASH) rows: one row per document per
+    * distinct word n-gram, the gram carried as its 60-bit md5 chunk
+    * (the MinHash-path discipline) rather than the string. `benchCol`
+    * marks the held-out side.
+    *
+    * Hashing BEFORE the distinct is the scale decision: a 13-gram
+    * string is ~80 bytes and the per-doc dedup's partial hash build
+    * over them spilled 436 MB disk / 1.5 GB mem at sf10 (isolated
+    * triple) — on 16-byte (id, hash) rows the exchange shrinks 4×
+    * (1.27 GB → 0.34 GB) and the spill vanishes. Exactness: 60-bit md5
+    * chunks over ~millions of distinct grams collide with probability
+    * ~n²/2⁶¹ (the accepted MinHash-lane risk), and the oracle replays
+    * the SAME hash, so both engines agree even on a collision.
     */
   def gramRows(
       df: DataFrame,
@@ -38,13 +49,17 @@ object Decontam {
         col(idCol).as("doc_id"),
         benchCol.as("is_bench"),
         explode(TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), n)).as("g"))
+      .select(
+        col("doc_id"),
+        col("is_bench"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
       .distinct()
 
   /** The distinct benchmark gram set — the broadcast side of the join.
     * Bounded by the benchmark suite's text volume, never the corpus's.
     */
   def benchmarkGrams(grams: DataFrame): DataFrame =
-    grams.filter(col("is_bench")).select("g").distinct()
+    grams.filter(col("is_bench")).select("gh").distinct()
 
   /** Contaminated corpus documents with their gram-overlap evidence:
     * (doc_id, n_hit_grams) — the count of DISTINCT benchmark grams the
@@ -55,7 +70,7 @@ object Decontam {
   def contaminatedDocs(grams: DataFrame): DataFrame =
     grams
       .filter(!col("is_bench"))
-      .join(broadcast(benchmarkGrams(grams)), "g")
+      .join(broadcast(benchmarkGrams(grams)), "gh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_grams"))
 

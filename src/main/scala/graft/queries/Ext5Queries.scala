@@ -39,10 +39,12 @@ object Ext5Queries {
   private def grams(s: SparkSession, d: String): DataFrame =
     Decontam.gramRows(splitDocs(s, d), "doc_id", "text", col("is_bench"), GramN)
 
-  /** Shared oracle CTEs: tokenize → split flag → distinct 13-grams →
-    * benchmark gram set. The md5-slice replay is the `q_*_roundtrip`
-    * sampling pattern; the gram formation is the `dedup_ngram_jaccard`
-    * shingle replay generalized to width 13 via list slicing.
+  /** Shared oracle CTEs: tokenize → split flag → distinct 13-gram
+    * HASHES (60-bit md5 chunks, matching the Spark side's carry-the-hash
+    * scale decision — see [[graft.ops.Decontam.gramRows]]) → benchmark
+    * gram set. The md5-slice replay is the `q_*_roundtrip` sampling
+    * pattern; the gram formation is the `dedup_ngram_jaccard` shingle
+    * replay generalized to width 13 via list slicing.
     */
   private val decontamCtes: String =
     s"""toks AS (
@@ -51,7 +53,8 @@ object Ext5Queries {
        |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
        |  FROM documents
        |), g AS (
-       |  SELECT DISTINCT doc_id, is_bench, array_to_string(ts[i:i+${GramN - 1}], ' ') AS s
+       |  SELECT DISTINCT doc_id, is_bench,
+       |    CAST(('0x' || substr(md5(array_to_string(ts[i:i+${GramN - 1}], ' ')), 1, 15)) AS BIGINT) AS s
        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - ${GramN - 1}, 0))) AS i) t
        |), bg AS (SELECT DISTINCT s FROM g WHERE is_bench)""".stripMargin
 
