@@ -268,7 +268,23 @@ object Dedup {
     // same cap semantics as the dense path: sizes and prefixes both come
     // from the capped set (mixing capped/uncapped drops all-heavy pairs)
     val freq = maxShingleFreq.map(c => freq0.filter(col("df_freq") <= c)).getOrElse(freq0)
-    sh.join(freq, "s")
+    // explicit-N repartition on sid before the array build when the
+    // shingle stream is big: the ObjectHashAggregate PARTIAL over the
+    // full stream is the path's spiller (measured sf10: ~1.1 GB mem /
+    // 92 MB disk on the jaccard form) — with the distribution satisfied
+    // it drops out and the complete agg holds only one doc's rows at a
+    // time per slot, at ZERO spill and wall parity. Below the spill
+    // regime the extra exchange costs ~0.8 s (gate-scale triples), so
+    // the shape is picked from the input's plan-time size stats (the
+    // q_basket_lift discipline; the shared shingle parquet reads ~4 MB /
+    // 40 MB / 400 MB at sf0.1/1/10).
+    val bigInput =
+      shingles.queryExecution.optimizedPlan.stats.sizeInBytes > (100L << 20)
+    val nPart = shingles.sparkSession.sessionState.conf.numShufflePartitions * 2
+    val grouped =
+      if (bigInput) sh.join(freq, "s").repartition(nPart, col("sid"))
+      else sh.join(freq, "s")
+    grouped
       .groupBy("sid")
       .agg(sort_array(collect_list(struct(col("df_freq"), col("s")))).as("ds"))
       .select(
