@@ -577,4 +577,39 @@ object TextOps {
         aggregate(col("__ts"), lit(0L), (acc, t) => acc + weight(t)).as("score_raw"))
       .withColumn("label", col("score_raw") > 0)
   }
+
+  /** Email pattern for [[piiAudit]] — deliberately the COMMON dialect
+    * subset (char classes, `{m,}` bounds, no lookaround/backrefs), so
+    * Java regex (Spark) and RE2 (DuckDB) match identically and the
+    * oracle replays the scrub byte-for-byte.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 pattern, word-bounded (`\b` agrees between Java
+    * and RE2: a transition between `\w` and non-`\w`).
+    */
+  val Ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII audit — redaction OBSERVABILITY (the plain redaction pass is
+    * [[scrubPii]]): per-document counts per PII class (emails and IPv4
+    * literals, the class scrubPii lacks) plus the scrubbed text. One
+    * projection, no shuffle: counts come from `regexp_extract_all` on
+    * the raw text and the scrub is two chained `regexp_replace` (emails
+    * first — an address can contain a dotted host the IP pass would
+    * otherwise split). At 100 TB this is a map-only pass that pipelines
+    * into whatever scan feeds it.
+    *
+    * Output: (doc_id, n_emails, n_ips, scrubbed). Counts are BIGINT;
+    * `scrubbed` is the redacted text for downstream stages.
+    */
+  def piiAudit(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Pattern), lit(0)))
+        .cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>").as("scrubbed"))
 }

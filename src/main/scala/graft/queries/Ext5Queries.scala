@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Bpe, Decontam}
+import graft.ops.{Bpe, Decontam, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -106,6 +106,48 @@ object Ext5Queries {
       (s, d) => Bpe.encodeTokenCounts(t(s, d, "documents"), "doc_id", "text", BpeMerges),
       Some(bpeEncodeOracle(BpeMerges)),
       s"per-doc token counts under the trained $BpeMerges-merge BPE vs whitespace tokens"
+    ),
+
+    // ---- PII audit: the OBSERVABILITY side of redaction (the redaction
+    //      pass itself is `text_pii_scrub`, ExtQueries) — per-doc integer
+    //      redaction counts per PII class (emails + IPv4, which the scrub
+    //      pass lacks) + an exact fingerprint of the scrubbed text.
+    //      The fixture corpus carries no PII, so the query PLANTS a
+    //      deterministic email+IP suffix on 30% of docs (doc_id-derived,
+    //      replayed verbatim by the oracle) — the gate then proves the
+    //      scrub removes exactly the planted patterns and nothing else.
+    //      Map-only projection: no shuffle at any scale ----
+    "text_pii_audit" -> QueryDef(
+      (s, d) => {
+        val planted = t(s, d, "documents").select(
+          col("doc_id"),
+          when(col("doc_id") % 10 < 3,
+            concat(
+              col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+              lit("@example.com from 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0.1")))
+            .otherwise(col("text")).as("text"))
+        TextOps.piiAudit(planted, "doc_id", "text")
+          .select(
+            col("doc_id"), col("n_emails"), col("n_ips"),
+            conv(substring(md5(col("scrubbed")), 1, 15), 16, 10)
+              .cast("long").as("scrubbed_fp"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 10 < 3
+              |      THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+              |           '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+              |      ELSE text END AS text
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text, '${TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+              |  CAST(len(regexp_extract_all(text, '${TextOps.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+              |  CAST(('0x' || substr(md5(
+              |    regexp_replace(regexp_replace(text, '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+              |      '${TextOps.Ipv4Pattern}', '<IP>', 'g')), 1, 15)) AS BIGINT) AS scrubbed_fp
+              |FROM p""".stripMargin),
+      "email/IPv4 redaction with planted PII: counts + exact scrubbed-text fingerprint"
     )
   )
 

@@ -318,4 +318,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, false)))
     assert(out(3L) == ((3L, 3 * weight("spark"), 3 * weight("spark") > 0)))
   }
+
+  test("piiAudit: email/IPv4 redaction counts and exact scrubbed text") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a.b+c_1%x@sub-domain.example.co.uk please"),
+      (2L, "hosts 10.0.0.1 and 192.168.255.254, embedded x1.2.3.4y stays"),
+      (3L, "both u@example.com at 8.8.8.8"),
+      (4L, "no pii here, just words and 1234 numbers"),
+      (5L, "two mails a@b.io c@d.io"))
+    val got = graft.ops.TextOps.piiAudit(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((1L, 0L, "mail <EMAIL> please")))
+    // embedded digits without word boundaries must NOT redact
+    assert(got(2L) == ((0L, 2L, "hosts <IP> and <IP>, embedded x1.2.3.4y stays")))
+    assert(got(3L) == ((1L, 1L, "both <EMAIL> at <IP>")))
+    assert(got(4L) == ((0L, 0L, "no pii here, just words and 1234 numbers")))
+    assert(got(5L) == ((2L, 0L, "two mails <EMAIL> <EMAIL>")))
+  }
 }
