@@ -182,7 +182,14 @@ object Bench {
           runs += s
           runBytes += bytes
           if (repeat > 1) println(s"""{"query":"$name","run":$i,"sec":$s}""")
-        } else marker = s
+        } else {
+          marker = s
+          // a failed/guard-skipped run still publishes ITS byte deltas —
+          // the shuffle/spill counters of exactly the run one wants to
+          // debug (the wall stays the -1/-2 marker, so the pairing rule
+          // "published wall and bytes come from one execution" holds)
+          bytes.foreach(perQueryMetrics(name) = _)
+        }
         i += 1
       }
       // median wall (upper for even N), and the METRICS OF THAT SAME RUN

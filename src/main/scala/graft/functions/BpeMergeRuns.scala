@@ -93,6 +93,11 @@ object BpeMergeRuns {
     * consumed at plan build (the [[ShingleRuns]] discipline).
     */
   val builder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 3) {
+      throw new IllegalArgumentException(
+        s"$name expects exactly 3 arguments (seq ARRAY<STRING>, left STRING literal, " +
+          s"right STRING literal), got ${exprs.length}")
+    }
     def lit(e: Expression, what: String): String = e.eval(null) match {
       case s: UTF8String => s.toString
       case other         => throw new IllegalArgumentException(s"expected string literal for $what, got $other")

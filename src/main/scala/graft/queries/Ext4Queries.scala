@@ -43,32 +43,37 @@ object Ext4Queries {
         col("doc_id").cast("long").as("doc_id"), col("source"), col("lang"),
         col("n_chars").cast("long").as("n_chars"), col("text"))
     val dir = s"/tmp/graft-roundtrip/${s.sparkContext.applicationId}/$format"
-    docs.write.mode("overwrite").options(writeOptions).format(format).save(dir)
-    val agg = s.read
-      .schema("doc_id BIGINT, source STRING, lang STRING, n_chars BIGINT, text STRING")
-      .options(readOptions)
-      .format(format).load(dir)
-      .groupBy("lang")
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("n_chars")).as("sum_chars"),
-        // concat (NOT concat_ws): a null text must null the row's
-        // fingerprint on both engines, not collapse to md5(doc_id)
-        sum(conv(
-          substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 8),
-          16, 10).cast("long")).as("content_fp"))
-    // Materialize the aggregate (one row per lang — bounded) and DELETE
-    // the staging directory before returning: the lazy frame would pin
-    // the staged files for the caller's lifetime, and applicationId-fresh
-    // runs otherwise accumulate staging data unboundedly across sweeps.
-    val out = s.createDataFrame(agg.collectAsList(), agg.schema)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    // drop the per-application parent too once its last format is gone
-    val parent = p.getParent
-    if (fs.exists(parent) && fs.listStatus(parent).isEmpty) fs.delete(parent, true)
-    out
+    // staging cleanup in `finally`: a throwing read-back/aggregate must
+    // not leak the staged files under /tmp/graft-roundtrip — the exact
+    // unbounded accumulation the eager delete exists to prevent
+    try {
+      docs.write.mode("overwrite").options(writeOptions).format(format).save(dir)
+      val agg = s.read
+        .schema("doc_id BIGINT, source STRING, lang STRING, n_chars BIGINT, text STRING")
+        .options(readOptions)
+        .format(format).load(dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          // concat (NOT concat_ws): a null text must null the row's
+          // fingerprint on both engines, not collapse to md5(doc_id)
+          sum(conv(
+            substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 8),
+            16, 10).cast("long")).as("content_fp"))
+      // Materialize the aggregate (one row per lang — bounded) before the
+      // `finally` delete: the lazy frame would pin the staged files for the
+      // caller's lifetime, and applicationId-fresh runs otherwise accumulate
+      // staging data unboundedly across sweeps.
+      s.createDataFrame(agg.collectAsList(), agg.schema)
+    } finally {
+      fs.delete(p, true)
+      // drop the per-application parent too once its last format is gone
+      val parent = p.getParent
+      if (fs.exists(parent) && fs.listStatus(parent).isEmpty) fs.delete(parent, true)
+    }
   }
 
   /** The pinned CSV round-trip dialect — CSV's null/empty/quote/newline

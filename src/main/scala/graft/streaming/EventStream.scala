@@ -710,11 +710,21 @@ object EventStream {
   private def stateParallelism(ss: SparkSession, srcPath: String): Int = {
     val cap = ss.sparkContext.defaultParallelism
     // the count needs the same nanos normalization the stream read uses
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rows =
-      try ss.read.parquet(srcPath).count()
-      catch { case scala.util.control.NonFatal(_) => return cap }
-    math.min(cap.toLong, math.max(4L, rows / 32768L)).toInt
+    // ([[streamEvents]] sets it for the drain itself) — but only for the
+    // count: save/restore so the session keeps whatever value was copied
+    // from the parent, instead of silently pinning `true` session-wide
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = ss.conf.getOption(key)
+    ss.conf.set(key, "true")
+    try {
+      val rows =
+        try ss.read.parquet(srcPath).count()
+        catch { case scala.util.control.NonFatal(_) => return cap }
+      math.min(cap.toLong, math.max(4L, rows / 32768L)).toInt
+    } finally prev match {
+      case Some(v) => ss.conf.set(key, v)
+      case None    => ss.conf.unset(key)
+    }
   }
 
   /** The frame must already live on a [[stateScopedSession]] — the query

@@ -120,10 +120,13 @@ def recall(scale, label, out):
     if r.returncode != 0 or not lines:
         print(r.stdout[-2000:])
         sys.exit(f"recall probe failed at sf{scale}")
-    if out.exists():
-        with open(out, "a") as f:
-            for l in lines:
-                f.write(l + "\n")
+    if not out.exists():
+        # fail loudly: silently skipping the append would report probe
+        # success while the round record carries no recall evidence
+        sys.exit(f"bench record {out} missing; refusing to drop recall probe lines")
+    with open(out, "a") as f:
+        for l in lines:
+            f.write(l + "\n")
     return lines
 
 
