@@ -37,10 +37,11 @@ import graft.functions.BpeMergeRuns
   * is replayed via match-run parity: overlapping matches only occur
   * inside runs of the same pair, where greedy keeps even offsets).
   *
-  * Caveat: symbols are Java chars (UTF-16 units) on the Spark side and
-  * unicode code points in DuckDB replay — identical on BMP text; the
-  * fixture is ASCII. A production byte-level trainer would start from
-  * bytes instead.
+  * Char-level caveat: [[initialSeqs]] symbols are Java chars (UTF-16
+  * units) on the Spark side and unicode code points in DuckDB replay —
+  * identical on BMP text. [[initialByteSeqs]]/[[trainMergesBytes]] is
+  * the production-grade variant: symbols are UTF-8 BYTES (hex-coded),
+  * exact on all text including non-BMP code points.
   */
 object Bpe {
 
@@ -65,6 +66,29 @@ object Bpe {
       col("freq"),
       concat(split(col("w"), ""), array(lit(EndOfWord))).as("s"))
 
+  /** (w, freq, s): BYTE-level initial sequences — each UTF-8 byte of the
+    * word as a 2-hex-digit symbol ("63","61","66","C3","A9" for "café"),
+    * plus the end-of-word marker. This closes the char-level caveat
+    * above: symbols are bytes, so training is exact on ALL text — a
+    * non-BMP code point (a Java surrogate PAIR) encodes to its 4 UTF-8
+    * bytes before hexing, where the char-level splitter would produce
+    * two lone surrogates. Hex-coded bytes keep every downstream
+    * invariant: symbols never contain whitespace (pair keys stay "a b"
+    * strings), merged symbols are plain concatenations, and binary
+    * string order over [0-9A-F] is the same deterministic tiebreak on
+    * both engines (Spark `hex` and DuckDB `hex(encode(...))` are both
+    * uppercase).
+    */
+  def initialByteSeqs(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("w"), col("freq"), hex(encode(col("w"), "UTF-8")).as("__h"))
+      .select(
+        col("w"),
+        col("freq"),
+        concat(
+          expr("transform(sequence(1, length(__h) div 2), i -> substring(__h, i * 2 - 1, 2))"),
+          array(lit(EndOfWord))).as("s"))
+
   /** One learned merge: rank order, the pair, the merged symbol, and the
     * weighted pair count that won the argmax.
     */
@@ -79,10 +103,20 @@ object Bpe {
     * (merge_rank, sym_a, sym_b, merged, pair_count), merge_rank
     * ascending — the artifact a tokenizer ships.
     */
-  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    mergesDf(docs, trainMergeSeq(docs, textCol, numMerges))
+
+  /** Byte-level training ([[initialByteSeqs]]): same loop, same merge
+    * table schema — `sym_a`/`sym_b`/`merged` are hex-coded UTF-8 byte
+    * sequences. Exact on all text including non-BMP code points.
+    */
+  def trainMergesBytes(docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    mergesDf(docs, trainMergeSeq(docs, textCol, numMerges, byteLevel = true))
+
+  private def mergesDf(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    trainMergeSeq(docs, textCol, numMerges).toDF()
+    merges.toDF()
       .select(
         col("mergeRank").as("merge_rank"),
         col("symA").as("sym_a"),
@@ -97,10 +131,11 @@ object Bpe {
   private[graft] def trainMergeSeq(
       docs: DataFrame,
       textCol: String,
-      numMerges: Int): Seq[Merge] = {
+      numMerges: Int,
+      byteLevel: Boolean = false): Seq[Merge] = {
     val vocab = wordVocab(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var seqs = initialSeqs(vocab)
+      var seqs = if (byteLevel) initialByteSeqs(vocab) else initialSeqs(vocab)
       val merges = ArrayBuffer.empty[Merge]
       var rank = 1
       var exhausted = false
@@ -108,9 +143,14 @@ object Bpe {
         // pair = "a b" (symbols never contain whitespace — they are
         // non-space characters and concatenations thereof), so the
         // 2-shingle string IS the pair key and its binary order is the
-        // deterministic tiebreak on both engines
+        // deterministic tiebreak on both engines. OCCURRENCES, not
+        // distinct-per-word: Sennrich pair statistics count every
+        // adjacent position ("banana" has 'a n' twice), which is also
+        // exactly what the oracle's per-position LATERAL replays
         val top = seqs
-          .select(col("freq"), explode(TextOps.shinglesFromTokens(col("s"), 2)).as("pair"))
+          .select(
+            col("freq"),
+            explode(TextOps.shingleOccurrencesFromTokens(col("s"), 2)).as("pair"))
           .groupBy("pair")
           .agg(sum("freq").as("cnt"))
           .orderBy(col("cnt").desc, col("pair").asc)
@@ -150,14 +190,32 @@ object Bpe {
           BpeMergeRuns(ExprBridge.expression(col("s")), m.symA, m.symB)).as("s"))
     }
 
+  /** Pruned-scan bytes of the text column past which the word → symbol
+    * table is no longer assumed driver/broadcast-safe. The distinct-word
+    * vocab grows sublinearly (Heaps' law) but UNBOUNDEDLY with the
+    * corpus — a forced broadcast of it is the exact defect class that
+    * drove the r8 keep-list driver OOM at 100× data. 1 GiB of pruned
+    * text keeps the gate far above every bench fixture regime (sf10
+    * documents.text reads ~0.7 GB of a multi-GB file) while tripping
+    * well before a web-scale vocab approaches driver limits.
+    */
+  private[graft] val VocabBroadcastMaxTextBytes: Long = 1L << 30
+
   /** Encode the corpus under a freshly-trained merge table: per-document
     * whitespace-token and BPE-token counts — the tokens-per-document
     * metric a pretraining pipeline budgets shards and context windows
     * with (the compression ratio n_tokens_bpe / n_chars is the classic
     * tokenizer-quality readout). Plan: train (bounded argmax collects),
     * replay the merges over the vocab (chained codegen projections),
-    * then ONE corpus token scan joined against the BROADCAST
-    * (vocab-bounded) word → symbol-count table.
+    * then ONE corpus token scan joined against the vocab-bounded word →
+    * symbol-count table. The join side is STATS-GATED (the
+    * `q_basket_lift` shape-pick discipline): below
+    * [[VocabBroadcastMaxTextBytes]] of column-pruned text the vocab is
+    * hinted broadcast (one map-side hash join, no shuffle of the corpus
+    * tokens); above it the hint is dropped — the join plans as a
+    * shuffle join on `w`, and AQE may still convert back to broadcast
+    * at runtime if the built side proves small, but nothing FORCES a
+    * corpus-proportional table through the driver.
     */
   def encodeTokenCounts(
       docs: DataFrame,
@@ -165,11 +223,28 @@ object Bpe {
       textCol: String,
       numMerges: Int): DataFrame = {
     val merges = trainMergeSeq(docs, textCol, numMerges)
+    val broadcastVocab =
+      docs.select(col(textCol)).queryExecution.optimizedPlan.stats.sizeInBytes <=
+        VocabBroadcastMaxTextBytes
+    encodeWithMerges(docs, idCol, textCol, merges, broadcastVocab)
+  }
+
+  /** The encode plan under an already-trained merge list, with the vocab
+    * join strategy explicit — exposed for the plan spec that pins BOTH
+    * regimes ([[encodeTokenCounts]] picks `broadcastVocab` from scan
+    * stats).
+    */
+  private[graft] def encodeWithMerges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[Merge],
+      broadcastVocab: Boolean): DataFrame = {
     val wl = applyMerges(wordVocab(docs, textCol), merges)
       .select(col("w"), size(col("s")).as("n_sym"))
     docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("w"))
-      .join(broadcast(wl), "w")
+      .join(if (broadcastVocab) broadcast(wl) else wl, "w")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens_ws"),

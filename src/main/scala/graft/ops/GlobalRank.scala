@@ -59,6 +59,74 @@ object GlobalRank {
       orderCols,
       rankCol)
 
+  /** Append `outCol` = inclusive global running sum of `valueCol` under
+    * `orderCols` — the cumulative-sum twin of [[globalRank]], same
+    * two-level prefix-sum decomposition: range-repartition on the order
+    * key, per-partition local running sums, plus an exclusive prefix of
+    * per-partition TOTALS (a |partitions|-row side — the only
+    * single-partition window, bounded by the partition count, never the
+    * data). Replaces the bare `sum(...) OVER (ORDER BY …)` single-task
+    * plan wherever a running total is needed over a frame that grows
+    * with the corpus. Exact for integer `valueCol` (long sums, order
+    * free); same pinned-layout discipline as [[globalRank]] — both
+    * consumers of the range layout must see identical bounds.
+    */
+  def globalCumSum(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      valueCol: Column,
+      outCol: String,
+      parts: Int): DataFrame = {
+    val ranged = df
+      .repartitionByRange(parts, orderCols: _*)
+      .withColumn("__v", valueCol.cast("long"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val mat = Caching.materializeAndRelease(cumSumOver(ranged, orderCols, outCol))
+    Caching.release(ranged)
+    mat
+  }
+
+  /** Lazy twin of [[globalCumSum]] for plan inspection in specs (no
+    * checkpoint pinning) — the [[globalRankLazy]] convention.
+    */
+  private[graft] def globalCumSumLazy(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      valueCol: Column,
+      outCol: String,
+      parts: Int
+  ): DataFrame =
+    cumSumOver(
+      df.repartitionByRange(parts, orderCols: _*)
+        .withColumn("__v", valueCol.cast("long"))
+        .withColumn("__pid", spark_partition_id()),
+      orderCols,
+      outCol)
+
+  private def cumSumOver(ranged: DataFrame, orderCols: Seq[Column], outCol: String): DataFrame = {
+    // |parts| rows: exclusive prefix sum of per-partition value totals
+    val offsets = ranged
+      .groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__ptot"))
+      .withColumn(
+        "__offset",
+        coalesce(
+          sum(col("__ptot")).over(
+            Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__ptot")
+    val local = Window
+      .partitionBy(col("__pid"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__local", sum(col("__v")).over(local))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(outCol, (col("__offset") + col("__local")).cast("long"))
+      .drop("__pid", "__local", "__offset", "__v")
+  }
+
   private def rankOver(ranged: DataFrame, orderCols: Seq[Column], rankCol: String): DataFrame = {
     // |parts| rows: exclusive prefix sum of partition sizes
     val offsets = ranged

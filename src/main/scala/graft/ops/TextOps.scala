@@ -612,4 +612,66 @@ object TextOps {
       regexp_replace(
         regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
         Ipv4Pattern, "<IP>").as("scrubbed"))
+
+  /** Add-1-smoothed bigram LM scoring — the CCNet-style perplexity
+    * quality filter, in EXACT arithmetic (the `q_stats_corr` discipline:
+    * integer/fixed-point per-row quantities, order-free integer sums,
+    * one final IEEE-exact double division; `ln`/`log` never appears —
+    * math-library logs are not bitwise-portable across engines).
+    *
+    * Model (built from the corpus itself, the usual self-scoring pass):
+    * c12 = count(w1 w2), c1 = Σ_w2 c12 (context total), V = |distinct
+    * tokens|; p(w2|w1) = (c12+1)/(c1+V). Per bigram occurrence, two
+    * exact integer costs:
+    *  - `bits` = floor(log2(1/p)) computed WITHOUT log: for integers
+    *    num ≤ den, floor(log2(den/num)) = bitlen(den div num) − 1 —
+    *    proof: q = den div num ⇒ den/num ∈ [q, q+1) and
+    *    q + 1 ≤ 2^bitlen(q), so floor(log2) is constant on the interval
+    *    and equals bitlen(q) − 1. `bin()` exists and agrees on both
+    *    engines.
+    *  - `p_fp` = (num·10¹²) div den — the probability in 1e-12 fixed
+    *    point (integral divide; the product runs in DECIMAL(38,0) /
+    *    HUGEINT so no 64-bit overflow at any corpus scale).
+    * Per document: n_bigrams, nll_bits = Σ bits (total floor-quantized
+    * negative log-likelihood in bits — the perplexity readout:
+    * 2^(nll_bits/n) lower-bounds the true PPL within 2×), sum_p_fp, and
+    * avg_bits = nll_bits / n_bigrams as the one final double op.
+    *
+    * 100 TB shape: one token scan → bigram frame; the model is two
+    * hash aggregations over it (bounded by DISTINCT bigrams/contexts);
+    * scoring joins the bigram tokens to the model on the bigram key —
+    * a shuffle join both of whose sides came from the same scan — plus
+    * one broadcast scalar (V). No windows, no driver state.
+    * Documents with fewer than two tokens have no bigrams and drop out
+    * (both engines, by construction of the grouping).
+    */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), normTokens(col(textCol)).as("ts"))
+    // occurrences, NOT distinct shingles: LM counts are multiset counts
+    val bt = d
+      .select(col("doc_id"), explode(shingleOccurrencesFromTokens(col("ts"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val bgc = bt.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val ctx = bgc
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = d.select(explode(col("ts")).as("t")).agg(countDistinct(col("t")).as("v"))
+    bt
+      .join(bgc, "bg")
+      .join(ctx, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), (col("c12") + 1).as("num"), (col("c1") + col("v")).as("den"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(length(bin(expr("den div num"))) - 1).cast("long").as("nll_bits"),
+        sum(expr("(CAST(num AS DECIMAL(38,0)) * 1000000000000) div den"))
+          .cast("long").as("sum_p_fp"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("nll_bits"),
+        col("sum_p_fp"),
+        (col("nll_bits").cast("double") / col("n_bigrams").cast("double")).as("avg_bits"))
+  }
 }

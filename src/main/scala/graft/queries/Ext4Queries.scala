@@ -422,7 +422,6 @@ object Ext4Queries {
     //      saturates inside the first bucket) ----
     "q_vocab_growth" -> QueryDef(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val toks = t(s, d, "documents")
           .select(col("doc_id"), TextOps.normTokens(col("text")).as("__ts"))
           .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("__ts"), 2)).as("tk"))
@@ -430,13 +429,20 @@ object Ext4Queries {
         val buckets = firstDoc
           .groupBy(floor(col("fd") / 25).cast("long").as("bucket"))
           .agg(count(lit(1)).as("new_tokens"))
-        // windows over ceil(n_docs/25) rows — bounded by corpus/100,
-        // tiny; and cumulative sums are exact integers
-        val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        buckets.select(
-          ((col("bucket") + 1) * 25).as("docs_ingested"),
-          col("new_tokens"),
-          sum(col("new_tokens")).over(w).as("vocab_size"))
+        // the running total is the two-level distributed prefix sum, NOT
+        // a bare `sum OVER (ORDER BY bucket)`: the bucket table grows
+        // with the corpus (n_docs/25 rows — 100 TB of 4 KB docs is ~1B
+        // buckets), so the single-partition window that sizes with the
+        // DATA is replaced by per-range local sums + a |partitions|-row
+        // offset side; sums are exact integers, order-free
+        graft.ops.GlobalRank
+          .globalCumSum(
+            buckets, Seq(col("bucket")), col("new_tokens"), "vocab_size",
+            parts = s.sessionState.conf.numShufflePartitions)
+          .select(
+            ((col("bucket") + 1) * 25).as("docs_ingested"),
+            col("new_tokens"),
+            col("vocab_size"))
       },
       Some("""WITH d AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS ts

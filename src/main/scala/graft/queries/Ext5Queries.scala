@@ -36,6 +36,26 @@ object Ext5Queries {
         .cast("long") % 100 < 10).as("is_bench"),
       col("text"))
 
+  /** Deterministic multibyte plant for the byte-level BPE gate: the
+    * fixture corpus is ASCII, so 30% of docs get a suffix containing a
+    * 2-byte (é, ü), three 3-byte (日本語) and one 4-byte non-BMP (😀,
+    * a Java surrogate PAIR — the case char-level BPE cannot represent)
+    * UTF-8 code point; the oracle replays the plant via chr() so the
+    * SQL stays pure ASCII. The `text_pii_audit` planting pattern.
+    */
+  private val MultibytePlant = " café über 日本語 😀tok"
+
+  private val MultibytePlantSql =
+    "CASE WHEN doc_id % 10 < 3 THEN text || ' caf' || chr(233) || ' ' || chr(252) || " +
+      "'ber ' || chr(26085) || chr(26412) || chr(35486) || ' ' || chr(128512) || 'tok' " +
+      "ELSE text END"
+
+  private def plantedMultibyteDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 10 < 3, concat(col("text"), lit(MultibytePlant)))
+        .otherwise(col("text")).as("text"))
+
   private def grams(s: SparkSession, d: String): DataFrame =
     Decontam.gramRows(splitDocs(s, d), "doc_id", "text", col("is_bench"), GramN)
 
@@ -148,6 +168,106 @@ object Ext5Queries {
               |      '${TextOps.Ipv4Pattern}', '<IP>', 'g')), 1, 15)) AS BIGINT) AS scrubbed_fp
               |FROM p""".stripMargin),
       "email/IPv4 redaction with planted PII: counts + exact scrubbed-text fingerprint"
+    ),
+
+    // ---- FUZZY benchmark decontamination: the near-dup complement of
+    //      the exact 13-gram gate above — paraphrased/format-shifted
+    //      eval leakage shares high Jaccard with a benchmark doc without
+    //      sharing any verbatim 13-gram. Reuses the ONE corpus-wide
+    //      MinHash-LSH verified-pair build (SharedIntermediates — built
+    //      once, read by eight queries) restricted to cross-(bench,
+    //      corpus) pairs; verdicts in the q_decontam_keep_list contract ----
+    "q_decontam_fuzzy" -> QueryDef(
+      (s, d) => {
+        val flags = splitDocs(s, d).select(col("doc_id"), col("is_bench"))
+        val pairs = SharedIntermediates.verifiedPairs(s, d).select("id_a", "id_b")
+        val fa = flags.select(col("doc_id").as("id_a"), col("is_bench").as("bench_a"))
+        val fb = flags.select(col("doc_id").as("id_b"), col("is_bench").as("bench_b"))
+        // the corpus-side doc of every cross-split verified pair; the
+        // pair set is tiny relative to the corpus (near-dups only), so
+        // the hit list broadcasts back onto the full verdict frame
+        val hits = pairs
+          .join(fa, "id_a").join(fb, "id_b")
+          .filter(col("bench_a") =!= col("bench_b"))
+          .select(when(col("bench_a"), col("id_b")).otherwise(col("id_a")).as("doc_id"))
+          .distinct()
+          .select(col("doc_id"), lit(true).as("__hit"))
+        flags
+          .join(hits, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("is_bench"),
+            coalesce(col("__hit"), lit(false)).as("contaminated"),
+            (!col("is_bench") && !coalesce(col("__hit"), lit(false))).as("keep"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10 AS is_bench,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) g
+             |), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), pairs AS (
+             |  SELECT id_a, id_b FROM pr
+             |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+             |  WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4
+             |), hits AS (
+             |  SELECT DISTINCT CASE WHEN fa.is_bench THEN p.id_b ELSE p.id_a END AS doc_id
+             |  FROM pairs p
+             |  JOIN toks fa ON fa.doc_id = p.id_a
+             |  JOIN toks fb ON fb.doc_id = p.id_b
+             |  WHERE fa.is_bench <> fb.is_bench)
+             |SELECT t.doc_id, t.is_bench,
+             |  (t.doc_id IN (SELECT doc_id FROM hits)) AS contaminated,
+             |  (NOT t.is_bench AND t.doc_id NOT IN (SELECT doc_id FROM hits)) AS keep
+             |FROM toks t""".stripMargin),
+      "near-dup (MinHash-LSH verified) benchmark contamination verdicts per document"
+    ),
+
+    // ---- BYTE-level BPE training: symbols are hex-coded UTF-8 bytes,
+    //      exact on all text incl. non-BMP (planted multibyte suffix —
+    //      the fixture corpus is ASCII). Same loop, same oracle replay;
+    //      only seq0 changes ----
+    "text_bpe_train_bytes" -> QueryDef(
+      (s, d) =>
+        Bpe.trainMergesBytes(plantedMultibyteDocs(s, d), "text", numMerges = BpeMerges),
+      Some(bpeBytesOracle(BpeMerges)),
+      s"byte-level BPE training (hex-coded UTF-8 byte symbols) on multibyte-planted text, top-$BpeMerges merges"
+    ),
+
+    // ---- add-1-smoothed bigram LM perplexity scoring in EXACT
+    //      arithmetic: integer bit costs via bitlen(den div num) - 1 =
+    //      floor(log2(1/p)) (no math-library log anywhere), fixed-point
+    //      probabilities in DECIMAL/HUGEINT, one final IEEE-exact double
+    //      division — the CCNet-style quality filter the curation stack
+    //      was missing ----
+    "text_lm_perplexity" -> QueryDef(
+      (s, d) => TextOps.lmPerplexity(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), bt AS (
+             |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg, ts[i] AS w1
+             |  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i) g
+             |), bgc AS (SELECT bg, COUNT(*) AS c12 FROM bt GROUP BY 1),
+             |ctx AS (SELECT split_part(bg, ' ', 1) AS cw, SUM(c12) AS c1 FROM bgc GROUP BY 1),
+             |vv AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM d)),
+             |sc AS (
+             |  SELECT bt.doc_id, (c12 + 1) AS num, (c1 + v) AS den
+             |  FROM bt JOIN bgc USING (bg) JOIN ctx ON ctx.cw = bt.w1, vv)
+             |SELECT doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(length(bin(den // num)) - 1) AS BIGINT) AS nll_bits,
+             |  CAST(SUM(CAST(num AS HUGEINT) * 1000000000000 // den) AS BIGINT) AS sum_p_fp,
+             |  CAST(SUM(length(bin(den // num)) - 1) AS DOUBLE) / COUNT(*) AS avg_bits
+             |FROM sc GROUP BY 1""".stripMargin),
+      "add-1 bigram LM scoring: exact integer bit costs + fixed-point probabilities per doc"
     )
   )
 
@@ -167,7 +287,7 @@ object Ext5Queries {
   /** The shared training-replay CTE chain (vocab → seq0 → per-iteration
     * blocks up to seq`m`), consumed by both BPE oracles.
     */
-  private def bpeCtes(m: Int): String = {
+  private def bpeCtes(m: Int, textSql: String, seq0Sql: String): String = {
     val iters = (1 to m).map { i =>
       val prev = s"seq${i - 1}"
       s"""p$i AS (
@@ -199,28 +319,45 @@ object Ext5Queries {
     }.mkString(",\n")
     s"""v AS (
        |  SELECT t AS w, COUNT(*) AS freq FROM (
-       |    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS t
+       |    SELECT unnest(list_filter(regexp_split_to_array(trim($textSql), '\\s+'), x -> x <> '')) AS t
        |    FROM documents) GROUP BY 1),
-       |seq0 AS (SELECT w, freq, list_append(regexp_split_to_array(w, ''), '</w>') AS s FROM v),
+       |seq0 AS (SELECT w, freq, $seq0Sql AS s FROM v),
        |$iters""".stripMargin
   }
 
-  private def bpeOracle(m: Int): String = {
-    val rows = (1 to m).map { i =>
+  /** Char-level seq0: unicode code points + the end-of-word marker. */
+  private def CharSeq0Sql: String = "list_append(regexp_split_to_array(w, ''), '</w>')"
+
+  /** Byte-level seq0: the word's UTF-8 bytes as 2-hex-digit symbols
+    * (`hex(encode(w))` is uppercase on both engines, sliced into pairs)
+    * + the end-of-word marker — replays
+    * [[graft.ops.Bpe.initialByteSeqs]].
+    */
+  private def ByteSeq0Sql: String =
+    "list_append(list_transform(generate_series(1, length(hex(encode(w))) // 2), " +
+      "i -> substr(hex(encode(w)), i * 2 - 1, 2)), '</w>')"
+
+  private def mergeRowsSql(m: Int): String =
+    (1 to m).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS merge_rank,
          |  split_part(pair, ' ', 1) AS sym_a, split_part(pair, ' ', 2) AS sym_b,
          |  replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${bpeCtes(m)}
-       |$rows""".stripMargin
-  }
+
+  private def bpeOracle(m: Int): String =
+    s"""WITH ${bpeCtes(m, "text", CharSeq0Sql)}
+       |${mergeRowsSql(m)}""".stripMargin
+
+  private def bpeBytesOracle(m: Int): String =
+    s"""WITH ${bpeCtes(m, MultibytePlantSql, ByteSeq0Sql)}
+       |${mergeRowsSql(m)}""".stripMargin
 
   /** Encode oracle: the same training replay, then per-document token
     * counts — whitespace tokens joined to the trained word → |symbols|
     * table.
     */
   private def bpeEncodeOracle(m: Int): String =
-    s"""WITH ${bpeCtes(m)},
+    s"""WITH ${bpeCtes(m, "text", CharSeq0Sql)},
        |wl AS (SELECT w, len(s) AS n_sym FROM seq$m),
        |dt AS (
        |  SELECT doc_id,
