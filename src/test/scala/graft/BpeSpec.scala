@@ -70,6 +70,78 @@ class BpeSpec extends SparkSpec {
     assert(got === referenceTrain(words, 6))
   }
 
+  test("pair statistics count every adjacent position, not distinct pairs per word") {
+    // "abab" holds (a,b) TWICE; "xy"×2 holds (x,y) twice total. Sennrich
+    // occurrence counting ties them 2–2 and the binary-order tiebreak
+    // ("a b" < "x y") elects (a,b); distinct-per-word counting would
+    // give (a,b)=1 and elect (x,y) — so the first learned merge is the
+    // discriminating observable
+    val docs = Seq("abab xy xy").toDF("text")
+    val first = Bpe.trainMerges(docs, "text", numMerges = 1).head()
+    assert((first.getString(1), first.getString(2), first.getLong(4)) === (("a", "b", 2L)))
+    // and the straight-line reference (sliding windows = per-position)
+    // agrees on the full table
+    val words = Seq("abab", "xy", "xy")
+    val got = Bpe.trainMerges(docs, "text", numMerges = 4)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got === referenceTrain(words, 4))
+  }
+
+  /** Byte-level reference trainer: same loop as [[referenceTrain]], seq0
+    * = the word's UTF-8 bytes as uppercase 2-hex-digit symbols.
+    */
+  private def referenceTrainBytes(words: Seq[String], m: Int): Seq[(String, String, Long)] = {
+    val freq = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var seqs: Map[List[String], Long] =
+      freq.groupBy { case (w, _) =>
+        w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").toList :+ Bpe.EndOfWord
+      }.map { case (s, m2) => s -> m2.values.sum }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to m) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, f) <- seqs; p <- s.sliding(2) if p.size == 2)
+        counts((p.head, p(1))) = counts.getOrElse((p.head, p(1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, s"$x $y") }
+        out += ((a, b, c))
+        def apply(s: List[String]): List[String] = s match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: apply(rest)
+          case x :: rest                          => x :: apply(rest)
+          case Nil                                => Nil
+        }
+        seqs = seqs.groupBy { case (s, _) => apply(s) }.map { case (s, m2) => s -> m2.values.sum }
+      }
+    }
+    out.toSeq
+  }
+
+  test("byte-level training matches the byte reference trainer on multibyte text") {
+    // 2-byte (é C3A9, ü C3BC), 3-byte (日 E697A5 …) and 4-byte non-BMP
+    // (😀 F09F9880 — a Java surrogate PAIR, the case the char-level
+    // splitter cannot represent as one symbol)
+    val words = Seq(
+      "café", "café", "café", "über", "über", "日本語", "😀ok", "😀ok", "😀ok", "😀ok")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val got = Bpe.trainMergesBytes(docs, "text", numMerges = 8)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got === referenceTrainBytes(words, 8))
+    // every learned symbol is hex bytes and/or the end-of-word marker —
+    // whitespace-free, so "a b" pair keys stay unambiguous
+    val hexOrEow = "^([0-9A-F]{2})+$|^([0-9A-F]{2})*</w>$".r
+    got.foreach { case (a, b, _) =>
+      assert(hexOrEow.findFirstIn(a).isDefined, a)
+      assert(hexOrEow.findFirstIn(b).isDefined, b)
+    }
+    // the most frequent word starts with the 4 UTF-8 bytes of 😀; its
+    // byte pairs must be learnable — at least one learned merge touches
+    // a byte outside ASCII range (>= 0x80)
+    val nonAscii = got.exists { case (a, b, _) =>
+      (a + b).replace(Bpe.EndOfWord, "").grouped(2)
+        .exists(h => Integer.parseInt(h, 16) >= 0x80)
+    }
+    assert(nonAscii, got.mkString("\n"))
+  }
+
   test("training is deterministic and later merges build on earlier merged symbols") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet").select("text")
     val t1 = Bpe.trainMerges(docs, "text", numMerges = 8).collect().toSeq

@@ -23,6 +23,23 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("globalCumSum equals the single-partition running sum, any partitioning") {
+    val df = Seq(
+      (1L, 5L), (2L, 1L), (3L, 7L), (4L, 2L), (5L, 9L),
+      (6L, 4L), (7L, 8L), (8L, 3L), (9L, 6L), (10L, 0L)
+    ).toDF("k", "v")
+    var acc = 0L
+    val expected = df.orderBy(col("k")).collect().map { r =>
+      acc += r.getLong(1); r.getLong(0) -> acc
+    }.toMap
+    for (input <- Seq(df, df.repartition(7), df.repartition(1))) {
+      val got = GlobalRank
+        .globalCumSum(input, Seq(col("k")), col("v"), "run", parts = 4)
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("run")).toMap
+      assert(got == expected)
+    }
+  }
+
   test("saltedJoin equals the plain join (every pair exactly once)") {
     val left = Seq((1L, 100L), (1L, 101L), (1L, 102L), (2L, 200L), (3L, 300L))
       .toDF("k", "row_id")

@@ -200,6 +200,51 @@ class ScalePlanSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning("), plan)
   }
 
+  test("globalCumSum plans a partitioned window, never the single-partition running sum") {
+    val df = graft.ops.GlobalRank.globalCumSumLazy(
+      graft.queries.Tables.t(spark, sf("sf0.001"), "orders").select("o_orderkey", "o_totalprice"),
+      Seq(col("o_orderkey").asc),
+      col("o_totalprice"),
+      "run",
+      parts = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    // the data-sized running sum runs under a partition spec (__pid)
+    // over a range layout; the only unpartitioned window is the
+    // |partitions|-row offset side (q_vocab_growth's former bare
+    // `sum OVER (ORDER BY bucket)` serialized the whole bucket table —
+    // n_docs/25 rows, corpus-proportional — through one task)
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+    assert(plan.contains("rangepartitioning("), plan)
+  }
+
+  test("encodeWithMerges gates the vocab join: hint only in the broadcast regime") {
+    val docs = graft.queries.Tables
+      .t(spark, sf("sf0.001"), "documents").select("doc_id", "text")
+    val merges = graft.ops.Bpe.trainMergeSeq(docs, "text", numMerges = 2)
+    // broadcast regime: the vocab side carries the hint down to a
+    // BroadcastHashJoin in the physical plan
+    val hinted = graft.ops.Bpe
+      .encodeWithMerges(docs, "doc_id", "text", merges, broadcastVocab = true)
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      hinted.queryExecution.analyzed.toString)
+    assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      hinted.queryExecution.executedPlan.toString)
+    // above-threshold regime: NO hint anywhere in the plan — the vocab
+    // (distinct words, Heaps-unbounded with the corpus) must never be
+    // FORCED through the driver; AQE may still pick broadcast at
+    // runtime from observed sizes, which is exactly the desired
+    // behavior (forced ≠ adaptive)
+    val unhinted = graft.ops.Bpe
+      .encodeWithMerges(docs, "doc_id", "text", merges, broadcastVocab = false)
+    assert(!unhinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      unhinted.queryExecution.analyzed.toString)
+    // and the stats gate picks the broadcast shape at fixture scale
+    // (sf0.001 pruned text is far under VocabBroadcastMaxTextBytes)
+    val picked = graft.ops.Bpe.encodeTokenCounts(docs, "doc_id", "text", numMerges = 2)
+    assert(picked.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      picked.queryExecution.analyzed.toString)
+  }
+
   test("partition pruning: a type-partitioned layout scans only the selected partition") {
     val dir = Files.createTempDirectory("graft_part_").toFile.getAbsolutePath
     graft.queries.Tables.t(spark, sf("sf0.001"), "events")

@@ -319,6 +319,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 3 * weight("spark"), 3 * weight("spark") > 0)))
   }
 
+  test("lmPerplexity: add-1 smoothing, exact bit costs and fixed-point probs by hand") {
+    import spark.implicits._
+    // corpus bigrams: "a b"×3 (doc1, doc2, doc3), "b c"×1 (doc1);
+    // contexts c1(a)=3, c1(b)=1; V = |{a,b,c,solo}| = 4 — doc4's lone
+    // token joins the VOCAB even though it yields no bigram. Hand replay:
+    //   p(b|a) = (3+1)/(3+4) = 4/7 → bits = bitlen(7 div 4)−1 = 0,
+    //     p_fp = 4e12 div 7 = 571_428_571_428
+    //   p(c|b) = (1+1)/(1+4) = 2/5 → bits = bitlen(5 div 2)−1 = 1,
+    //     p_fp = 2e12 div 5 = 400_000_000_000
+    // doc4 has ONE token → no bigrams → absent from the output
+    val rows = Seq((1L, "A b! c"), (2L, "a b"), (3L, "a,b"), (4L, "solo"))
+    val got = TextOps.lmPerplexity(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 971428571428L, 0.5)),
+      2L -> ((1L, 0L, 571428571428L, 0.0)),
+      3L -> ((1L, 0L, 571428571428L, 0.0))))
+  }
+
   test("piiAudit: email/IPv4 redaction counts and exact scrubbed text") {
     import spark.implicits._
     val rows = Seq(
