@@ -637,28 +637,36 @@ object TextOps {
     * 2^(nll_bits/n) lower-bounds the true PPL within 2×), sum_p_fp, and
     * avg_bits = nll_bits / n_bigrams as the one final double op.
     *
-    * 100 TB shape: one token scan → bigram frame; the model is two
-    * hash aggregations over it (bounded by DISTINCT bigrams/contexts);
-    * scoring joins the bigram tokens to the model on the bigram key —
-    * a shuffle join both of whose sides came from the same scan — plus
-    * one broadcast scalar (V). No windows, no driver state.
-    * Documents with fewer than two tokens have no bigrams and drop out
-    * (both engines, by construction of the grouping).
+    * 100 TB shape: one token scan → bigram-occurrence frame; the model
+    * is built entirely on the DISTINCT-bigram side (c12 by bigram, then
+    * the context total c1 attached to the MODEL frame via its own small
+    * w1 reshuffle — distinct-bigram-sized, never corpus-sized), so the
+    * corpus-sized occurrence frame is hash-partitioned on the bigram
+    * key exactly ONCE, an exchange shared between the c12 aggregate and
+    * the scoring join (AQE exchange reuse); a pre-aggregation to
+    * per-(doc, bigram) counts was measured WORSE (natural-text bigrams
+    * rarely repeat within a document, so the extra shuffle bought no
+    * compression: sf10 shuffle 1.1 → 2.2 GB). One broadcast scalar (V)
+    * closes the plan. No windows, no driver state. Documents with fewer
+    * than two tokens have no bigrams and drop out (both engines, by
+    * construction of the grouping).
     */
   def lmPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"), normTokens(col(textCol)).as("ts"))
     // occurrences, NOT distinct shingles: LM counts are multiset counts
     val bt = d
       .select(col("doc_id"), explode(shingleOccurrencesFromTokens(col("ts"), 2)).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
     val bgc = bt.groupBy("bg").agg(count(lit(1)).as("c12"))
     val ctx = bgc
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c12")).as("c1"))
+    val model = bgc
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctx, "w1")
+      .select(col("bg"), col("c12"), col("c1"))
     val vocab = d.select(explode(col("ts")).as("t")).agg(countDistinct(col("t")).as("v"))
     bt
-      .join(bgc, "bg")
-      .join(ctx, "w1")
+      .join(model, "bg")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), (col("c12") + 1).as("num"), (col("c1") + col("v")).as("den"))
       .groupBy("doc_id")
