@@ -651,6 +651,60 @@ object TextOps {
     * than two tokens have no bigrams and drop out (both engines, by
     * construction of the grouping).
     */
+  /** [[lmPerplexity]]'s two-frame form — the model is built from
+    * `modelDocs` ONLY and the `scoreDocs` slice is scored under that
+    * FROZEN model: the production shape (CCNet scores candidate data
+    * under a reference-corpus LM; a self-scored pass can't flag text as
+    * unlike the reference). Same exact arithmetic; the two differences:
+    *  - unseen events LEFT-join to the model — an unseen bigram keeps
+    *    its context total (c12=0, c1 real), an unseen context floors at
+    *    the add-1 uniform (c12=0, c1=0 → p = 1/V);
+    *  - V is the MODEL vocabulary (the probability denominator must be
+    *    the frozen model's event space, not the scored text's).
+    * 100 TB shape: the model aggregates are one corpus scan each
+    * (distinct-bigram / distinct-context bounded); the score side is
+    * the candidate slice — benchmark/holdout-sized, NOT corpus-sized —
+    * so its two model joins shuffle the small frame against the big
+    * aggregates' existing key layouts. No windows, no driver state.
+    */
+  def lmPerplexityScored(
+      modelDocs: DataFrame,
+      scoreDocs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val md = modelDocs.select(normTokens(col(textCol)).as("ts"))
+    val bgc = md
+      .select(explode(shingleOccurrencesFromTokens(col("ts"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    val ctx = bgc
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = md.select(explode(col("ts")).as("t")).agg(countDistinct(col("t")).as("v"))
+    scoreDocs
+      .select(col(idCol).as("doc_id"), normTokens(col(textCol)).as("ts"))
+      .select(col("doc_id"), explode(shingleOccurrencesFromTokens(col("ts"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(bgc, Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("doc_id"),
+        (coalesce(col("c12"), lit(0L)) + 1).as("num"),
+        (coalesce(col("c1"), lit(0L)) + col("v")).as("den"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(length(bin(expr("den div num"))) - 1).cast("long").as("nll_bits"),
+        sum(expr("(CAST(num AS DECIMAL(38,0)) * 1000000000000) div den"))
+          .cast("long").as("sum_p_fp"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("nll_bits"),
+        col("sum_p_fp"),
+        (col("nll_bits").cast("double") / col("n_bigrams").cast("double")).as("avg_bits"))
+  }
+
   def lmPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"), normTokens(col(textCol)).as("ts"))
     // occurrences, NOT distinct shingles: LM counts are multiset counts

@@ -268,6 +268,48 @@ object Ext5Queries {
              |  CAST(SUM(length(bin(den // num)) - 1) AS DOUBLE) / COUNT(*) AS avg_bits
              |FROM sc GROUP BY 1""".stripMargin),
       "add-1 bigram LM scoring: exact integer bit costs + fixed-point probabilities per doc"
+    ),
+
+    // ---- the two-frame (train/score) form: model FROZEN on the 90%
+    //      training split, the held-out 10% scored under it — the
+    //      production CCNet shape (self-scoring can't flag text as
+    //      unlike the reference corpus). Unseen bigrams LEFT-join to
+    //      c12=0; unseen contexts floor at the add-1 uniform 1/V; V is
+    //      the MODEL vocabulary ----
+    "text_lm_ppl_holdout" -> QueryDef(
+      (s, d) => {
+        val split = splitDocs(s, d)
+        TextOps.lmPerplexityScored(
+          split.filter(!col("is_bench")),
+          split.filter(col("is_bench")),
+          "doc_id", "text")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10 AS is_bench,
+             |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), mbt AS (
+             |  SELECT ts[i] || ' ' || ts[i+1] AS bg
+             |  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i) g
+             |  WHERE NOT is_bench
+             |), bgc AS (SELECT bg, COUNT(*) AS c12 FROM mbt GROUP BY 1),
+             |ctx AS (SELECT split_part(bg, ' ', 1) AS cw, SUM(c12) AS c1 FROM bgc GROUP BY 1),
+             |vv AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM d WHERE NOT is_bench)),
+             |st AS (
+             |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg, ts[i] AS w1
+             |  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i) g
+             |  WHERE is_bench
+             |), sc AS (
+             |  SELECT st.doc_id, (COALESCE(c12, 0) + 1) AS num, (COALESCE(c1, 0) + v) AS den
+             |  FROM st LEFT JOIN bgc USING (bg) LEFT JOIN ctx ON ctx.cw = st.w1, vv)
+             |SELECT doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(length(bin(den // num)) - 1) AS BIGINT) AS nll_bits,
+             |  CAST(SUM(CAST(num AS HUGEINT) * 1000000000000 // den) AS BIGINT) AS sum_p_fp,
+             |  CAST(SUM(length(bin(den // num)) - 1) AS DOUBLE) / COUNT(*) AS avg_bits
+             |FROM sc GROUP BY 1""".stripMargin),
+      "held-out perplexity: add-1 bigram model frozen on the training split, 10% slice scored under it"
     )
   )
 

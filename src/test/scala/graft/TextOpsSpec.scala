@@ -339,6 +339,25 @@ class TextOpsSpec extends SparkSpec {
       3L -> ((1L, 0L, 571428571428L, 0.0))))
   }
 
+  test("lmPerplexityScored: frozen model, unseen bigram keeps c1, unseen context floors at 1/V") {
+    import spark.implicits._
+    // model corpus: one doc "a b c" → c12("a b")=1, c12("b c")=1;
+    // c1(a)=1, c1(b)=1; V = |{a,b,c}| = 3. Scored docs:
+    //   "a b" seen:            num=2, den=1+3=4 → bits=1, p_fp=5e11
+    //   "a z" unseen bigram,
+    //         seen context a:  num=1, den=1+3=4 → bits=2, p_fp=2.5e11
+    //   "z q" unseen context:  num=1, den=0+3=3 → bits=1, p_fp=333333333333
+    val model = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val score = Seq((2L, "a b"), (3L, "a z"), (4L, "z q")).toDF("doc_id", "text")
+    val got = TextOps.lmPerplexityScored(model, score, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      2L -> ((1L, 1L, 500000000000L, 1.0)),
+      3L -> ((1L, 2L, 250000000000L, 2.0)),
+      4L -> ((1L, 1L, 333333333333L, 1.0))))
+  }
+
   test("piiAudit: email/IPv4 redaction counts and exact scrubbed text") {
     import spark.implicits._
     val rows = Seq(
