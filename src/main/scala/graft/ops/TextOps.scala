@@ -651,6 +651,72 @@ object TextOps {
     * than two tokens have no bigrams and drop out (both engines, by
     * construction of the grouping).
     */
+  /** Interpolated Kneser-Ney bigram scoring with the fixed discount
+    * d = 3/4 — the production-grade smoother ([[lmPerplexity]]'s add-1 is
+    * the floor; KN replaces "add mass everywhere" with "discount seen
+    * events, back off to how PROMISCUOUSLY a word continues"):
+    *
+    *   p(w2|w1) = max(c12 − d, 0)/c1 + d·N1p(w1)/c1 · N1m(w2)/B
+    *
+    * where N1p(w1) = |{w2 : c(w1 w2) > 0}| (continuation fan-out of the
+    * context), N1m(w2) = |{w1 : c(w1 w2) > 0}| (how many distinct
+    * contexts w2 follows — the Kneser-Ney continuation count), and
+    * B = |distinct bigrams|. With d = 3/4 everything is EXACT over the
+    * common denominator 4·c1·B:
+    *
+    *   num = (4·c12 − 3)·B + 3·N1p(w1)·N1m(w2),   den = 4·c1·B
+    *
+    * (self-scored ⇒ c12 ≥ 1 ⇒ the max() never binds). Σ_w2 p = 1 by
+    * construction, and num ≤ den per event, so the [[lmPerplexity]] bit
+    * cost applies: bits = bitlen(den div num) − 1. The quotient is
+    * bounded by 4·c1 (num ≥ B + 3), so it fits a BIGINT at any corpus
+    * scale even though num/den themselves need DECIMAL(38,0)/HUGEINT.
+    *
+    * 100 TB shape: identical to [[lmPerplexity]] — all three model
+    * statistics (c1/N1p by context, N1m by continuation, B) are
+    * aggregates of the DISTINCT-bigram frame and join back to IT, never
+    * to the corpus-sized occurrence frame, which hash-partitions on the
+    * bigram key exactly once; B broadcasts as one row.
+    */
+  def lmKnPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), normTokens(col(textCol)).as("ts"))
+    val bt = d
+      .select(col("doc_id"), explode(shingleOccurrencesFromTokens(col("ts"), 2)).as("bg"))
+    val bgc = bt.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val ctx = bgc
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = bgc
+      .groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n1m"))
+    val btot = bgc.agg(count(lit(1)).as("b"))
+    val model = bgc
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(ctx, "w1")
+      .join(cont, "w2")
+      .select(col("bg"), col("c12"), col("c1"), col("n1p"), col("n1m"))
+    bt
+      .join(model, "bg")
+      .crossJoin(broadcast(btot))
+      .select(
+        col("doc_id"),
+        expr("CAST(4 * c12 - 3 AS DECIMAL(38,0)) * b + CAST(3 * n1p AS DECIMAL(38,0)) * n1m")
+          .as("num"),
+        expr("CAST(4 * c1 AS DECIMAL(38,0)) * b").as("den"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(length(bin(expr("CAST(den div num AS BIGINT)"))) - 1).cast("long").as("nll_bits"),
+        sum(expr("(num * 1000000000000) div den")).cast("long").as("sum_p_fp"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("nll_bits"),
+        col("sum_p_fp"),
+        (col("nll_bits").cast("double") / col("n_bigrams").cast("double")).as("avg_bits"))
+  }
+
   /** [[lmPerplexity]]'s two-frame form — the model is built from
     * `modelDocs` ONLY and the `scoreDocs` slice is scored under that
     * FROZEN model: the production shape (CCNet scores candidate data

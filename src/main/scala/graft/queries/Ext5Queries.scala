@@ -310,6 +310,38 @@ object Ext5Queries {
              |  CAST(SUM(length(bin(den // num)) - 1) AS DOUBLE) / COUNT(*) AS avg_bits
              |FROM sc GROUP BY 1""".stripMargin),
       "held-out perplexity: add-1 bigram model frozen on the training split, 10% slice scored under it"
+    ),
+
+    // ---- interpolated Kneser-Ney (d = 3/4) in exact integer arithmetic
+    //      over the common denominator 4*c1*B: discounted seen mass +
+    //      continuation backoff (N1m = how many distinct contexts a word
+    //      follows). Sums to 1 per context by construction ----
+    "text_lm_kn_perplexity" -> QueryDef(
+      (s, d) => TextOps.lmKnPerplexity(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), bt AS (
+             |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+             |  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i) g
+             |), bgc AS (SELECT bg, COUNT(*) AS c12 FROM bt GROUP BY 1),
+             |ctx AS (SELECT split_part(bg, ' ', 1) AS cw, SUM(c12) AS c1, COUNT(*) AS n1p FROM bgc GROUP BY 1),
+             |cont AS (SELECT split_part(bg, ' ', 2) AS vw, COUNT(*) AS n1m FROM bgc GROUP BY 1),
+             |bb AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM bgc),
+             |sc AS (
+             |  SELECT bt.doc_id,
+             |    (4 * CAST(c12 AS HUGEINT) - 3) * b + 3 * CAST(n1p AS HUGEINT) * n1m AS num,
+             |    4 * CAST(c1 AS HUGEINT) * b AS den
+             |  FROM bt JOIN bgc USING (bg)
+             |  JOIN ctx ON ctx.cw = split_part(bt.bg, ' ', 1)
+             |  JOIN cont ON cont.vw = split_part(bt.bg, ' ', 2), bb)
+             |SELECT doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(length(bin(CAST(den // num AS BIGINT))) - 1) AS BIGINT) AS nll_bits,
+             |  CAST(SUM(num * 1000000000000 // den) AS BIGINT) AS sum_p_fp,
+             |  CAST(SUM(length(bin(CAST(den // num AS BIGINT))) - 1) AS DOUBLE) / COUNT(*) AS avg_bits
+             |FROM sc GROUP BY 1""".stripMargin),
+      "interpolated Kneser-Ney bigram scoring (d=3/4): exact integer discount + continuation backoff"
     )
   )
 

@@ -339,6 +339,23 @@ class TextOpsSpec extends SparkSpec {
       3L -> ((1L, 0L, 571428571428L, 0.0))))
   }
 
+  test("lmKnPerplexity: d=3/4 discount + continuation backoff by hand; mass sums to 1") {
+    import spark.implicits._
+    // model bigrams: "a b"×2, "a c"×1 → B=2; ctx a: c1=3, N1p=2;
+    // cont: N1m(b)=1, N1m(c)=1. Common denominator 4·c1·B = 24:
+    //   p(b|a) = [(8−3)·2 + 3·2·1]/24 = 16/24 = 2/3 → bits=0, p_fp=666666666666
+    //   p(c|a) = [(4−3)·2 + 3·2·1]/24 =  8/24 = 1/3 → bits=1, p_fp=333333333333
+    // and p(b|a) + p(c|a) = 1 exactly (KN mass conservation)
+    val rows = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+    val got = TextOps.lmKnPerplexity(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      1L -> ((1L, 0L, 666666666666L, 0.0)),
+      2L -> ((1L, 0L, 666666666666L, 0.0)),
+      3L -> ((1L, 1L, 333333333333L, 1.0))))
+  }
+
   test("lmPerplexityScored: frozen model, unseen bigram keeps c1, unseen context floors at 1/V") {
     import spark.implicits._
     // model corpus: one doc "a b c" → c12("a b")=1, c12("b c")=1;
