@@ -245,6 +245,22 @@ class ScalePlanSpec extends SparkSpec {
       picked.queryExecution.analyzed.toString)
   }
 
+  test("LM scorers: every product is the 1-row scalar; model stats never cross the corpus") {
+    // the three bigram LM queries join a corpus-sized occurrence frame
+    // to model aggregates; the ONLY permissible nested-loop product is
+    // the single-row scalar (V / B) broadcast — a CartesianProduct or a
+    // second nested-loop would mean a model statistic crossed the
+    // corpus frame row-wise
+    for (q <- Seq("text_lm_perplexity", "text_lm_kn_perplexity", "text_lm_ppl_holdout")) {
+      val plan = graft.SparkEntry
+        .queries(q)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnlj <= 1, s"$q: only the scalar row may nest-loop, got $bnlj:\n$plan")
+    }
+  }
+
   test("partition pruning: a type-partitioned layout scans only the selected partition") {
     val dir = Files.createTempDirectory("graft_part_").toFile.getAbsolutePath
     graft.queries.Tables.t(spark, sf("sf0.001"), "events")
