@@ -180,15 +180,22 @@ object Bpe {
   /** Apply a learned merge list to a vocab's initial sequences — a pure
     * chained-projection replay (one codegen'd [[BpeMergeRuns]] per merge,
     * rank order; no jobs). The tokenizer-inference half of BPE.
+    * `byteLevel` must match the regime the merges were trained under
+    * (char symbols vs hex-coded UTF-8 byte symbols).
     */
-  def applyMerges(vocab: DataFrame, merges: Seq[Merge]): DataFrame =
-    merges.sortBy(_.mergeRank).foldLeft(initialSeqs(vocab)) { (df, m) =>
+  def applyMerges(
+      vocab: DataFrame,
+      merges: Seq[Merge],
+      byteLevel: Boolean = false): DataFrame = {
+    val seq0 = if (byteLevel) initialByteSeqs(vocab) else initialSeqs(vocab)
+    merges.sortBy(_.mergeRank).foldLeft(seq0) { (df, m) =>
       df.select(
         col("w"),
         col("freq"),
         ExprBridge.column(
           BpeMergeRuns(ExprBridge.expression(col("s")), m.symA, m.symB)).as("s"))
     }
+  }
 
   /** Pruned-scan bytes of the text column past which the word → symbol
     * table is no longer assumed driver/broadcast-safe. The distinct-word
@@ -229,6 +236,27 @@ object Bpe {
     encodeWithMerges(docs, idCol, textCol, merges, broadcastVocab)
   }
 
+  /** [[encodeTokenCounts]] under the BYTE-LEVEL trainer
+    * ([[trainMergesBytes]]): `n_tokens_bpe` counts hex-coded UTF-8 byte
+    * symbols after the learned merges — the production tokenizer's
+    * token budget, exact on all text incl. non-BMP. Same stats-gated
+    * vocab join, same plan shape; on pure-ASCII text the counts equal
+    * the char-level encode (2-digit uppercase hex is order-preserving
+    * on bytes, so the training argmax and every tiebreak correspond
+    * 1:1 — spec-pinned).
+    */
+  def encodeTokenCountsBytes(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numMerges: Int): DataFrame = {
+    val merges = trainMergeSeq(docs, textCol, numMerges, byteLevel = true)
+    val broadcastVocab =
+      docs.select(col(textCol)).queryExecution.optimizedPlan.stats.sizeInBytes <=
+        VocabBroadcastMaxTextBytes
+    encodeWithMerges(docs, idCol, textCol, merges, broadcastVocab, byteLevel = true)
+  }
+
   /** The encode plan under an already-trained merge list, with the vocab
     * join strategy explicit — exposed for the plan spec that pins BOTH
     * regimes ([[encodeTokenCounts]] picks `broadcastVocab` from scan
@@ -239,8 +267,9 @@ object Bpe {
       idCol: String,
       textCol: String,
       merges: Seq[Merge],
-      broadcastVocab: Boolean): DataFrame = {
-    val wl = applyMerges(wordVocab(docs, textCol), merges)
+      broadcastVocab: Boolean,
+      byteLevel: Boolean = false): DataFrame = {
+    val wl = applyMerges(wordVocab(docs, textCol), merges, byteLevel)
       .select(col("w"), size(col("s")).as("n_sym"))
     docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("w"))

@@ -241,6 +241,18 @@ object Ext5Queries {
       s"byte-level BPE training (hex-coded UTF-8 byte symbols) on multibyte-planted text, top-$BpeMerges merges"
     ),
 
+    // ---- tokenizer inference under the BYTE-LEVEL trainer: per-doc
+    //      whitespace vs BPE-byte-symbol token counts on the same
+    //      multibyte-planted corpus — the production tokenizer's token
+    //      budget, exact on non-BMP text ----
+    "text_bpe_encode_bytes" -> QueryDef(
+      (s, d) =>
+        Bpe.encodeTokenCountsBytes(
+          plantedMultibyteDocs(s, d), "doc_id", "text", numMerges = BpeMerges),
+      Some(bpeEncodeBytesOracle(BpeMerges)),
+      s"per-doc token counts under the byte-level top-$BpeMerges-merge BPE tokenizer (multibyte-planted text)"
+    ),
+
     // ---- add-1-smoothed bigram LM perplexity scoring in EXACT
     //      arithmetic: integer bit costs via bitlen(den div num) - 1 =
     //      floor(log2(1/p)) (no math-library log anywhere), fixed-point
@@ -431,11 +443,17 @@ object Ext5Queries {
     * table.
     */
   private def bpeEncodeOracle(m: Int): String =
-    s"""WITH ${bpeCtes(m, "text", CharSeq0Sql)},
+    bpeEncodeOracleFor(m, "text", CharSeq0Sql)
+
+  private def bpeEncodeBytesOracle(m: Int): String =
+    bpeEncodeOracleFor(m, MultibytePlantSql, ByteSeq0Sql)
+
+  private def bpeEncodeOracleFor(m: Int, textSql: String, seq0Sql: String): String =
+    s"""WITH ${bpeCtes(m, textSql, seq0Sql)},
        |wl AS (SELECT w, len(s) AS n_sym FROM seq$m),
        |dt AS (
        |  SELECT doc_id,
-       |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+       |    unnest(list_filter(regexp_split_to_array(trim($textSql), '\\s+'), x -> x <> '')) AS w
        |  FROM documents)
        |SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_ws,
        |  CAST(SUM(n_sym) AS BIGINT) AS n_tokens_bpe

@@ -142,6 +142,33 @@ class BpeSpec extends SparkSpec {
     assert(nonAscii, got.mkString("\n"))
   }
 
+  test("on pure-ASCII text the byte-level trainer corresponds 1:1 to the char-level one") {
+    // 2-digit uppercase hex is order-preserving on bytes, so every
+    // argmax tiebreak resolves identically: the byte merge table is the
+    // char table with each symbol hex-coded, and encode counts agree
+    val docs = Seq("low low lower newest ab ab cd").toDF("text")
+    // the end-of-word marker stays verbatim (it only ever appears as a
+    // suffix — merges can't move it off the word end)
+    def hexed(sym: String): String = {
+      val (core, eow) =
+        if (sym.endsWith(Bpe.EndOfWord))
+          (sym.dropRight(Bpe.EndOfWord.length), Bpe.EndOfWord)
+        else (sym, "")
+      core.flatMap(c => f"${c.toInt}%02X") + eow
+    }
+    val charT = Bpe.trainMerges(docs, "text", numMerges = 6)
+      .collect().map(r => (hexed(r.getString(1)), hexed(r.getString(2)), r.getLong(4))).toSeq
+    val byteT = Bpe.trainMergesBytes(docs, "text", numMerges = 6)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(byteT === charT)
+    val ids = Seq((1L, "low lower ab"), (2L, "newest cd")).toDF("doc_id", "text")
+    val c = Bpe.encodeTokenCounts(ids, "doc_id", "text", numMerges = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val b = Bpe.encodeTokenCountsBytes(ids, "doc_id", "text", numMerges = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(b === c)
+  }
+
   test("training is deterministic and later merges build on earlier merged symbols") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet").select("text")
     val t1 = Bpe.trainMerges(docs, "text", numMerges = 8).collect().toSeq
