@@ -70,6 +70,13 @@ object GlobalRank {
     * with the corpus. Exact for integer `valueCol` (long sums, order
     * free); same pinned-layout discipline as [[globalRank]] — both
     * consumers of the range layout must see identical bounds.
+    *
+    * `orderCols` MUST be a total order (tie-break on a unique key, the
+    * [[globalRank]] contract): tied rows' relative order inside the
+    * per-partition running-sum window is unpinned, so their individual
+    * cumulative values are tie-ambiguous even though the sum across the
+    * tie group is not — a deterministic oracle comparison needs the
+    * unique key.
     */
   def globalCumSum(
       df: DataFrame,

@@ -677,6 +677,14 @@ object TextOps {
     * aggregates of the DISTINCT-bigram frame and join back to IT, never
     * to the corpus-sized occurrence frame, which hash-partitions on the
     * bigram key exactly once; B broadcasts as one row.
+    *
+    * Exactness headroom: the fixed-point term computes `num · 10¹²` in
+    * DECIMAL(38,0) with num ≤ den = 4·c1·B, so the product stays inside
+    * the 38-digit cap while c1·B ≤ ~2.5·10²⁵ — e.g. a 10¹²-token context
+    * against 2.5·10¹³ distinct bigrams. Beyond that regime (far past any
+    * published corpus) the non-ANSI decimal overflow would null the
+    * product and silently drop rows from `sum_p_fp`; the bit-cost column
+    * (`den div num`, bounded by 4·c1) is immune at any scale.
     */
   def lmKnPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"), normTokens(col(textCol)).as("ts"))

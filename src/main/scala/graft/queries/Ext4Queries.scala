@@ -69,10 +69,20 @@ object Ext4Queries {
       // staging data unboundedly across sweeps.
       s.createDataFrame(agg.collectAsList(), agg.schema)
     } finally {
-      fs.delete(p, true)
-      // drop the per-application parent too once its last format is gone
-      val parent = p.getParent
-      if (fs.exists(parent) && fs.listStatus(parent).isEmpty) fs.delete(parent, true)
+      // the cleanup itself can throw on a flaky filesystem, and an
+      // exception escaping a finally REPLACES the primary write/read-back
+      // failure — swallow cleanup errors so the real one propagates (the
+      // leaked staging dir is the lesser defect and the next overwrite
+      // run reclaims it)
+      try {
+        fs.delete(p, true)
+        // drop the per-application parent too once its last format is gone
+        val parent = p.getParent
+        if (fs.exists(parent) && fs.listStatus(parent).isEmpty) fs.delete(parent, true)
+      } catch {
+        case e: java.io.IOException =>
+          graft.util.JsonLog.warning(s"roundtrip staging cleanup failed for $dir: $e")
+      }
     }
   }
 
