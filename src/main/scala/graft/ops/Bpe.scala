@@ -125,6 +125,29 @@ object Bpe {
         col("pairCount").as("pair_count"))
   }
 
+  /** Re-checkpoint the symbol-sequence chain every this many merges: the
+    * incremental update appends one `filter ∪ checkpointed-slice` level
+    * per merge, so the chain is re-materialized (and the superseded
+    * generation released) before the lazy plan — and the per-scan cost of
+    * re-evaluating the stacked contains-pair filters — can grow past a
+    * constant. 16 keeps both the plan depth and the generated filter code
+    * far below the JIT/janino hazard thresholds the r11 work measured.
+    */
+  private[graft] val SeqsCheckpointEveryMerges: Int = 16
+
+  /** Winning-pair occurrence count above which the per-merge pair-count
+    * DELTA is no longer broadcast back onto the pair table. The delta's
+    * distinct-pair row count is bounded by ~5× the (freq-weighted)
+    * winning count, so below the gate the update is a map-side broadcast
+    * join (the pair table never shuffles); above it — the early merges
+    * that touch a large corpus fraction, where an affected-slice recount
+    * is proportionally no cheaper than a full one — the update falls back
+    * to one union+re-aggregate shuffle. The same measured-gate discipline
+    * as [[VocabBroadcastMaxTextBytes]]: nothing corpus-proportional is
+    * ever FORCED through the driver.
+    */
+  private[graft] val DeltaBroadcastMaxPairCount: Long = 200000L
+
   /** The training loop itself — the collected (bounded: `numMerges`-row)
     * merge list, for callers that APPLY the table rather than ship it.
     */
@@ -133,29 +156,94 @@ object Bpe {
       textCol: String,
       numMerges: Int,
       byteLevel: Boolean = false): Seq[Merge] = {
+    val (merges, seqs) = trainMergeSeqWithSeqs(docs, textCol, numMerges, byteLevel)
+    Caching.release(seqs)
+    merges
+  }
+
+  /** Incremental trainer (the production-M shape). The naive loop
+    * re-counted EVERY pair and re-tokenized EVERY word per merge —
+    * O(M·|vocab|) work plus an M-deep chained projection. This form does
+    * the full pair count ONCE, then per merge:
+    *
+    *  1. argmax from the maintained pair-count table (TakeOrdered over a
+    *     checkpointed, pair-bounded frame; only the 1 winning row crosses
+    *     to the driver);
+    *  2. re-tokenize ONLY the words containing the winning pair — the
+    *     affected slice is materialized once (eager localCheckpoint) and
+    *     feeds both the count delta and the sequence update;
+    *  3. pair-count delta = (new-slice pairs) − (old-slice pairs), an
+    *     aggregate over the touched words only; applied to the pair table
+    *     via a broadcast left join when the slice is small (the common
+    *     case past the first merges — the table itself never reshuffles)
+    *     or one union+re-aggregate when it is not
+    *     ([[DeltaBroadcastMaxPairCount]]);
+    *  4. seqs := untouched-words ∪ re-tokenized slice, re-checkpointed
+    *     every [[SeqsCheckpointEveryMerges]] merges so plan depth stays
+    *     bounded at any M.
+    *
+    * Genuinely-NEW pair keys can only involve the just-merged symbol (a
+    * merge creates adjacencies only around merged positions), so the
+    * delta splits exactly into an update half and an insert half —
+    * UNLESS the merged string collides with a pre-existing symbol string
+    * (possible: "a"+"bc" and "ab"+"c" both spell "abc"; char-level can
+    * even spell the end-of-word marker). Collisions are detected on the
+    * driver against the bounded set of previously-merged strings and
+    * fall back to the union path, which needs no absence guarantee.
+    *
+    * Every maintained count equals the naive recount exactly (integer
+    * deltas over the same occurrence semantics), so the learned table —
+    * and the DuckDB oracle replay — are unchanged. Returns the merges
+    * plus the FINAL sequence frame (checkpointed; caller releases).
+    */
+  private[graft] def trainMergeSeqWithSeqs(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      byteLevel: Boolean = false,
+      // spec seam: 0 forces the union+re-aggregate fallback on every
+      // merge so both update paths are parity-tested against the naive
+      // reference; production callers use the measured default
+      deltaBroadcastMax: Long = DeltaBroadcastMaxPairCount): (Seq[Merge], DataFrame) = {
     val vocab = wordVocab(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // live checkpoint generations superseded at the next seqs checkpoint
+    val pendingSlices = ArrayBuffer.empty[DataFrame]
+    var seqsBase: DataFrame = null
+    var pc: DataFrame = null
     try {
-      var seqs = if (byteLevel) initialByteSeqs(vocab) else initialSeqs(vocab)
+      // pair = "a b" (symbols never contain whitespace — they are
+      // non-space characters and concatenations thereof), so the
+      // 2-shingle string IS the pair key and its binary order is the
+      // deterministic tiebreak on both engines. OCCURRENCES, not
+      // distinct-per-word: Sennrich pair statistics count every
+      // adjacent position ("banana" has 'a n' twice), which is also
+      // exactly what the oracle's per-position LATERAL replays
+      def pairRows(frame: DataFrame, sign: Int): DataFrame =
+        frame.select(
+          (col("freq") * sign).as("d"),
+          explode(TextOps.shingleOccurrencesFromTokens(col("s"), 2)).as("pair"))
+      seqsBase =
+        (if (byteLevel) initialByteSeqs(vocab) else initialSeqs(vocab)).localCheckpoint(true)
+      var seqs = seqsBase
+      // the ONE full corpus-vocab pair aggregation of the whole run
+      pc = pairRows(seqs, 1)
+        .groupBy("pair")
+        .agg(sum("d").as("cnt"))
+        .localCheckpoint(true)
       val merges = ArrayBuffer.empty[Merge]
       var rank = 1
       var exhausted = false
+      var sinceCheckpoint = 0
+      // every per-iteration frame is coalesced back to the core count
+      // before its checkpoint: localCheckpoint PRESERVES partition
+      // counts, and `filter ∪ slice` otherwise DOUBLES them per merge
+      // (filter keeps the parent's partitions, the slice adds its own) —
+      // measured as a 2^13-task stage by merge 13. coalesce is narrow
+      // (no shuffle); between rebases the chain grows by one slice's
+      // partitions per merge and the rebase resets it.
+      val parallelism = docs.sparkSession.sparkContext.defaultParallelism
       while (rank <= numMerges && !exhausted) {
-        // pair = "a b" (symbols never contain whitespace — they are
-        // non-space characters and concatenations thereof), so the
-        // 2-shingle string IS the pair key and its binary order is the
-        // deterministic tiebreak on both engines. OCCURRENCES, not
-        // distinct-per-word: Sennrich pair statistics count every
-        // adjacent position ("banana" has 'a n' twice), which is also
-        // exactly what the oracle's per-position LATERAL replays
-        val top = seqs
-          .select(
-            col("freq"),
-            explode(TextOps.shingleOccurrencesFromTokens(col("s"), 2)).as("pair"))
-          .groupBy("pair")
-          .agg(sum("freq").as("cnt"))
-          .orderBy(col("cnt").desc, col("pair").asc)
-          .limit(1)
-          .collect()
+        val top = pc.orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
         if (top.isEmpty) {
           // every word fully merged into one symbol — nothing left to learn
           exhausted = true
@@ -164,17 +252,88 @@ object Bpe {
           val cnt = top(0).getLong(1)
           val sep = pair.indexOf(' ')
           val (a, b) = (pair.substring(0, sep), pair.substring(sep + 1))
-          merges += Merge(rank.toLong, a, b, a + b, cnt)
-          seqs = seqs.select(
-            col("w"),
-            col("freq"),
-            ExprBridge.column(
-              BpeMergeRuns(ExprBridge.expression(col("s")), a, b)).as("s"))
+          val merged = a + b
+          val mergedCollides =
+            merged == EndOfWord || merges.exists(_.merged == merged)
+          merges += Merge(rank.toLong, a, b, merged, cnt)
+          val hasPair =
+            array_contains(TextOps.shingleOccurrencesFromTokens(col("s"), 2), lit(pair))
+          // the touched slice, re-tokenized under the winning merge —
+          // materialized once, read by the delta AND the seqs update
+          val newSlice = seqs
+            .filter(hasPair)
+            .select(
+              col("w"),
+              col("freq"),
+              ExprBridge.column(
+                BpeMergeRuns(ExprBridge.expression(col("s")), a, b)).as("s"))
+            .coalesce(parallelism)
+            .localCheckpoint(true)
+          pendingSlices += newSlice
+          val delta = pairRows(seqs.filter(hasPair), -1)
+            .unionByName(pairRows(newSlice, 1))
+            .groupBy("pair")
+            .agg(sum("d").as("d"))
+            .filter(col("d") =!= 0L)
+          val pcNew =
+            if (cnt <= deltaBroadcastMax && !mergedCollides) {
+              // new keys involve the merged symbol; everything else is an
+              // in-place adjustment — pc itself never reshuffles. The
+              // delta feeds two consumers below, so it is materialized
+              // once (it is broadcast-small by the gate)
+              val deltaM = delta.localCheckpoint(true)
+              val involvesMerged =
+                substring_index(col("pair"), " ", 1) === merged ||
+                  substring_index(col("pair"), " ", -1) === merged
+              val updated = pc
+                .join(broadcast(deltaM.filter(!involvesMerged)), Seq("pair"), "left")
+                .select(col("pair"), (col("cnt") + coalesce(col("d"), lit(0L))).as("cnt"))
+                .filter(col("cnt") > 0)
+                .unionByName(
+                  deltaM.filter(involvesMerged && col("d") > 0)
+                    .select(col("pair"), col("d").as("cnt")))
+                .coalesce(parallelism)
+                .localCheckpoint(true)
+              Caching.release(deltaM)
+              updated
+            } else {
+              pc.unionByName(delta.select(col("pair"), col("d").as("cnt")))
+                .groupBy("pair")
+                .agg(sum("cnt").as("cnt"))
+                .filter(col("cnt") > 0)
+                .localCheckpoint(true)
+            }
+          Caching.release(pc)
+          pc = pcNew
+          seqs = seqs.filter(!hasPair).unionByName(newSlice)
+          sinceCheckpoint += 1
+          if (sinceCheckpoint >= SeqsCheckpointEveryMerges) {
+            val rebased = seqs.coalesce(parallelism).localCheckpoint(true)
+            Caching.release(seqsBase)
+            pendingSlices.foreach(Caching.release(_))
+            pendingSlices.clear()
+            seqsBase = rebased
+            seqs = rebased
+            sinceCheckpoint = 0
+          }
           rank += 1
         }
       }
-      merges.toSeq
-    } finally vocab.unpersist(blocking = false)
+      // ownership of the live chain's backing checkpoints (seqsBase +
+      // pending slices) transfers to the caller: the returned frame IS
+      // the (≤ one-rebase-period-deep) lazy chain over them, and
+      // [[Caching.release]] on it frees every LogicalRDD leaf. Returning
+      // the chain rather than a fresh checkpoint keeps its plan depth
+      // observable (the bounded-lineage spec) and skips one full copy.
+      seqsBase = null
+      pendingSlices.clear()
+      (merges.toSeq, seqs)
+    } finally {
+      if (pc != null) Caching.release(pc)
+      if (seqsBase != null) Caching.release(seqsBase)
+      pendingSlices.foreach(Caching.release(_))
+      vocab.unpersist(blocking = false)
+    }
   }
 
   /** Apply a learned merge list to a vocab's initial sequences — a pure

@@ -586,9 +586,26 @@ object Similarity {
     val adcScored = scored
       .filter(col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid").as("neighbor_id"), adc.as("sim"))
-    if (effRerankK <= 0) rankTopK(adcScored, k)
+    exactRerankTopK(baseN, adcScored, queryPred, k, effRerankK)
+  }
+
+  /** The shared two-stage tail of every compressed-scan ANN path: when
+    * `effRerankK > 0`, shortlist the top `effRerankK` candidates per
+    * query by the (lossy) compressed score, re-score the shortlist by
+    * exact cosine against the full-precision vectors, and rank to k;
+    * otherwise rank the compressed scores directly. The refine cost is
+    * |queries| × effRerankK exact dots — independent of corpus size.
+    */
+  private def exactRerankTopK(
+      baseN: DataFrame,
+      coarseScored: DataFrame,
+      queryPred: Column,
+      k: Int,
+      effRerankK: Int
+  ): DataFrame =
+    if (effRerankK <= 0) rankTopK(coarseScored, k)
     else {
-      val shortlist = rankTopK(adcScored, effRerankK).select("query_id", "neighbor_id")
+      val shortlist = rankTopK(coarseScored, effRerankK).select("query_id", "neighbor_id")
       val corpus = baseN.select(col("cid").cast("long").as("cid"), col("v"), col("nrm"))
       val queriesN = corpus
         .filter(queryPred)
@@ -602,6 +619,139 @@ object Similarity {
           (fastDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim"))
       rankTopK(refined, k)
     }
+
+  /** Composite IVF-PQ top-k (the FAISS IVFADC shape — the production
+    * billion-scale ANN): IVF coarse cells bound WHERE the scan looks, PQ
+    * codes bound WHAT the scan reads per candidate, and the
+    * corpus-adaptive exact re-rank restores recall on the shortlist.
+    * [[ivfTopK]] alone scans probed cells with full-precision dots;
+    * [[pqAdcTopK]] alone ADC-scans the WHOLE corpus per query. Composed:
+    *
+    *  1. ONE per-row projection computes both the IVF cell assignment
+    *     (nested codegen'd dots over the bounded coarse codebook) and the
+    *     PQ code positions ([[graft.functions.PqCodes]]) — materialized
+    *     once, its own stage (the collapse-barrier discipline of
+    *     [[pqAdcTopKFromBase]]);
+    *  2. queries probe `nProbe` of `nClusters` cells and carry their ADC
+    *     lookup tables — a |queries|·nProbe-row frame, BROADCAST onto the
+    *     compressed corpus and hash-probed by cell id: the ADC scan
+    *     touches exactly the probed cells' rows (never corpus × queries)
+    *     and the corpus itself never shuffles;
+    *  3. shortlist by the fixed-order ADC sum, exact-rerank to k
+    *     ([[exactRerankTopK]], `rerankK` sized by [[AdaptiveRerank]]).
+    *
+    * Fully deterministic (fixed codebooks, total orders), so the DuckDB
+    * oracle replays assignment, probing, LUT scoring, shortlist, and
+    * re-rank exactly.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      queryPred: Column,
+      nClusters: Int,
+      nProbe: Int,
+      subspaces: Int,
+      subDim: Int,
+      nCodes: Int,
+      rerankK: Int = AdaptiveRerank
+  ): DataFrame = {
+    val base = prepBase(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Caching.materializeAndRelease(
+      ivfPqTopKFromBase(base, k, queryPred, nClusters, nProbe, subspaces, subDim, nCodes, rerankK),
+      base)
+  }
+
+  /** [[ivfPqTopK]] over an already-PERSISTED `(cid, v, nrm)` base — the
+    * caller owns the persist/release lifecycle.
+    */
+  private[graft] def ivfPqTopKFromBase(
+      base: DataFrame,
+      k: Int,
+      queryPred: Column,
+      nClusters: Int,
+      nProbe: Int,
+      subspaces: Int,
+      subDim: Int,
+      nCodes: Int,
+      rerankK: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val effRerankK =
+      if (rerankK == AdaptiveRerank) adaptiveRerankK(base.count()) else rerankK
+    // coarse codebook: first-k init, driver-collected (bounded) — the
+    // ivfTopKFromBase convention, untrained (training composes the same
+    // way via lloydStep if a deployment wants it)
+    val codebook = base
+      .filter(col("cid") < nClusters)
+      .select(col("cid").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val centroids = base.sparkSession
+      .createDataFrame(codebook.toSeq.map { case (cid, cv, cn) => (cid, cv.toSeq, cn) })
+      .toDF("centroid_id", "cv", "cn")
+    // one projection: cell id + positional PQ code word per corpus row,
+    // pivoted behind its own exchange (the collapse barrier — see
+    // pqAdcTopKFromBase's wide/rank commentary, which this reuses)
+    val baseRaw = base.select(col("cid").as("vid"), col("v"), col("nrm"))
+    val (codesCol, codebookIds) = pqCodebookColumn(baseRaw, subspaces, subDim, nCodes)
+    val idsLit = typedLit(codebookIds.toSeq)
+    val wideCols = (0 until subspaces).map { s =>
+      array_position(idsLit, element_at(col("__codes"), s + 1)).cast("int").as(s"r$s")
+    }
+    val parallelism = baseRaw.sparkSession.sparkContext.defaultParallelism
+    val wide = assignToCodebook(pqSpread(baseRaw), codebook)
+      .select(col("vid"), col("centroid_id"), codesCol.as("__codes"))
+      .repartition(parallelism, col("vid"))
+      .select(col("vid") +: col("centroid_id") +: wideCols: _*)
+    val wideM = Caching.materializeAndRelease(wide)
+    // query side: probe ranking (ivfTopKFromBase convention) …
+    val wProbe = Window.partitionBy("query_id").orderBy(col("psim").desc, col("centroid_id").asc)
+    val probes = base
+      .filter(queryPred)
+      .select(col("cid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .select(
+        col("query_id"), col("centroid_id"),
+        (fastDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("psim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("centroid_id"))
+    // … and the per-query ADC lookup tables (pqAdcTopKFromBase convention)
+    val cbCols = (0 until subspaces).map { s =>
+      struct(lit(s).as("s"), slice(col("v"), s * subDim + 1, subDim).as("cv"))
+    }
+    val cb = base
+      .filter(col("cid") < nCodes)
+      .select(col("cid").as("code"), explode(array(cbCols: _*)).as("e"))
+      .select(col("code"), col("e.s").as("s"), col("e.cv").as("cv"))
+    val queries = base.filter(queryPred).select(col("cid").as("query_id"), col("v").as("qv"))
+    val lut = queries
+      .crossJoin(broadcast(cb))
+      .select(
+        col("query_id"), col("s"), col("code"),
+        fastDot(slice(col("qv"), col("s") * subDim + 1, lit(subDim)), col("cv")).as("p"))
+    val lutAggs = (0 until subspaces).map { s =>
+      transform(
+        array_sort(collect_list(when(col("s") === s, struct(col("code"), col("p"))))),
+        e => e.getField("p")
+      ).as(s"a$s")
+    }
+    val qLut = lut.groupBy("query_id").agg(lutAggs.head, lutAggs.tail: _*)
+    // cell-restricted ADC scan: (query, probed cell, LUT arrays) is a
+    // |queries|·nProbe-row broadcast; each compressed corpus row probes
+    // it by ITS cell id — rows scanned = Σ probed-cell sizes, zero
+    // corpus shuffle
+    val probesLut = probes.join(qLut, "query_id")
+    val adc = (0 until subspaces).map(s => element_at(col(s"a$s"), col(s"r$s"))).reduce(_ + _)
+    val adcScored = wideM
+      .join(broadcast(probesLut), Seq("centroid_id"))
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), adc.as("sim"))
+    exactRerankTopK(base, adcScored, queryPred, k, effRerankK)
   }
 
   // (The original interpreted-HOF srpBucket/planeSign bucketing was

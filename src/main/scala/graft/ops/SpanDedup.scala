@@ -270,6 +270,64 @@ object SpanDedup {
     (out, toks)
   }
 
+  /** Span-level benchmark DECONTAMINATION — the stricter production gate
+    * over [[graft.ops.Decontam]]'s exact-13-gram flag: a corpus document
+    * is contaminated iff it shares a CONTIGUOUS run of ≥ `minLen` tokens
+    * with any held-out benchmark document (a single shared gram can be a
+    * idiom; a long verbatim span is leaked eval text). The aligned-match
+    * island machinery of [[duplicatedSpans]], restricted CROSS-split:
+    * match rows are (benchmark gram) ⋈ (corpus gram) only — never
+    * bench×bench or corpus×corpus — so the pair fan-out is bounded by
+    * the benchmark side's gram volume (eval suites are megabytes against
+    * the corpus) times the occurrence cap.
+    *
+    * The occurrence cap applies to the CORPUS side (the unbounded one):
+    * a gram repeated beyond `maxGramFreq` across training candidates is
+    * boilerplate that cannot anchor a discriminating span. Output is the
+    * dedup-family keep-list contract:
+    * `(doc_id, is_bench, contaminated, keep)`.
+    */
+  def spanDecontamVerdicts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchCol: org.apache.spark.sql.Column,
+      l: Int,
+      minLen: Int,
+      maxGramFreq: Int
+  ): DataFrame = {
+    val flagged = docs.select(
+      col(idCol).as("sid"), benchCol.as("is_bench"), col(textCol).as("__text"))
+    val benchG = positionedGramRows(flagged.filter(col("is_bench")), "sid", "__text", l)
+    // corpus-side occurrence cap: same window form (one exchange+sort on
+    // h, reused by the join below) and rationale as [[spansPlan]]
+    val corpusG = positionedGramRows(flagged.filter(!col("is_bench")), "sid", "__text", l)
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("occ") <= maxGramFreq)
+      .drop("occ")
+    val matches = benchG
+      .select(col("sid").as("id_a"), col("p").as("pa"), col("h"))
+      .join(corpusG.select(col("sid").as("id_b"), col("p").as("pb"), col("h")), Seq("h"))
+      .select(col("id_a"), col("id_b"), col("pa"), (col("pa") - col("pb")).as("delta"))
+    val w = Window.partitionBy("id_a", "id_b", "delta").orderBy("pa")
+    val hits = matches
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("id_a", "id_b", "delta", "grp")
+      .agg((max("pa") - min("pa") + lit(l.toLong)).as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .select(col("id_b").as("doc_id"))
+      .distinct()
+      .select(col("doc_id"), lit(true).as("__hit"))
+    flagged
+      .select(col("sid").as("doc_id"), col("is_bench"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("is_bench"),
+        coalesce(col("__hit"), lit(false)).as("contaminated"),
+        (!col("is_bench") && !coalesce(col("__hit"), lit(false))).as("keep"))
+  }
+
   /** The span family's drop VERDICT: documents that are mostly (≥
     * num/den of their tokens) covered by spans shared with another
     * document form an edge to it; connected components over those edges

@@ -779,6 +779,106 @@ object TextOps {
         (col("nll_bits").cast("double") / col("n_bigrams").cast("double")).as("avg_bits"))
   }
 
+  /** [[lmKnPerplexity]]'s two-frame form — the interpolated Kneser-Ney
+    * model FROZEN on `modelDocs`, the `scoreDocs` slice scored under it
+    * (the production decontamination/quality filter: candidate data
+    * scored under a reference-corpus LM, [[lmPerplexityScored]]'s shape
+    * under the production-grade smoother). Exact integer arithmetic
+    * throughout; every unseen-event case is pinned:
+    *
+    *  - SEEN bigram: the self-scored KN term with the continuation
+    *    distribution add-1-grounded over the model event space —
+    *    p = [max(4·c12−3, 0)·(B+V) + 3·N1p(w1)·(N1m(w2)+1)] / [4·c1·(B+V)]
+    *    (Σ_{w2 ∈ model vocab} p(w2|w1) = 1 EXACTLY for every seen
+    *    context: Σ(4·c12−3) = 4·c1−3·N1p and Σ(N1m+1) = B+V);
+    *  - UNSEEN bigram, seen context: c12 = 0 ⇒ the discounted term is 0
+    *    (the max clamps) and only the continuation backoff remains,
+    *    num = 3·N1p(w1)·(N1m(w2)+1) — for a w2 the model never saw,
+    *    N1m = 0 and the +1 grounding keeps the probability positive;
+    *  - UNSEEN context: back off entirely to the add-1 continuation
+    *    distribution, p = (N1m(w2)+1)/(B+V) — a fully-novel event floors
+    *    at 1/(B+V), the uniform over the model event space;
+    *  - PER-EVENT FLOOR: every seen-context probability is floored at
+    *    that same uniform 1/(B+V) (binds iff num < 4·c1 — an exact
+    *    integer test because den = 4·c1·(B+V)). The floor is a SCORING
+    *    clamp, standard for frozen-model filters: without it a rare
+    *    continuation under a heavy context can cost arbitrarily many
+    *    bits, and the bit quotient `den div num` would outgrow BIGINT at
+    *    corpus scale. With it the quotient is bounded by B+V at ANY
+    *    scale. (Mass conservation holds for the unfloored model; the
+    *    floor only adds mass, never removes.)
+    *
+    * Fixed-point headroom: `num · 10¹²` shares [[lmKnPerplexity]]'s
+    * DECIMAL(38,0) bound (exact while c1·(B+V) ≤ ~2.5·10²⁵; overflow is
+    * non-ANSI-null there, documented). The bits column is exact at any
+    * scale where B+V fits BIGINT.
+    *
+    * 100 TB shape: [[lmPerplexityScored]]'s — the model statistics are
+    * aggregates of the model corpus's DISTINCT-bigram frame; the scored
+    * slice (benchmark/holdout-sized) LEFT-joins them; B and V broadcast
+    * as one row.
+    */
+  def lmKnPerplexityScored(
+      modelDocs: DataFrame,
+      scoreDocs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val md = modelDocs.select(normTokens(col(textCol)).as("ts"))
+    val bgc = md
+      .select(explode(shingleOccurrencesFromTokens(col("ts"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    val ctx = bgc
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = bgc
+      .groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n1m"))
+    val scal = bgc.agg(count(lit(1)).as("b"))
+      .crossJoin(md.select(explode(col("ts")).as("t")).agg(countDistinct(col("t")).as("v")))
+    scoreDocs
+      .select(col(idCol).as("doc_id"), normTokens(col(textCol)).as("ts"))
+      .select(col("doc_id"), explode(shingleOccurrencesFromTokens(col("ts"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(bgc, Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(scal))
+      .select(
+        col("doc_id"),
+        expr("""CASE
+                |  WHEN c1 IS NULL THEN CAST(coalesce(n1m, 0) + 1 AS DECIMAL(38,0))
+                |  WHEN (CASE WHEN c12 IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                |             ELSE CAST(4 * c12 - 3 AS DECIMAL(38,0)) END) * (b + v)
+                |       + CAST(3 * n1p AS DECIMAL(38,0)) * (coalesce(n1m, 0) + 1)
+                |       < CAST(4 * c1 AS DECIMAL(38,0))
+                |    THEN CAST(1 AS DECIMAL(38,0))
+                |  ELSE (CASE WHEN c12 IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                |             ELSE CAST(4 * c12 - 3 AS DECIMAL(38,0)) END) * (b + v)
+                |       + CAST(3 * n1p AS DECIMAL(38,0)) * (coalesce(n1m, 0) + 1)
+                |END""".stripMargin).as("num"),
+        expr("""CASE
+                |  WHEN c1 IS NULL THEN CAST(b + v AS DECIMAL(38,0))
+                |  WHEN (CASE WHEN c12 IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                |             ELSE CAST(4 * c12 - 3 AS DECIMAL(38,0)) END) * (b + v)
+                |       + CAST(3 * n1p AS DECIMAL(38,0)) * (coalesce(n1m, 0) + 1)
+                |       < CAST(4 * c1 AS DECIMAL(38,0))
+                |    THEN CAST(b + v AS DECIMAL(38,0))
+                |  ELSE CAST(4 * c1 AS DECIMAL(38,0)) * (b + v)
+                |END""".stripMargin).as("den"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(length(bin(expr("CAST(den div num AS BIGINT)"))) - 1).cast("long").as("nll_bits"),
+        sum(expr("(num * 1000000000000) div den")).cast("long").as("sum_p_fp"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("nll_bits"),
+        col("sum_p_fp"),
+        (col("nll_bits").cast("double") / col("n_bigrams").cast("double")).as("avg_bits"))
+  }
+
   def lmPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"), normTokens(col(textCol)).as("ts"))
     // occurrences, NOT distinct shingles: LM counts are multiset counts

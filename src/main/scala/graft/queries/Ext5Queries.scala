@@ -373,7 +373,7 @@ object Ext5Queries {
   /** The shared training-replay CTE chain (vocab → seq0 → per-iteration
     * blocks up to seq`m`), consumed by both BPE oracles.
     */
-  private def bpeCtes(m: Int, textSql: String, seq0Sql: String): String = {
+  private[queries] def bpeCtes(m: Int, textSql: String, seq0Sql: String): String = {
     val iters = (1 to m).map { i =>
       val prev = s"seq${i - 1}"
       s"""p$i AS (
@@ -412,7 +412,7 @@ object Ext5Queries {
   }
 
   /** Char-level seq0: unicode code points + the end-of-word marker. */
-  private def CharSeq0Sql: String = "list_append(regexp_split_to_array(w, ''), '</w>')"
+  private[queries] def CharSeq0Sql: String = "list_append(regexp_split_to_array(w, ''), '</w>')"
 
   /** Byte-level seq0: the word's UTF-8 bytes as 2-hex-digit symbols
     * (`hex(encode(w))` is uppercase on both engines, sliced into pairs)
@@ -423,7 +423,7 @@ object Ext5Queries {
     "list_append(list_transform(generate_series(1, length(hex(encode(w))) // 2), " +
       "i -> substr(hex(encode(w)), i * 2 - 1, 2)), '</w>')"
 
-  private def mergeRowsSql(m: Int): String =
+  private[queries] def mergeRowsSql(m: Int): String =
     (1 to m).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS merge_rank,
          |  split_part(pair, ' ', 1) AS sym_a, split_part(pair, ' ', 2) AS sym_b,

@@ -1,0 +1,299 @@
+package graft.queries
+
+import graft.ops.{Similarity, SpanDedup, TextOps, TokenPack}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sixth wave of extension operators — the production-composition tier:
+  * token-ID packing (the terminal LM training-data op), composite
+  * IVF-PQ ANN, frozen-model Kneser-Ney holdout scoring, span-level
+  * decontamination, and perceptual-hash image near-dup.
+  */
+object Ext6Queries {
+  import Tables.t
+
+  /** Context window length for the packing gate — small enough that the
+    * sf fixtures produce many windows (boundary arithmetic is the thing
+    * under test), shaped exactly like the production 1024/2048.
+    */
+  private val ContextLen = 128
+
+  /** Merge-table depth shared with the Ext5 BPE gates. */
+  private val PackMerges = 8
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- token-ID sequences + fixed-context packing: train the BPE,
+    //      emit per-doc token-id sequences (id 0 = separator, alphabet
+    //      1..A in binary order, merged = A + merge_rank), concatenate in
+    //      doc order, chop into 128-token windows. Global stream order
+    //      comes from the two-pass distributed rank, never a bare
+    //      ORDER-BY window; the oracle replays the id assignment and the
+    //      packing arithmetic exactly, down to a per-window content
+    //      fingerprint ----
+    "text_pack_sequences" -> QueryDef(
+      (s, d) =>
+        TokenPack.packTokenWindows(
+          t(s, d, "documents"), "doc_id", "text",
+          numMerges = PackMerges, contextLen = ContextLen),
+      Some(packOracle(PackMerges, ContextLen)),
+      s"BPE token-id packing into $ContextLen-token training windows with per-window content fingerprints"
+    ),
+
+    // ---- composite IVF-PQ (the FAISS IVFADC production shape): ADC
+    //      scoring restricted to the IVF-probed cells — the ADC scan
+    //      touches Σ probed-cell rows, never corpus × queries, and the
+    //      compressed corpus never shuffles (the probe frame broadcasts).
+    //      Deterministic end to end, so the oracle replays cell
+    //      assignment, probing, LUT scoring, the adaptive shortlist, and
+    //      the exact re-rank ----
+    "ann_ivfpq_topk" -> QueryDef(
+      (s, d) =>
+        Similarity.ivfPqTopK(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 5, queryPred = col("cid") < 50, nClusters = 8, nProbe = 5,
+          subspaces = 16, subDim = 4, nCodes = 64
+        ).withColumn("rank", col("rank").cast("long")),
+      Some {
+        s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |${ivfPqTopkCtes(
+              nClusters = 8, nProbe = 5, subspaces = 16, subDim = 4, nCodes = 64,
+              rerankSql = ExtQueries.pqAdaptiveRerankSql, k = 5, queryBound = 50)}
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM pq""".stripMargin
+      },
+      "composite IVF-PQ ANN: cell-restricted ADC scan + corpus-adaptive exact re-rank"
+    ),
+
+    // ---- frozen-model Kneser-Ney holdout scoring: the production
+    //      decontam/quality filter — the 10% md5 slice scored under the
+    //      interpolated-KN model trained on the other 90%, exact integer
+    //      arithmetic, every unseen-event case pinned (unseen bigram →
+    //      pure continuation term; unseen context → add-1 continuation
+    //      distribution; per-event floor at the uniform 1/(B+V)) ----
+    "text_lm_kn_holdout" -> QueryDef(
+      (s, d) => {
+        val split = t(s, d, "documents").select(
+          col("doc_id"),
+          (conv(substring(md5(concat(lit("bench:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 100 < 10).as("is_bench"),
+          col("text"))
+        TextOps.lmKnPerplexityScored(
+          split.filter(!col("is_bench")),
+          split.filter(col("is_bench")),
+          "doc_id", "text")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10 AS is_bench,
+             |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), mbt AS (
+             |  SELECT ts[i] || ' ' || ts[i+1] AS bg
+             |  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i) g
+             |  WHERE NOT is_bench
+             |), bgc AS (SELECT bg, COUNT(*) AS c12 FROM mbt GROUP BY 1),
+             |ctx AS (SELECT split_part(bg, ' ', 1) AS cw, SUM(c12) AS c1, COUNT(*) AS n1p FROM bgc GROUP BY 1),
+             |cont AS (SELECT split_part(bg, ' ', 2) AS vw, COUNT(*) AS n1m FROM bgc GROUP BY 1),
+             |bb AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM bgc),
+             |vv AS (SELECT CAST(COUNT(DISTINCT t) AS HUGEINT) AS v FROM (SELECT unnest(ts) AS t FROM d WHERE NOT is_bench)),
+             |st AS (
+             |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg, ts[i] AS w1, ts[i+1] AS w2
+             |  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i) g
+             |  WHERE is_bench
+             |), sc AS (
+             |  SELECT st.doc_id,
+             |    CASE
+             |      WHEN c1 IS NULL THEN CAST(COALESCE(n1m, 0) + 1 AS HUGEINT)
+             |      WHEN (CASE WHEN c12 IS NULL THEN CAST(0 AS HUGEINT) ELSE CAST(4 * c12 - 3 AS HUGEINT) END) * (b + v)
+             |           + CAST(3 * n1p AS HUGEINT) * (COALESCE(n1m, 0) + 1) < CAST(4 * c1 AS HUGEINT)
+             |        THEN CAST(1 AS HUGEINT)
+             |      ELSE (CASE WHEN c12 IS NULL THEN CAST(0 AS HUGEINT) ELSE CAST(4 * c12 - 3 AS HUGEINT) END) * (b + v)
+             |           + CAST(3 * n1p AS HUGEINT) * (COALESCE(n1m, 0) + 1)
+             |    END AS num,
+             |    CASE
+             |      WHEN c1 IS NULL THEN b + v
+             |      WHEN (CASE WHEN c12 IS NULL THEN CAST(0 AS HUGEINT) ELSE CAST(4 * c12 - 3 AS HUGEINT) END) * (b + v)
+             |           + CAST(3 * n1p AS HUGEINT) * (COALESCE(n1m, 0) + 1) < CAST(4 * c1 AS HUGEINT)
+             |        THEN b + v
+             |      ELSE CAST(4 * c1 AS HUGEINT) * (b + v)
+             |    END AS den
+             |  FROM st LEFT JOIN bgc USING (bg)
+             |  LEFT JOIN ctx ON ctx.cw = st.w1
+             |  LEFT JOIN cont ON cont.vw = st.w2, bb, vv)
+             |SELECT doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(length(bin(CAST(den // num AS BIGINT))) - 1) AS BIGINT) AS nll_bits,
+             |  CAST(SUM(num * 1000000000000 // den) AS BIGINT) AS sum_p_fp,
+             |  CAST(SUM(length(bin(CAST(den // num AS BIGINT))) - 1) AS DOUBLE) / COUNT(*) AS avg_bits
+             |FROM sc GROUP BY 1""".stripMargin),
+      "held-out Kneser-Ney perplexity: frozen d=3/4 model, pinned unseen-event backoff + uniform floor"
+    ),
+
+    // ---- span-level benchmark decontamination: the stricter production
+    //      gate — contaminated iff a CONTIGUOUS ≥8-token run is shared
+    //      verbatim with a held-out doc (a single 13-gram can be idiom;
+    //      a long aligned span is leaked eval text). The span-dedup
+    //      island machinery restricted cross-(bench, corpus); keep-list
+    //      contract output ----
+    "q_decontam_span" -> QueryDef(
+      (s, d) =>
+        SpanDedup.spanDecontamVerdicts(
+          t(s, d, "documents"), "doc_id", "text",
+          benchCol = conv(
+            substring(md5(concat(lit("bench:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 100 < 10,
+          l = 4, minLen = 8, maxGramFreq = 50),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10 AS is_bench,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents
+             |), g AS MATERIALIZED (
+             |  SELECT doc_id, is_bench, CAST(i AS BIGINT) AS p,
+             |    CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 13)) AS BIGINT) AS h
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 3, 0))) AS i) sq
+             |), cg AS (
+             |  SELECT doc_id, p, h FROM (
+             |    SELECT doc_id, p, h, COUNT(*) OVER (PARTITION BY h) AS occ
+             |    FROM g WHERE NOT is_bench)
+             |  WHERE occ <= 50
+             |), m AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, a.p - b.p AS delta
+             |  FROM g a JOIN cg b ON b.h = a.h WHERE a.is_bench
+             |), isl AS (
+             |  SELECT id_a, id_b, delta, pa,
+             |    pa - row_number() OVER (PARTITION BY id_a, id_b, delta ORDER BY pa) AS grp
+             |  FROM m
+             |), hits AS (
+             |  SELECT DISTINCT id_b AS doc_id FROM isl
+             |  GROUP BY id_a, id_b, delta, grp
+             |  HAVING MAX(pa) - MIN(pa) + 4 >= 8)
+             |SELECT t.doc_id, t.is_bench,
+             |  (t.doc_id IN (SELECT doc_id FROM hits)) AS contaminated,
+             |  (NOT t.is_bench AND t.doc_id NOT IN (SELECT doc_id FROM hits)) AS keep
+             |FROM toks t""".stripMargin),
+      "span-level decontamination: >=8-token contiguous overlap with the benchmark slice, keep-list verdicts"
+    )
+  )
+
+  /** CTE chain replaying [[graft.ops.Similarity.ivfPqTopK]] — the
+    * [[ExtQueries.pqTopkCtes]] pipeline with its ADC candidate set
+    * restricted to (query, corpus-vector) pairs whose vector sits in one
+    * of the query's probed IVF cells. Same GROUP-BY ADC pivot (DuckDB
+    * join-order safety, see the pqTopkCtes commentary), same fixed
+    * p0+…+p{m−1} summation order. Emits `pq(query_id, neighbor_id, rank)`
+    * with rank ≤ k; assumes a prior `base(vec_id, v)` CTE.
+    */
+  private[queries] def ivfPqTopkCtes(
+      nClusters: Int,
+      nProbe: Int,
+      subspaces: Int,
+      subDim: Int,
+      nCodes: Int,
+      rerankSql: String,
+      k: Int,
+      queryBound: Int
+  ): String = {
+    val pivotCols = (0 until subspaces)
+      .map(s => s"        MAX(CASE WHEN s = $s THEN p END) AS p$s")
+      .mkString(",\n")
+    val adcSum = (0 until subspaces).map(s => s"p$s").mkString(" + ")
+    s"""icent AS (SELECT vec_id AS ccid, v AS cv FROM base WHERE vec_id < $nClusters),
+       |iassign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT b.vec_id, c.ccid AS cell,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.ccid) AS rn
+       |    FROM base b CROSS JOIN icent c) WHERE rn = 1),
+       |iprobes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.ccid AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.ccid) AS rn
+       |    FROM base q CROSS JOIN icent c WHERE q.vec_id < $queryBound) WHERE rn <= $nProbe),
+       |psub AS (
+       |  SELECT vec_id, g.s, list_slice(v, g.s * $subDim + 1, g.s * $subDim + $subDim) AS sv
+       |  FROM base, LATERAL (SELECT unnest(generate_series(0, ${subspaces - 1})) AS s) g),
+       |pcb AS (SELECT vec_id AS code, s, sv AS cv FROM psub WHERE vec_id < $nCodes),
+       |passign AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT a.vec_id, a.s, pcb.code,
+       |      row_number() OVER (PARTITION BY a.vec_id, a.s
+       |        ORDER BY list_cosine_similarity(a.sv, pcb.cv) DESC, pcb.code) AS rn
+       |    FROM psub a JOIN pcb ON pcb.s = a.s) WHERE rn = 1),
+       |pqq AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < $queryBound),
+       |plut AS (
+       |  SELECT pqq.query_id, pcb.s, pcb.code,
+       |    list_inner_product(list_slice(pqq.qv, pcb.s * $subDim + 1, pcb.s * $subDim + $subDim), pcb.cv) AS p
+       |  FROM pqq, pcb),
+       |psc AS (
+       |  SELECT l.query_id, a.vec_id AS neighbor_id, a.s, l.p
+       |  FROM passign a
+       |  JOIN iassign ia ON ia.vec_id = a.vec_id
+       |  JOIN iprobes ip ON ip.cell = ia.cell
+       |  JOIN plut l ON l.s = a.s AND l.code = a.code AND l.query_id = ip.query_id
+       |  WHERE a.vec_id <> ip.query_id),
+       |ppool AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY $adcSum DESC, neighbor_id) AS rank
+       |    FROM (
+       |      SELECT query_id, neighbor_id,
+       |$pivotCols
+       |      FROM psc GROUP BY 1, 2)
+       |  ) WHERE rank <= $rerankSql),
+       |pq AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT ppool.query_id, ppool.neighbor_id,
+       |      row_number() OVER (PARTITION BY ppool.query_id
+       |        ORDER BY list_cosine_similarity(qb.v, nb.v) DESC, ppool.neighbor_id) AS rank
+       |    FROM ppool JOIN base qb ON qb.vec_id = ppool.query_id
+       |               JOIN base nb ON nb.vec_id = ppool.neighbor_id
+       |  ) WHERE rank <= $k)""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.ops.TokenPack.packTokenWindows]]: the
+    * Ext5 training-replay CTE chain, then symbol-id assignment (alphabet
+    * by binary order, merged ids by rank, MIN on string collisions), the
+    * (doc, token pos, symbol pos)-ordered id stream with one separator
+    * row per document, and the `row_number div contextLen` window roll-up.
+    */
+  private def packOracle(m: Int, contextLen: Int): String = {
+    val msym = (1 to m)
+      .map(i => s"SELECT replace(pair, ' ', '') AS sym, (SELECT COUNT(*) FROM alpha) + $i AS id FROM m$i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${Ext5Queries.bpeCtes(m, "text", Ext5Queries.CharSeq0Sql)},
+       |alpha AS (SELECT DISTINCT sym FROM (SELECT unnest(s) AS sym FROM seq0)),
+       |aids AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id FROM alpha),
+       |msym AS (
+       |  $msym
+       |),
+       |sid AS (
+       |  SELECT sym, MIN(id) AS id
+       |  FROM (SELECT sym, id FROM aids UNION ALL SELECT sym, CAST(id AS BIGINT) AS id FROM msym)
+       |  GROUP BY 1),
+       |wsym AS (
+       |  SELECT w, g.i AS spos, s[g.i] AS sym
+       |  FROM seq$m, LATERAL (SELECT unnest(generate_series(1, len(s))) AS i) g),
+       |wids AS (SELECT w, spos, id FROM wsym JOIN sid USING (sym)),
+       |toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |dt AS (
+       |  SELECT doc_id, g.i AS tpos, ts[g.i] AS w
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g),
+       |stream AS (
+       |  SELECT d.doc_id, d.tpos, wi.spos, wi.id FROM dt d JOIN wids wi USING (w)
+       |  UNION ALL
+       |  SELECT doc_id, len(ts) + 1 AS tpos, 0 AS spos, CAST(0 AS BIGINT) AS id FROM toks),
+       |pos AS (
+       |  SELECT id, row_number() OVER (ORDER BY doc_id, tpos, spos) - 1 AS g
+       |  FROM stream)
+       |SELECT CAST(g // $contextLen AS BIGINT) AS window_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seps,
+       |  CAST(('0x' || substr(md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY g)), 1, 15)) AS BIGINT) AS content_fp
+       |FROM pos GROUP BY 1""".stripMargin
+  }
+}

@@ -27,4 +27,28 @@ class AnnRecallSpec extends SparkSpec {
     assert(rows("pq") >= 0.8, s"PQ-with-rerank recall@5 = ${rows("pq")} < 0.8 floor")
     assert(rows("lsh") >= 0.8, s"multi-table LSH recall@5 = ${rows("lsh")} < 0.8 floor")
   }
+
+  test("composite IVF-PQ clears the floor at the registered config") {
+    // recall of ann_ivfpq_topk (cell-restricted ADC + adaptive exact
+    // re-rank) against brute-force exact top-5 over the same 50 queries —
+    // the composition can only lose candidates the IVF probe misses, so
+    // it must hold the same 0.8 floor the standalone paths do
+    val emb = spark.read.parquet(sf("sf0.1") + "/embeddings.parquet")
+    val base = graft.ops.Similarity.prepBase(emb, "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exact = graft.ops.Similarity
+        .cosineTopKFromBase(base, k = 5, queryPred = col("cid") < 50)
+        .select("query_id", "neighbor_id")
+      val got = graft.ops.Similarity
+        .ivfPqTopKFromBase(base, k = 5, queryPred = col("cid") < 50,
+          nClusters = 8, nProbe = 5, subspaces = 16, subDim = 4, nCodes = 64,
+          rerankK = graft.ops.Similarity.AdaptiveRerank)
+        .select("query_id", "neighbor_id")
+      val nExact = exact.count()
+      val hits = got.join(exact, Seq("query_id", "neighbor_id")).count()
+      val recall = hits.toDouble / nExact
+      assert(recall >= 0.8, s"IVF-PQ recall@5 = $recall < 0.8 floor")
+    } finally base.unpersist(false)
+  }
 }

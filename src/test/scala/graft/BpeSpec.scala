@@ -212,6 +212,66 @@ class BpeSpec extends SparkSpec {
       .agg(sum(length(regexp_replace(col("text"), "\\s+", "")))).head().getLong(0) + row.getLong(0))
   }
 
+  test("both pair-count update paths agree with the reference on a repeat-heavy corpus") {
+    // intra-word repeats ("abab", "aaaa") exercise the occurrence
+    // (per-position) delta arithmetic; running the SAME training once
+    // through the broadcast-delta path (default gate) and once through
+    // the union+re-aggregate fallback (gate 0) pins the two maintained
+    // count states to each other and to the straight-line recount
+    val words = Seq(
+      "abab", "abab", "aaaa", "aaab", "banana", "banana", "bandana",
+      "xyxyxy", "xyz", "xyz", "xyz", "zzz")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    def table(gate: Long): Seq[(String, String, Long)] = {
+      val (m, s) = Bpe.trainMergeSeqWithSeqs(
+        docs, "text", numMerges = 24, deltaBroadcastMax = gate)
+      graft.ops.Caching.release(s)
+      m.map(x => (x.symA, x.symB, x.pairCount))
+    }
+    val viaBroadcast = table(Long.MaxValue)
+    val viaUnion = table(0L)
+    val ref = referenceTrain(words, 24)
+    assert(viaBroadcast === ref)
+    assert(viaUnion === ref)
+  }
+
+  test("plan depth and partition count stay bounded through an M=250 training run") {
+    // production merge counts are 30k-50k; the loop must not accrue one
+    // plan level — or one partition — per merge (the JIT/janino
+    // chained-projection hazard, and the measured 2^13-task stage the
+    // un-coalesced filter∪slice update produced by merge 13). 400
+    // deterministic pseudo-words give well over 250 learnable pairs; 250
+    // is deliberately NOT a multiple of the rebase period, so the
+    // returned chain is a real partial-period plan, not a fresh rebase
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 400).map { _ =>
+      val len = 6 + rnd.nextInt(7)
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val (merges, finalSeqs) =
+      Bpe.trainMergeSeqWithSeqs(docs, "text", numMerges = 250)
+    try {
+      assert(merges.size === 250)
+      assert(merges.map(_.mergeRank) === (1L to 250L))
+      // tree size, not depth: counts every operator the analyzer must
+      // re-walk. One rebase period is <= SeqsCheckpointEveryMerges
+      // (filter + union + project + coalesce + checkpoint-scan) levels;
+      // an unbounded chain would be > 250 nodes by construction
+      val planNodes = finalSeqs.queryExecution.analyzed.collect { case p => p }.size
+      assert(planNodes <= 8 * Bpe.SeqsCheckpointEveryMerges,
+        s"final seqs plan has $planNodes nodes — lineage not being rebased")
+      // partition count bounded by one rebase period, never by M
+      val parts = finalSeqs.rdd.getNumPartitions
+      val para = spark.sparkContext.defaultParallelism
+      assert(parts <= para * (Bpe.SeqsCheckpointEveryMerges + 1),
+        s"final seqs has $parts partitions — generations not being coalesced")
+      // and the trained table is the real thing: later merges build on
+      // earlier merged symbols
+      assert(merges.exists(m => m.symA.length > 1 && m.symA != Bpe.EndOfWord))
+    } finally graft.ops.Caching.release(finalSeqs)
+  }
+
   test("exhaustion: more requested merges than learnable pairs ends the table early") {
     val docs = Seq("a a a").toDF("text") // one word "a": seq [a, </w>] → 1 learnable merge
     val t = Bpe.trainMerges(docs, "text", numMerges = 10).collect()

@@ -375,6 +375,45 @@ class TextOpsSpec extends SparkSpec {
       4L -> ((1L, 1L, 333333333333L, 1.0))))
   }
 
+  test("lmKnPerplexityScored: frozen KN model — every unseen case pinned, uniform floor, exact mass") {
+    import spark.implicits._
+    // model corpus: one doc "a b a c" → bigrams (a b), (b a), (a c), each
+    // c12=1; B=3; V=|{a,b,c}|=3; B+V=6. ctx a: c1=2, N1p=2; ctx b: c1=1,
+    // N1p=1. Continuations N1m: a←1 (b a), b←1 (a b), c←1 (a c).
+    // Hand replay (num/den over den = 4·c1·(B+V), floor at 1/(B+V)):
+    //   "a b" SEEN:            num=(4−3)·6+3·2·2=18, den=48 → p=3/8,
+    //                          bits=bitlen(48 div 18)−1=1, fp=375000000000
+    //   "a z" unseen bigram, seen ctx, UNSEEN w2 (N1m=0):
+    //                          num0=3·2·1=6 < 4·c1=8 → FLOOR (1, 6) →
+    //                          bits=2, fp=166666666666
+    //   "b c" unseen bigram, seen ctx, seen w2: num=3·1·2=6 ≥ 4·c1=4,
+    //                          den=24 → p=1/4, bits=2, fp=250000000000
+    //   "z q" UNSEEN CONTEXT, unseen w2: (N1m+1)/(B+V)=1/6 → bits=2
+    //   "z a" unseen context, seen w2:   2/6=1/3 → bits=1, fp=333333333333
+    //   "a a" unseen bigram, seen ctx, seen w2: num=3·2·2=12 ≥ 8,
+    //                          den=48 → p=1/4, bits=2, fp=250000000000
+    //   "a c" SEEN:            num=18/48 (same as "a b")
+    val model = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (2L, "a b"), (3L, "a z"), (4L, "b c"), (5L, "z q"),
+      (6L, "z a"), (7L, "a a"), (8L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.lmKnPerplexityScored(model, score, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      2L -> ((1L, 1L, 375000000000L, 1.0)),
+      3L -> ((1L, 2L, 166666666666L, 2.0)),
+      4L -> ((1L, 2L, 250000000000L, 2.0)),
+      5L -> ((1L, 2L, 166666666666L, 2.0)),
+      6L -> ((1L, 1L, 333333333333L, 1.0)),
+      7L -> ((1L, 2L, 250000000000L, 2.0)),
+      8L -> ((1L, 1L, 375000000000L, 1.0))))
+    // KN mass conservation on the frozen model, exact to the last
+    // fixed-point digit: Σ_{w2 ∈ {a,b,c}} p(w2|a) = 18/48 + 12/48 + 18/48
+    // = 1 — the fps of "a b", "a a", "a c" sum to exactly 10¹²
+    assert(got(2L)._3 + got(7L)._3 + got(8L)._3 === 1000000000000L)
+  }
+
   test("piiAudit: email/IPv4 redaction counts and exact scrubbed text") {
     import spark.implicits._
     val rows = Seq(

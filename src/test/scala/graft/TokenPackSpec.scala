@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.TokenPack
+
+import org.apache.spark.sql.functions._
+
+/** Packing invariants for `text_pack_sequences` (the exact per-window
+  * content is gated by the DuckDB oracle; these pin the arithmetic the
+  * oracle can't see failing loudly — window shapes, totals, id space).
+  */
+class TokenPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packTokenWindows: dense window ids, exact sizes, totals reconcile") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val c = 100
+    val got = TokenPack
+      .packTokenWindows(docs, "doc_id", "text", numMerges = 4, contextLen = c)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val nDocs = docs.count()
+    // every document ends somewhere: separators total the doc count
+    assert(got.map(_._3).sum === nDocs)
+    // window ids are dense 0..max
+    val maxWin = got.map(_._1).max
+    assert(got.map(_._1).toSeq === (0L to maxWin))
+    // every window except the last holds exactly contextLen tokens; the
+    // last holds the remainder (1..contextLen)
+    got.dropRight(1).foreach { case (w, n, _, _) => assert(n === c.toLong, s"window $w") }
+    assert(got.last._2 >= 1L && got.last._2 <= c.toLong)
+    // stream length = whitespace-token-driven BPE total + one separator
+    // per doc: reconcile against the encode op's corpus totals
+    val bpeTotal = graft.ops.Bpe
+      .encodeTokenCounts(docs, "doc_id", "text", numMerges = 4)
+      .agg(sum("n_tokens_bpe")).head().getLong(0)
+    assert(got.map(_._2).sum === bpeTotal + nDocs)
+    // fingerprints are 60-bit md5 chunks: non-negative, and mostly
+    // distinct (EQUAL fps are legitimate — the fixture's planted exact
+    // duplicate docs can align into content-identical windows; a 60-bit
+    // CHANCE collision at ~1.4k windows is ~8e-13)
+    assert(got.forall(_._4 >= 0L))
+    assert(got.map(_._4).distinct.length >= got.length * 9 / 10)
+  }
+
+  test("packTokenWindows: empty documents still emit their separator") {
+    val docs = Seq((1L, "x y"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = TokenPack
+      .packTokenWindows(docs, "doc_id", "text", numMerges = 1, contextLen = 1000)
+      .collect()
+    assert(got.length === 1)
+    // stream: doc1 symbols + sep, sep (empty doc2), doc3 symbols + sep
+    assert(got.head.getLong(2) === 3L) // n_seps = 3 docs
+  }
+}
