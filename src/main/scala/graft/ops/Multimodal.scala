@@ -317,6 +317,112 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Difference-hash geometry shared by [[synthCellPng]], [[dHash56]]
+    * and the `mm_phash_dedup` oracle: a 9-column × 7-row cell grid of
+    * 4×4-pixel cells (36×28 images), 8 left-to-right brightness
+    * comparisons per row → a 56-bit hash (fits a non-negative BIGINT on
+    * both engines, so band shifts and XOR need no sign care).
+    */
+  val DHashCellCols = 9
+  val DHashCellRows = 7
+  val DHashCellPx = 4
+
+  /** The deterministic per-cell gray value of the planted dHash fixture:
+    * a CUBIC-residue pattern (v = k³ mod 251 over a per-grid linear k —
+    * a LINEAR modular pattern is monotone within rows, so every image's
+    * dHash degenerates to near-all-ones and "unrelated" images read as
+    * near-dups; measured far-pair Hamming ~8 of 56 before the cube, ≥17
+    * after). `variant` 1 of an EVEN group perturbs three cells of row 2
+    * only (a NEAR duplicate — every band except row 2's stays identical,
+    * Hamming ≤ 6); `variant` 1 of an ODD group remixes rows and columns
+    * differently (a far image — never survives the ≤12 verify). All
+    * intermediates bounded (k < 251 ⇒ k³ < 1.6e7), so the DuckDB oracle
+    * replays the arithmetic verbatim in BIGINT.
+    */
+  def dHashCellValue(grp: Long, variant: Long, ci: Int, cj: Int): Int = {
+    val k =
+      if (variant == 1 && grp % 2 == 1) (grp * 95 + ci * 31 + cj * 5 + 17) % 251
+      else (grp * 63 + ci * 9 + cj) % 251
+    val v = (k * k * k % 251).toInt
+    if (variant == 1 && grp % 2 == 0 && ci == 2 && cj % 3 == 1) (v + 60) % 251 else v
+  }
+
+  /** Real PNG whose 4×4 cells are uniform gray [[dHashCellValue]]s —
+    * the [[synthPng]] recipe shaped for the perceptual-hash gate: the
+    * decode side reads true pixels back through ImageIO, and because
+    * every cell is uniform the decoded cell sums equal 48·v exactly
+    * (16 px × 3 channels), so the oracle predicts the hash with pure
+    * arithmetic.
+    */
+  def synthCellPng(grp: Long, variant: Long): Array[Byte] = {
+    val w = DHashCellCols * DHashCellPx
+    val h = DHashCellRows * DHashCellPx
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var ci = 0
+    while (ci < DHashCellRows) {
+      var cj = 0
+      while (cj < DHashCellCols) {
+        val v = dHashCellValue(grp, variant, ci, cj)
+        val rgb = (v << 16) | (v << 8) | v
+        var y = ci * DHashCellPx
+        while (y < (ci + 1) * DHashCellPx) {
+          var x = cj * DHashCellPx
+          while (x < (cj + 1) * DHashCellPx) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        cj += 1
+      }
+      ci += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** 56-bit difference hash over a decoded image: integer luminance sums
+    * (r+g+b per pixel — no division, no floats) over the fixed
+    * [[DHashCellRows]]×[[DHashCellCols]] grid, bit (ci·8 + j) set iff
+    * cell j+1 of row ci is strictly brighter than cell j. The REAL
+    * decode path: pixels come from ImageIO, not from the generator
+    * formula.
+    */
+  def dHash56(png: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val sums = Array.ofDim[Long](DHashCellRows, DHashCellCols)
+    var ci = 0
+    while (ci < DHashCellRows) {
+      var cj = 0
+      while (cj < DHashCellCols) {
+        var s = 0L
+        var y = ci * DHashCellPx
+        while (y < (ci + 1) * DHashCellPx) {
+          var x = cj * DHashCellPx
+          while (x < (cj + 1) * DHashCellPx) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        sums(ci)(cj) = s
+        cj += 1
+      }
+      ci += 1
+    }
+    var h = 0L
+    ci = 0
+    while (ci < DHashCellRows) {
+      var j = 0
+      while (j < DHashCellCols - 1) {
+        if (sums(ci)(j + 1) > sums(ci)(j)) h |= 1L << (ci * 8 + j)
+        j += 1
+      }
+      ci += 1
+    }
+    h
+  }
+
   /** Deterministic real WAV payload with exactly `frames` frames of
     * `channels`-channel 16-bit PCM silence (JDK `javax.sound.sampled`
     * writer) — the audio counterpart of [[synthPng]].

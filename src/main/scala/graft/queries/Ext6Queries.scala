@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Similarity, SpanDedup, TextOps, TokenPack}
+import graft.ops.{Multimodal, Similarity, SpanDedup, TextOps, TokenPack}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -173,6 +173,95 @@ object Ext6Queries {
              |  (NOT t.is_bench AND t.doc_id NOT IN (SELECT doc_id FROM hits)) AS keep
              |FROM toks t""".stripMargin),
       "span-level decontamination: >=8-token contiguous overlap with the benchmark slice, keep-list verdicts"
+    ),
+
+    // ---- perceptual-hash image near-dup: the multimodal twin of text
+    //      near-dup. A REAL PNG per sampled doc (planted cell pattern;
+    //      consecutive shard ids of an even group differ in 3 cells of
+    //      one row — a near duplicate; odd groups get an unrelated
+    //      second image), decoded back through ImageIO on the executors
+    //      (mapPartitions batch shape), 56-bit dHash over integer cell
+    //      sums, then the Hamming-band recipe: 4 bands × 14 bits,
+    //      same-band-key candidates only (NEVER all-pairs), exact
+    //      bit_count(xor) verify ≤ 12. The oracle predicts the planted
+    //      pixels arithmetically — the decode gate is real ----
+    "mm_phash_dedup" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents")
+          .select(col("doc_id").cast("long"))
+          .filter(col("doc_id") % 10 === 0)
+          .as[Long]
+          .repartition(s.sparkContext.defaultParallelism) // CPU-bound decode below
+        // decode once, read thrice (two band-join sides + the verify):
+        // materialize the hash table rather than re-decoding per branch
+        val hashes = ids.mapPartitions { it =>
+          it.map { id =>
+            val sid = id / 10
+            (id, Multimodal.dHash56(Multimodal.synthCellPng(sid / 2, sid % 2)))
+          }
+        }.toDF("doc_id", "dhash").localCheckpoint(true)
+        val bands = hashes.select(
+          col("doc_id"),
+          explode(expr("sequence(0, 3)")).as("band"),
+          col("dhash"))
+          .select(
+            col("doc_id"), col("band"),
+            expr("shiftrightunsigned(dhash, band * 14) & 16383").as("bkey"))
+        val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+          .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .distinct()
+        val out = cand
+          .join(hashes.select(col("doc_id").as("id_a"), col("dhash").as("ha")), "id_a")
+          .join(hashes.select(col("doc_id").as("id_b"), col("dhash").as("hb")), "id_b")
+          .select(
+            col("id_a"), col("id_b"),
+            expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+          .filter(col("hamming") <= 12)
+          .select("id_a", "id_b", "hamming")
+        graft.ops.Caching.materializeAndRelease(out, hashes)
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, (doc_id // 10) // 2 AS grp, (doc_id // 10) % 2 AS vr
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |cells AS (
+             |  SELECT doc_id, vr, grp, ci.i AS ci, cj.j AS cj,
+             |    CASE WHEN vr = 1 AND grp % 2 = 1
+             |      THEN (grp * 95 + ci.i * 31 + cj.j * 5 + 17) % 251
+             |      ELSE (grp * 63 + ci.i * 9 + cj.j) % 251
+             |    END AS k
+             |  FROM p,
+             |  LATERAL (SELECT unnest(generate_series(0, 6)) AS i) ci,
+             |  LATERAL (SELECT unnest(generate_series(0, 8)) AS j) cj),
+             |cv AS (
+             |  SELECT doc_id, ci, cj,
+             |    CASE WHEN vr = 1 AND grp % 2 = 0 AND ci = 2 AND cj % 3 = 1
+             |      THEN (k * k * k % 251 + 60) % 251
+             |      ELSE k * k * k % 251
+             |    END AS v
+             |  FROM cells),
+             |bits AS (
+             |  SELECT doc_id, ci, cj,
+             |    CASE WHEN lead(v) OVER (PARTITION BY doc_id, ci ORDER BY cj) > v THEN 1 ELSE 0 END AS bit
+             |  FROM cv),
+             |dh AS (
+             |  SELECT doc_id, SUM(CAST(bit AS BIGINT) << (ci * 8 + cj)) AS dhash
+             |  FROM bits WHERE cj <= 7 GROUP BY 1),
+             |bands AS (
+             |  SELECT doc_id, dhash, b.b AS band, (dhash >> (14 * b.b)) & 16383 AS bkey
+             |  FROM dh, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             |  FROM bands a JOIN bands c ON c.band = a.band AND c.bkey = a.bkey AND a.doc_id < c.doc_id)
+             |SELECT id_a, id_b, CAST(bit_count(xor(da.dhash, db.dhash)) AS BIGINT) AS hamming
+             |FROM cand
+             |JOIN dh da ON da.doc_id = id_a
+             |JOIN dh db ON db.doc_id = id_b
+             |WHERE bit_count(xor(da.dhash, db.dhash)) <= 12""".stripMargin),
+      "perceptual-hash (dHash-56) image near-dup: real PNG decode, Hamming-banded candidates, exact verify"
     )
   )
 

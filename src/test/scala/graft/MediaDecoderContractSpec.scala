@@ -148,4 +148,41 @@ class MediaDecoderContractSpec extends AnyFunSuite {
       out.close()
     }
   }
+
+  test("dHash56: decoded-pixel hash equals the generator-formula replay") {
+    // the mm_phash_dedup gate's premise: lossless PNG round-trip means
+    // the hash computed from REAL ImageIO pixels equals the hash the
+    // oracle predicts from dHashCellValue arithmetic
+    def formulaHash(grp: Long, vr: Long): Long = {
+      var h = 0L
+      for (ci <- 0 until Multimodal.DHashCellRows; j <- 0 until Multimodal.DHashCellCols - 1)
+        if (Multimodal.dHashCellValue(grp, vr, ci, j + 1) >
+          Multimodal.dHashCellValue(grp, vr, ci, j)) h |= 1L << (ci * 8 + j)
+      h
+    }
+    for (grp <- 0L to 6L; vr <- 0L to 1L) {
+      val decoded = Multimodal.dHash56(Multimodal.synthCellPng(grp, vr))
+      assert(decoded === formulaHash(grp, vr), s"grp=$grp vr=$vr")
+      assert(decoded >= 0L) // 56-bit: sign-safe band shifts on both engines
+    }
+  }
+
+  test("dHash56: planted near-dups sit within the verify threshold, far pairs outside") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    for (grp <- 0L to 20L by 2) { // even groups: variant 1 is a near dup
+      val d = ham(
+        Multimodal.dHash56(Multimodal.synthCellPng(grp, 0)),
+        Multimodal.dHash56(Multimodal.synthCellPng(grp, 1)))
+      // 3 perturbed cells in one row touch at most 6 comparisons
+      assert(d <= 6, s"even grp=$grp hamming=$d")
+    }
+    val far = (1L to 21L by 2).map { grp => // odd groups: unrelated image
+      ham(
+        Multimodal.dHash56(Multimodal.synthCellPng(grp, 0)),
+        Multimodal.dHash56(Multimodal.synthCellPng(grp, 1)))
+    }
+    // far pairs live around the 56/2 expectation; all must clear the 12
+    // threshold so the exact verify prunes any chance band collision
+    assert(far.forall(_ > 12), s"far hammings: $far")
+  }
 }
