@@ -261,6 +261,60 @@ class ScalePlanSpec extends SparkSpec {
     }
   }
 
+  test("KN holdout: products limited to the two 1-row scalar pairings") {
+    // text_lm_kn_holdout broadcasts TWO model scalars (B = distinct
+    // bigrams, V = model vocab) — their 1-row × 1-row pairing plus the
+    // pairing onto the scored frame are the only permissible nested
+    // loops; anything more would mean a model statistic crossed a
+    // data-sized frame row-wise
+    val plan = graft.SparkEntry
+      .queries("text_lm_kn_holdout")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"only the scalar pairings may nest-loop, got $bnlj:\n$plan")
+  }
+
+  test("ivfPqTopK: ADC scan is a broadcast probe by cell id — corpus codes never shuffle") {
+    val base = graft.ops.Similarity
+      .prepBase(
+        graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings"),
+        "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val plan = graft.ops.Similarity
+        .ivfPqTopKFromBase(base, k = 5, queryPred = col("cid") < 30,
+          nClusters = 8, nProbe = 3, subspaces = 4, subDim = 16, nCodes = 8,
+          rerankK = 0)
+        .queryExecution.executedPlan.toString
+      // the (query, probed cell, LUT arrays) frame is |queries|·nProbe
+      // rows and reaches the compressed corpus as a broadcast hash join
+      // keyed by the CELL id — the scan touches probed cells' rows only,
+      // and the corpus side is the materialized code table (no shuffle,
+      // no product)
+      assert(plan.contains("BroadcastHashJoin [centroid_id"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("element_at"), s"expected positional ADC lookups:\n$plan")
+    } finally base.unpersist(false)
+  }
+
+  test("span decontamination: the corpus-side cap is a window on h, no product anywhere") {
+    val plan = graft.ops.SpanDedup
+      .spanDecontamVerdicts(
+        graft.queries.Tables.t(spark, sf("sf0.001"), "documents"),
+        "doc_id", "text",
+        benchCol = col("doc_id") % 10 === 0,
+        l = 4, minLen = 8, maxGramFreq = 50)
+      .queryExecution.executedPlan.toString
+    // the occurrence cap pays ONE exchange+sort on the gram hash (the
+    // spansPlan window form — the agg+keep-list join shape shuffled the
+    // gram table twice and spilled at sf10), and the bench⋈corpus match
+    // is a hash join on that same key — never a product
+    assert(plan.contains("windowspecdefinition(h"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("partition pruning: a type-partitioned layout scans only the selected partition") {
     val dir = Files.createTempDirectory("graft_part_").toFile.getAbsolutePath
     graft.queries.Tables.t(spark, sf("sf0.001"), "events")

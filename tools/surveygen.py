@@ -48,6 +48,7 @@ OP_SUITES = {
     "Tables": ["FixtureContractSpec"],
     "Decontam": ["DecontamSpec"],
     "Bpe": ["BpeSpec"],
+    "TokenPack": ["TokenPackSpec"],
 }
 
 
