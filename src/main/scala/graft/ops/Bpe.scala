@@ -148,17 +148,96 @@ object Bpe {
     */
   private[graft] val DeltaBroadcastMaxPairCount: Long = 200000L
 
+  /** Merge count above which the incremental loop is always used: the
+    * naive loop chains one projection per merge, and past ~32 levels the
+    * generated code approaches the janino/JIT hazard the r11 stage
+    * listener measured (codegen stars print while HotSpot declines).
+    */
+  private[graft] val NaiveLoopMaxMerges: Int = 32
+
   /** The training loop itself — the collected (bounded: `numMerges`-row)
     * merge list, for callers that APPLY the table rather than ship it.
+    *
+    * SHAPE-PICKED between two loops producing byte-identical tables (the
+    * `q_basket_lift` stats-gate discipline; parity spec-pinned):
+    *  - NAIVE (full pair recount + full re-tokenize per merge): at small
+    *    merge counts over a modest corpus its one job per iteration
+    *    beats the incremental loop's fixed per-iteration overhead (~4
+    *    small jobs + a broadcast + plan analysis — measured 2.3 vs 6.3 s
+    *    at M=8/sf0.1);
+    *  - INCREMENTAL ([[trainMergeSeqWithSeqs]]): per-iteration work
+    *    tracks the vocab-touch fraction, lineage and partition counts
+    *    stay bounded at ANY merge count — the production-M and
+    *    production-corpus shape.
+    * Picked incremental when the merge count exceeds
+    * [[NaiveLoopMaxMerges]] (the naive chained projection approaches the
+    * JIT hazard) OR the column-pruned text scan exceeds
+    * [[VocabBroadcastMaxTextBytes]] (per-iteration overhead is noise
+    * once each naive recount rescans a >1 GiB corpus).
     */
   private[graft] def trainMergeSeq(
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
       byteLevel: Boolean = false): Seq[Merge] = {
-    val (merges, seqs) = trainMergeSeqWithSeqs(docs, textCol, numMerges, byteLevel)
-    Caching.release(seqs)
-    merges
+    val prunedBytes =
+      docs.select(col(textCol)).queryExecution.optimizedPlan.stats.sizeInBytes
+    if (numMerges <= NaiveLoopMaxMerges && prunedBytes <= VocabBroadcastMaxTextBytes)
+      trainMergeSeqNaive(docs, textCol, numMerges, byteLevel)
+    else {
+      val (merges, seqs) = trainMergeSeqWithSeqs(docs, textCol, numMerges, byteLevel)
+      Caching.release(seqs)
+      merges
+    }
+  }
+
+  /** The naive loop: per merge, one full freq-weighted pair aggregate
+    * with a TakeOrdered argmax, then one chained codegen re-tokenize
+    * projection over the persisted vocab. O(M·|vocab|) work and an
+    * M-deep plan — correct and CHEAPEST at small M over a modest corpus;
+    * [[trainMergeSeq]] gates it out of the production regimes.
+    */
+  private[graft] def trainMergeSeqNaive(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      byteLevel: Boolean = false): Seq[Merge] = {
+    val vocab = wordVocab(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var seqs = if (byteLevel) initialByteSeqs(vocab) else initialSeqs(vocab)
+      val merges = ArrayBuffer.empty[Merge]
+      var rank = 1
+      var exhausted = false
+      while (rank <= numMerges && !exhausted) {
+        // pair-key and occurrence semantics identical to the incremental
+        // loop (see trainMergeSeqWithSeqs) — the tables must match
+        val top = seqs
+          .select(
+            col("freq"),
+            explode(TextOps.shingleOccurrencesFromTokens(col("s"), 2)).as("pair"))
+          .groupBy("pair")
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(1)
+          .collect()
+        if (top.isEmpty) {
+          exhausted = true
+        } else {
+          val pair = top(0).getString(0)
+          val cnt = top(0).getLong(1)
+          val sep = pair.indexOf(' ')
+          val (a, b) = (pair.substring(0, sep), pair.substring(sep + 1))
+          merges += Merge(rank.toLong, a, b, a + b, cnt)
+          seqs = seqs.select(
+            col("w"),
+            col("freq"),
+            ExprBridge.column(
+              BpeMergeRuns(ExprBridge.expression(col("s")), a, b)).as("s"))
+          rank += 1
+        }
+      }
+      merges.toSeq
+    } finally vocab.unpersist(blocking = false)
   }
 
   /** Incremental trainer (the production-M shape). The naive loop
@@ -204,7 +283,10 @@ object Bpe {
       // spec seam: 0 forces the union+re-aggregate fallback on every
       // merge so both update paths are parity-tested against the naive
       // reference; production callers use the measured default
-      deltaBroadcastMax: Long = DeltaBroadcastMaxPairCount): (Seq[Merge], DataFrame) = {
+      deltaBroadcastMax: Long = DeltaBroadcastMaxPairCount,
+      // diagnostics seam (BpeTrainProbe): called once per completed merge
+      // with (rank, pair, weighted count, iteration wall ms)
+      iterationProbe: (Int, String, Long, Long) => Unit = (_, _, _, _) => ()): (Seq[Merge], DataFrame) = {
     val vocab = wordVocab(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     // live checkpoint generations superseded at the next seqs checkpoint
     val pendingSlices = ArrayBuffer.empty[DataFrame]
@@ -243,6 +325,7 @@ object Bpe {
       // partitions per merge and the rebase resets it.
       val parallelism = docs.sparkSession.sparkContext.defaultParallelism
       while (rank <= numMerges && !exhausted) {
+        val iterStart = System.nanoTime()
         val top = pc.orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
         if (top.isEmpty) {
           // every word fully merged into one symbol — nothing left to learn
@@ -316,6 +399,7 @@ object Bpe {
             seqs = rebased
             sinceCheckpoint = 0
           }
+          iterationProbe(rank, pair, cnt, (System.nanoTime() - iterStart) / 1000000L)
           rank += 1
         }
       }

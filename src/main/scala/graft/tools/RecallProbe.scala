@@ -211,6 +211,31 @@ object RecallProbe {
             s""""n_returned":${r.getLong(1)},"n_hits":${r.getLong(2)},""" +
             s""""n_exact":${r.getLong(3)},"recall":${r.getDouble(4)}}""")
       }
+
+    // composite IVF-PQ recall@5 at the registered ann_ivfpq_topk config
+    // (8 cells / probe 5 / 16×4 codes / adaptive rerank) vs exact
+    {
+      val base = Similarity.prepBase(emb, "vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = base.count()
+      val exact = Caching.materializeAndRelease(
+        Similarity.cosineTopKFromBase(base, k = 5, queryPred = col("cid") < 50)
+          .select("query_id", "neighbor_id"))
+      val got = Caching.materializeAndRelease(
+        Similarity.ivfPqTopKFromBase(base, k = 5, queryPred = col("cid") < 50,
+          nClusters = 8, nProbe = 5, subspaces = 16, subDim = 4, nCodes = 64,
+          rerankK = Similarity.AdaptiveRerank)
+          .select("query_id", "neighbor_id"))
+      val nExact = exact.count()
+      val hits = got.join(exact, Seq("query_id", "neighbor_id")).count()
+      println(
+        s"""{"probe":"ann_recall_at_k","method":"ivfpq","n":$n,""" +
+          s""""n_hits":$hits,"n_exact":$nExact,""" +
+          s""""recall":${if (nExact == 0) 1.0 else hits.toDouble / nExact}}""")
+      Caching.release(exact); Caching.release(got)
+      base.unpersist(false)
+    }
     spark.stop()
   }
 }

@@ -230,9 +230,14 @@ class BpeSpec extends SparkSpec {
     }
     val viaBroadcast = table(Long.MaxValue)
     val viaUnion = table(0L)
+    val viaNaive = Bpe.trainMergeSeqNaive(docs, "text", numMerges = 24)
+      .map(x => (x.symA, x.symB, x.pairCount))
     val ref = referenceTrain(words, 24)
     assert(viaBroadcast === ref)
     assert(viaUnion === ref)
+    // and the stats-gated naive loop (the shape trainMergeSeq picks at
+    // registered scale) produces the same table byte-for-byte
+    assert(viaNaive === ref)
   }
 
   test("plan depth and partition count stay bounded through an M=250 training run") {
