@@ -1,7 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ExprBridge
+
+import graft.functions.BpeMergeRuns
 
 /** Token-ID sequence emission + fixed-context packing — the TERMINAL
   * operator of an LM training-data pipeline: after curation, dedup and
@@ -24,38 +27,43 @@ import org.apache.spark.sql.functions._
   *    (possible: "a"+"bc" and "ab"+"c" both spell "abc") resolves to the
   *    MIN id on both engines.
   *
-  * 100 TB shape:
-  *  - word → id-sequence is derived on the VOCAB frame (distinct words,
-  *    not corpus tokens): explode the trained symbol sequences, join the
-  *    tiny symbol-id table, regroup — one vocab-bounded shuffle;
-  *  - the corpus token scan joins that vocab-bounded table (AQE decides
-  *    broadcast vs shuffle — nothing corpus-proportional is forced
-  *    through the driver, the [[Bpe.VocabBroadcastMaxTextBytes]]
-  *    rationale);
-  *  - the global token order (doc_id, token position, symbol position)
-  *    is ranked by [[GlobalRank.globalRank]] — the two-pass distributed
-  *    form, NEVER a bare single-partition `row_number() OVER (ORDER BY)`;
-  *  - window assembly groups by `rank div contextLen`: per-group state is
-  *    bounded by the context length, and the only corpus-sized exchange
-  *    is that final hash partition on window id.
+  * 100 TB shape — tokenize-in-place, pack by prefix sum:
+  *  - the TOKENIZER ships to the executors, the corpus never reshapes
+  *    for it: per-doc token-id emission is ONE projection — each token
+  *    runs the learned merges (M chained codegen [[BpeMergeRuns]] passes
+  *    inside a `transform` lambda, exactly how production tokenizers
+  *    apply a merge table) and maps symbols through the BOUNDED
+  *    (|charset| + M entries) symbol-id literal. This is the production
+  *    deployment shape: the merge table is the artifact that ships, and
+  *    it is bounded by construction — unlike the word → ids dictionary
+  *    (distinct words, Heaps-unbounded), which is exactly the
+  *    [[Bpe.VocabBroadcastMaxTextBytes]] defect class. Two earlier
+  *    shapes measured at sf10: one row per SYMBOL through a global rank
+  *    (915 s / 28 GB spill), per-doc regroup of symbol rows (261 s /
+  *    9 GB spill); tokenize-in-place removes both the explode and the
+  *    regroup shuffle entirely;
+  *  - stream offsets come from [[GlobalRank.globalCumSum]] over the
+  *    per-doc token COUNTS only (a doc-count-sized distributed prefix
+  *    sum over 2-long rows — the Packing.packShards substrate), joined
+  *    back onto the id arrays by doc id;
+  *  - each document then emits one row per context window it touches
+  *    (⌈n/contextLen⌉+1 rows — document-count-shaped, ids sliced as
+  *    array payload) and window assembly groups those slices; per-group
+  *    state is bounded by the context length plus the slice count.
   */
 object TokenPack {
 
   /** Separator token id (doc boundary marker in the packed stream). */
   val SepId: Long = 0L
 
-  /** (sym, id): alphabet ids 1..A in binary order, merged ids
+  /** sym → id: alphabet ids 1..A in binary order, merged ids
     * A + merge_rank, min-id on string collisions. Bounded: |charset| + M
-    * rows.
+    * entries (the driver collect is over DISTINCT INITIAL SYMBOLS —
+    * single UTF-16 units plus the end-of-word marker — never words).
     */
-  private[graft] def symbolIdTable(
+  private[graft] def symbolIdMap(
       seq0: DataFrame,
-      merges: Seq[Bpe.Merge]): DataFrame = {
-    val spark = seq0.sparkSession
-    import spark.implicits._
-    // distinct initial symbols: bounded by the charset (<= 64k UTF-16
-    // units char-level, <= 256 hex pairs byte-level) + the end-of-word
-    // marker — the sanctioned bounded driver collect
+      merges: Seq[Bpe.Merge]): Map[String, Long] = {
     val alphabet = seq0
       .select(explode(col("s")).as("sym"))
       .distinct()
@@ -65,8 +73,19 @@ object TokenPack {
     val ids =
       alphabet.toSeq.zipWithIndex.map { case (s, i) => (s, (i + 1).toLong) } ++
         merges.map(m => (m.merged, alphabet.length + m.mergeRank))
-    ids.groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).min) }.toSeq
-      .toDF("sym", "id")
+    ids.groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).min) }
+  }
+
+  /** The tokenizer-inference column for one whitespace token: initial
+    * char symbols + end-of-word marker, then the learned merges applied
+    * in rank order — M chained codegen'd [[BpeMergeRuns]] passes, the
+    * same kernel training used, composed INSIDE the per-token lambda.
+    */
+  private def mergedSymsCol(tok: Column, merges: Seq[Bpe.Merge]): Column = {
+    val seq0 = concat(split(tok, ""), array(lit(Bpe.EndOfWord)))
+    merges.sortBy(_.mergeRank).foldLeft(seq0) { (c, m) =>
+      ExprBridge.column(BpeMergeRuns(ExprBridge.expression(c), m.symA, m.symB))
+    }
   }
 
   /** Packed fixed-length context windows over the whole corpus:
@@ -87,61 +106,76 @@ object TokenPack {
       textCol: String,
       numMerges: Int,
       contextLen: Int,
-      parts: Int = 32
+      // prefix-sum parallelism; <= 0 resolves to the session's shuffle
+      // partitions (the q_vocab_growth convention — offsets are
+      // parts-independent, so the oracle is unaffected)
+      parts: Int = 0
   ): DataFrame = {
     require(contextLen > 0, s"contextLen must be positive: $contextLen")
-    val (merges, trained) =
-      Bpe.trainMergeSeqWithSeqs(docs, textCol, numMerges)
-    var ranked: DataFrame = null
-    try {
-      val seq0 = Bpe.initialSeqs(Bpe.wordVocab(docs, textCol))
-      val symIds = symbolIdTable(seq0, merges)
-      // (w, spos, id): vocab-bounded, one small shuffle to regroup order
-      val wordIds = trained
-        .select(col("w"), posexplode(col("s")).as(Seq("spos", "sym")))
-        .join(broadcast(symIds), "sym")
-        .select(col("w"), col("spos").cast("long").as("spos"), col("id"))
-      val toks = docs.select(
+    val effParts =
+      if (parts > 0) parts else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val merges = Bpe.trainMergeSeq(docs, textCol, numMerges)
+    val symIds = symbolIdMap(Bpe.initialSeqs(Bpe.wordVocab(docs, textCol)), merges)
+    val idMapLit = typedLit(symIds)
+    // tokenize-in-place: per-doc id arrays in ONE projection over the
+    // scan — no explode, no vocab join, no regroup
+    val docSeqs = docs
+      .select(
         col(idCol).cast("long").as("doc_id"),
         TextOps.tokens(col(textCol)).as("__ts"))
-      val tokenRows = toks
-        .select(col("doc_id"), posexplode(col("__ts")).as(Seq("tpos", "w")))
-        .select(col("doc_id"), (col("tpos") + 1).cast("long").as("tpos"), col("w"))
-        .join(wordIds, "w")
-        .select(col("doc_id"), col("tpos"), col("spos"), col("id"))
-      // one separator row per document, AFTER its last token (empty docs
-      // emit just the separator) — id 0, spos 0
-      val sepRows = toks.select(
+      .select(
         col("doc_id"),
-        (size(col("__ts")) + 1).cast("long").as("tpos"),
-        lit(0L).as("spos"),
-        lit(SepId).as("id"))
-      val stream = tokenRows.unionByName(sepRows)
-      ranked = GlobalRank.globalRank(
-        stream,
-        Seq(col("doc_id"), col("tpos"), col("spos")),
-        "__r",
-        parts)
-      val out = ranked
-        .withColumn("__g", col("__r") - 1)
-        .withColumn("window_id", expr(s"__g div ${contextLen}L"))
+        concat(
+          flatten(transform(
+            col("__ts"),
+            w => transform(mergedSymsCol(w, merges), s => element_at(idMapLit, s)))),
+          array(lit(SepId))).as("ids"))
+      .withColumn("n", size(col("ids")).cast("long"))
+    var offsets: DataFrame = null
+    try {
+      // exclusive stream offset per doc: the distributed prefix sum runs
+      // over (doc_id, n) ONLY — 2-long rows, never the id payload
+      offsets = GlobalRank.globalCumSum(
+        docSeqs.select(col("doc_id"), col("n")),
+        Seq(col("doc_id")), col("n"), "cum", effParts)
+      val withOff = docSeqs
+        .join(offsets.select(col("doc_id"), (col("cum") - col("n")).as("start")), "doc_id")
+      // one row per (doc, touched window): the id sub-array destined for
+      // that window plus its stream position — ⌈n/contextLen⌉+1 rows per
+      // doc, arrays as payload
+      val slices = withOff
+        .select(
+          col("ids"), col("n"), col("start"),
+          explode(sequence(
+            expr(s"start div ${contextLen}L"),
+            expr(s"(start + n - 1) div ${contextLen}L"))).as("window_id"))
+        .select(
+          col("window_id"),
+          greatest(col("window_id") * contextLen, col("start")).as("slice_start"),
+          expr(
+            s"slice(ids, CAST(greatest(window_id * ${contextLen}L, start) - start + 1 AS INT), " +
+              s"CAST(least((window_id + 1) * ${contextLen}L, start + n) - " +
+              s"greatest(window_id * ${contextLen}L, start) AS INT))").as("chunk"))
+      // window assembly: slices ordered by stream position, flattened —
+      // per-group state bounded by contextLen plus the slice count
+      val out = slices
         .groupBy("window_id")
         .agg(
-          count(lit(1)).as("n_tokens"),
-          sum(when(col("id") === SepId, 1L).otherwise(0L)).as("n_seps"),
+          flatten(transform(
+            array_sort(collect_list(struct(col("slice_start"), col("chunk")))),
+            e => e.getField("chunk"))).as("__ids"))
+        .select(
+          col("window_id"),
+          size(col("__ids")).cast("long").as("n_tokens"),
+          size(filter(col("__ids"), x => x === SepId)).cast("long").as("n_seps"),
           conv(
             substring(
-              md5(concat_ws(
-                ",",
-                transform(
-                  array_sort(collect_list(struct(col("__g"), col("id")))),
-                  e => e.getField("id").cast("string")))),
+              md5(concat_ws(",", transform(col("__ids"), _.cast("string")))),
               1, 15),
             16, 10).cast("long").as("content_fp"))
       Caching.materializeAndRelease(out)
     } finally {
-      if (ranked != null) Caching.release(ranked)
-      Caching.release(trained)
+      if (offsets != null) Caching.release(offsets)
     }
   }
 }
