@@ -51,13 +51,13 @@ object Ext6Queries {
       (s, d) =>
         Similarity.ivfPqTopK(
           t(s, d, "embeddings"), "vec_id", "embedding",
-          k = 5, queryPred = col("cid") < 50, nClusters = 8, nProbe = 5,
+          k = 5, queryPred = col("cid") < 50, nClusters = 8, nProbe = 6,
           subspaces = 16, subDim = 4, nCodes = 64
         ).withColumn("rank", col("rank").cast("long")),
       Some {
         s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |${ivfPqTopkCtes(
-              nClusters = 8, nProbe = 5, subspaces = 16, subDim = 4, nCodes = 64,
+              nClusters = 8, nProbe = 6, subspaces = 16, subDim = 4, nCodes = 64,
               rerankSql = ExtQueries.pqAdaptiveRerankSql, k = 5, queryBound = 50)}
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM pq""".stripMargin
       },

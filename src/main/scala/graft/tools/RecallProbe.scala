@@ -172,6 +172,43 @@ object RecallProbe {
 
     val emb = graft.queries.Tables.t(spark, sfDir, "embeddings")
 
+    // `ivfpqSweep` arg: composite IVF-PQ recall@5 across (nProbe, rerankK)
+    // configs — the two levers that govern the composition's recall
+    // (`runMain graft.tools.RecallProbe /tmp/sf10 ivfpqSweep 5:-1,6:-1,5:1600`)
+    if (args.length > 1 && args(1) == "ivfpqSweep") {
+      val configs = args.lift(2).getOrElse("5:-1,6:-1")
+        .split(",").map(_.trim.split(":")).map(a => (a(0).toInt, a(1).toInt))
+      val base = Similarity.prepBase(emb, "vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = base.count()
+      val exact = Caching.materializeAndRelease(
+        Similarity.cosineTopKFromBase(base, k = 5, queryPred = col("cid") < 50)
+          .select("query_id", "neighbor_id"))
+      val nExact = exact.count()
+      configs.foreach { case (nProbe, rk) =>
+        val eff = if (rk < 0) Similarity.AdaptiveRerank else rk
+        val t0 = System.nanoTime()
+        val got = Caching.materializeAndRelease(
+          Similarity.ivfPqTopKFromBase(base, k = 5, queryPred = col("cid") < 50,
+            nClusters = 8, nProbe = nProbe, subspaces = 16, subDim = 4, nCodes = 64,
+            rerankK = eff)
+            .select("query_id", "neighbor_id"))
+        val hits = got.join(exact, Seq("query_id", "neighbor_id")).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(
+          s"""{"probe":"ivfpq_sweep","n":$n,"n_probe":$nProbe,""" +
+            s""""rerank_k":${if (rk < 0) Similarity.adaptiveRerankK(n) else rk},""" +
+            s""""adaptive":${rk < 0},"n_hits":$hits,"n_exact":$nExact,""" +
+            s""""recall":${hits.toDouble / nExact},"wall_sec":${math.round(wall * 10) / 10.0}}""")
+        Caching.release(got)
+      }
+      Caching.release(exact)
+      base.unpersist(false)
+      spark.stop()
+      return
+    }
+
     if (pqSweep) {
       val ks = args.lift(2).getOrElse("200,400,800,1600").split(",").map(_.trim.toInt)
       val base = Similarity.prepBase(emb, "vec_id", "embedding")
@@ -224,7 +261,7 @@ object RecallProbe {
           .select("query_id", "neighbor_id"))
       val got = Caching.materializeAndRelease(
         Similarity.ivfPqTopKFromBase(base, k = 5, queryPred = col("cid") < 50,
-          nClusters = 8, nProbe = 5, subspaces = 16, subDim = 4, nCodes = 64,
+          nClusters = 8, nProbe = 6, subspaces = 16, subDim = 4, nCodes = 64,
           rerankK = Similarity.AdaptiveRerank)
           .select("query_id", "neighbor_id"))
       val nExact = exact.count()

@@ -42,7 +42,7 @@ class AnnRecallSpec extends SparkSpec {
         .select("query_id", "neighbor_id")
       val got = graft.ops.Similarity
         .ivfPqTopKFromBase(base, k = 5, queryPred = col("cid") < 50,
-          nClusters = 8, nProbe = 5, subspaces = 16, subDim = 4, nCodes = 64,
+          nClusters = 8, nProbe = 6, subspaces = 16, subDim = 4, nCodes = 64,
           rerankK = graft.ops.Similarity.AdaptiveRerank)
         .select("query_id", "neighbor_id")
       val nExact = exact.count()
