@@ -24,12 +24,13 @@ object Ext6Queries {
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- token-ID sequences + fixed-context packing: train the BPE,
-    //      emit per-doc token-id sequences (id 0 = separator, alphabet
-    //      1..A in binary order, merged = A + merge_rank), concatenate in
-    //      doc order, chop into 128-token windows. Global stream order
-    //      comes from the two-pass distributed rank, never a bare
-    //      ORDER-BY window; the oracle replays the id assignment and the
-    //      packing arithmetic exactly, down to a per-window content
+    //      tokenize IN PLACE (per-doc id arrays in one projection — the
+    //      bounded merge table + symbol-id map ship to the executors;
+    //      id 0 = separator, alphabet 1..A in binary order, merged =
+    //      A + merge_rank), concatenate in doc order via a
+    //      doc-count-sized distributed prefix sum, chop into 128-token
+    //      windows. The oracle replays the id assignment and the packing
+    //      arithmetic exactly, down to a per-window content
     //      fingerprint ----
     "text_pack_sequences" -> QueryDef(
       (s, d) =>
