@@ -28,7 +28,16 @@ private[graft] object Caching {
     */
   def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(true)
-    cached.foreach(_.unpersist(false))
+    // Release BOTH block populations behind each intermediate: unpersist
+    // covers persist() caches; checkpointRdds covers localCheckpoint(true)
+    // frames, for which Dataset.unpersist is a documented no-op (it only
+    // clears cacheManager entries) — without the second sweep a
+    // checkpointed intermediate's blocks leak until the ContextCleaner
+    // GCs them, violating this object's release discipline.
+    cached.foreach { c =>
+      c.unpersist(false)
+      checkpointRdds(c).foreach(_.unpersist(false))
+    }
     out
   }
 

@@ -423,6 +423,43 @@ object Multimodal {
     h
   }
 
+  /** Hamming-band recipe over 56-bit dHashes: [[PhashBands]] bands of
+    * [[PhashBandBits]] bits. Shared by `mm_phash_dedup` and the
+    * RecallProbe `phash_band_recall` line so the probe measures the
+    * EXACT production candidate path.
+    */
+  val PhashBands = 4
+  val PhashBandBits = 14
+
+  /** Banded candidate pairs from a `(doc_id, dhash)` frame: explode each
+    * hash into [[PhashBands]] 14-bit band keys, self-join per
+    * (band, key) bucket, `id_a < id_b`, distinct. NEVER all-pairs —
+    * candidate volume is Σ_buckets |bucket|², linear for hash-diverse
+    * corpora (16384 buckets/band).
+    *
+    * Completeness bound (pigeonhole): a pair is GUARANTEED a candidate
+    * only for Hamming ≤ [[PhashBands]] − 1 = 3; larger radii are found
+    * iff some band is untouched. See the `mm_phash_dedup` registry note
+    * for why raising the guarantee to the verify radius (≤ 12) is a
+    * scale anti-pattern (≥13 bands of ≤4 bits → O(n²/16) candidates).
+    */
+  def dhashBandCandidates(hashes: DataFrame): DataFrame = {
+    val bands = hashes.select(
+      col("doc_id"),
+      explode(expr(s"sequence(0, ${PhashBands - 1})")).as("band"),
+      col("dhash"))
+      .select(
+        col("doc_id"), col("band"),
+        expr(s"shiftrightunsigned(dhash, band * $PhashBandBits) & ${(1 << PhashBandBits) - 1}")
+          .as("bkey"))
+    bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
   /** Deterministic real WAV payload with exactly `frames` frames of
     * `channels`-channel 16-bit PCM silence (JDK `javax.sound.sampled`
     * writer) — the audio counterpart of [[synthPng]].

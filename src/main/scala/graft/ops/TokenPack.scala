@@ -98,7 +98,16 @@ object TokenPack {
     * Trains the char-level `numMerges`-merge BPE on the corpus itself
     * (the [[Bpe.encodeTokenCounts]] composition), then streams
     * doc-by-doc in `idCol` order with a separator token after every
-    * document (empty documents still emit their separator).
+    * document (empty and NULL documents still emit their separator).
+    *
+    * BMP-only contract (inherited from [[Bpe.trainMergeSeq]]'s char-level
+    * split): supplementary-plane characters split into lone UTF-16
+    * surrogates, and [[symbolIdMap]] assigns alphabet ids in Scala's
+    * UTF-16 code-unit order while a UTF-8-binary-collating oracle
+    * (DuckDB) sorts the same symbols differently — id assignments
+    * diverge above U+FFFF. For corpora beyond the BMP use the byte-level
+    * trainer ([[Bpe.trainMergesBytes]], whose hex symbols sort
+    * identically on both engines) and encode/pack from its merge table.
     */
   def packTokenWindows(
       docs: DataFrame,
@@ -122,7 +131,12 @@ object TokenPack {
     val docSeqs = docs
       .select(
         col(idCol).cast("long").as("doc_id"),
-        TextOps.tokens(col(textCol)).as("__ts"))
+        // NULL text degenerates to the documented empty-doc case (its
+        // separator token still ships): without the coalesce a null doc
+        // yields a NULL `ids` array, size(NULL) = -1, and the -1 silently
+        // corrupts the global prefix sum — every downstream doc's stream
+        // offset shifts instead of the job failing loudly.
+        TextOps.tokens(coalesce(col(textCol), lit(""))).as("__ts"))
       .select(
         col("doc_id"),
         concat(

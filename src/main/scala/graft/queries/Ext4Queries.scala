@@ -80,7 +80,10 @@ object Ext4Queries {
         val parent = p.getParent
         if (fs.exists(parent) && fs.listStatus(parent).isEmpty) fs.delete(parent, true)
       } catch {
-        case e: java.io.IOException =>
+        // NonFatal, not just IOException: Hadoop LocalFileSystem wraps
+        // some failures in RuntimeExceptions, and ANY throwable escaping
+        // a finally replaces the primary error
+        case scala.util.control.NonFatal(e) =>
           graft.util.JsonLog.warning(s"roundtrip staging cleanup failed for $dir: $e")
       }
     }

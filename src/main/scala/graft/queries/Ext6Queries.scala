@@ -185,7 +185,24 @@ object Ext6Queries {
     //      sums, then the Hamming-band recipe: 4 bands × 14 bits,
     //      same-band-key candidates only (NEVER all-pairs), exact
     //      bit_count(xor) verify ≤ 12. The oracle predicts the planted
-    //      pixels arithmetically — the decode gate is real ----
+    //      pixels arithmetically — the decode gate is real.
+    //
+    //      COMPLETENESS BOUND (pigeonhole, the simhashNearDupPairs
+    //      contract): 4 bands guarantee a clean band — hence a candidate
+    //      — only for Hamming ≤ 3. A pair in the 4..12 verify range is
+    //      surfaced only if its differing bits leave SOME 14-bit band
+    //      untouched; diffs spread across all 4 bands are missed. This is
+    //      the deliberate scale trade: guaranteeing Hamming ≤ 12 via
+    //      single-band keys needs ≥13 bands of ≤4 bits (≤16 buckets/band
+    //      → O(n²/16) candidates — all-pairs in disguise), so the
+    //      operator keeps 14-bit keys (16384 buckets, linear candidates)
+    //      and documents the probabilistic tail. Empirical tail recall is
+    //      measured by RecallProbe's phash_band_recall line (planted
+    //      cross-band diffs at each Hamming 4..12); dHash bit locality
+    //      (one changed cell touches ≤2 adjacent bits, so small image
+    //      edits cluster in one band) keeps real-world recall far above
+    //      the adversarial bound. The oracle replays the same banding, so
+    //      the gate checks the recipe, not a complete-≤12 contract ----
     "mm_phash_dedup" -> QueryDef(
       (s, d) => {
         import s.implicits._
@@ -202,19 +219,7 @@ object Ext6Queries {
             (id, Multimodal.dHash56(Multimodal.synthCellPng(sid / 2, sid % 2)))
           }
         }.toDF("doc_id", "dhash").localCheckpoint(true)
-        val bands = hashes.select(
-          col("doc_id"),
-          explode(expr("sequence(0, 3)")).as("band"),
-          col("dhash"))
-          .select(
-            col("doc_id"), col("band"),
-            expr("shiftrightunsigned(dhash, band * 14) & 16383").as("bkey"))
-        val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
-          .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
-            Seq("band", "bkey"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
-          .distinct()
+        val cand = Multimodal.dhashBandCandidates(hashes)
         val out = cand
           .join(hashes.select(col("doc_id").as("id_a"), col("dhash").as("ha")), "id_a")
           .join(hashes.select(col("doc_id").as("id_b"), col("dhash").as("hb")), "id_b")

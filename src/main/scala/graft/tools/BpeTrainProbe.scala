@@ -39,8 +39,10 @@ object BpeTrainProbe {
       graft.ops.Bpe.trainMergeSeqWithSeqs(docs, "text", m, iterationProbe = {
         (rank, pair, cnt, wallMs) =>
           iters += ((rank, cnt, wallMs))
+          // escape the corpus-derived pair (quotes/backslashes are routine
+          // in char-level merges) so every probe line stays parseable JSON
           println(
-            s"""{"probe":"bpe_train_iter","rank":$rank,"pair":"$pair",""" +
+            s"""{"probe":"bpe_train_iter","rank":$rank,"pair":"${graft.util.JsonLog.esc(pair)}",""" +
               s""""weighted_count":$cnt,"wall_ms":$wallMs}""")
       })
     graft.ops.Caching.release(seqs)

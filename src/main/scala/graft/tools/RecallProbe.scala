@@ -152,9 +152,58 @@ object RecallProbe {
     (hits, nExact, if (nExact == 0) 1.0 else hits.toDouble / nExact.toDouble)
   }
 
+  /** Empirical tail recall of the `mm_phash_dedup` banding
+    * ([[graft.ops.Multimodal.dhashBandCandidates]] — the EXACT production
+    * path) on planted 56-bit hash pairs at each Hamming distance 1..12,
+    * under two bit placements:
+    *  - `random`: d distinct uniform positions — the real-world curve;
+    *  - `spread`: positions round-robin across the 4 bands — the
+    *    adversarial worst case (for d ≥ 4 every band is touched, so
+    *    recall is 0 BY CONSTRUCTION; for d ≤ 3 pigeonhole guarantees 1.0
+    *    — both ends pin the documented completeness bound).
+    * Deterministic (seeded per-distance RNG) so runs are comparable.
+    */
+  def phashBandRecall(spark: SparkSession, nPairs: Int = 2000): Unit = {
+    import spark.implicits._
+    val mask56 = (1L << 56) - 1
+    for (placement <- Seq("random", "spread"); d <- 1 to 12) {
+      val rng = new scala.util.Random(42L * (d + 1) + (if (placement == "spread") 1 else 0))
+      val rows = (0 until nPairs).flatMap { i =>
+        val base = rng.nextLong() & mask56
+        val positions = placement match {
+          case "random" =>
+            val s = scala.collection.mutable.LinkedHashSet.empty[Int]
+            while (s.size < d) s += rng.nextInt(56)
+            s.toSeq
+          case _ =>
+            // round-robin bands, random offset inside each 14-bit band,
+            // distinct positions
+            val s = scala.collection.mutable.LinkedHashSet.empty[Int]
+            var b = 0
+            while (s.size < d) {
+              s += (b % graft.ops.Multimodal.PhashBands) * graft.ops.Multimodal.PhashBandBits +
+                rng.nextInt(graft.ops.Multimodal.PhashBandBits)
+              b += 1
+            }
+            s.toSeq
+        }
+        val partner = positions.foldLeft(base)((h, p) => h ^ (1L << p))
+        Seq((i.toLong, base), (i.toLong + 10000000L, partner))
+      }
+      val hashes = rows.toDF("doc_id", "dhash")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val found = graft.ops.Multimodal.dhashBandCandidates(hashes)
+        .filter(col("id_b") - col("id_a") === 10000000L)
+        .count()
+      println(
+        s"""{"probe":"phash_band_recall","placement":"$placement","hamming":$d,""" +
+          s""""n_pairs":$nPairs,"found":$found,"recall":${found.toDouble / nPairs}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: RecallProbe <sfDir> [skipFull | pqSweep [k1,k2,... (-1 = adaptive)]]")
+      "usage: RecallProbe <sfDir> [skipFull | pqSweep [k1,k2,... (-1 = adaptive)] | phashBands]")
     val sfDir = args(0)
     val skipFull = args.length > 1 && args(1) == "skipFull"
     // `pqSweep` arg: measure PQ recall@5 across rerankK values instead of
@@ -169,6 +218,14 @@ object RecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // `phashBands` arg: the mm_phash_dedup banding tail-recall probe
+    // (data-free — planted hashes, not the embeddings table)
+    if (args.length > 1 && args(1) == "phashBands") {
+      phashBandRecall(spark)
+      spark.stop()
+      return
+    }
 
     val emb = graft.queries.Tables.t(spark, sfDir, "embeddings")
 

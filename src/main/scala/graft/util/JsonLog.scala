@@ -7,15 +7,23 @@ package graft.util
   * tiny driver-side emitter used by the pipeline for run events.
   */
 object JsonLog {
-  private def esc(s: String): String =
+  /** JSON string-body escaping for hand-built probe/log lines. Public:
+    * the probe mains (e.g. BpeTrainProbe) interpolate corpus-derived
+    * text (merge pairs routinely contain `"` or `\`) and must escape it
+    * the same way, or the notes pipeline's JSON-line parser breaks.
+    * Surrogates are \u-escaped so a lone surrogate (char-level BPE on
+    * supplementary-plane text) still yields parseable ASCII output.
+    */
+  def esc(s: String): String =
     s.flatMap {
-      case '"'          => "\\\""
-      case '\\'         => "\\\\"
-      case '\n'         => "\\n"
-      case '\r'         => "\\r"
-      case '\t'         => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c            => c.toString
+      case '"'                     => "\\\""
+      case '\\'                    => "\\\\"
+      case '\n'                    => "\\n"
+      case '\r'                    => "\\r"
+      case '\t'                    => "\\t"
+      case c if c < ' '            => f"\\u${c.toInt}%04x"
+      case c if Character.isSurrogate(c) => f"\\u${c.toInt}%04x"
+      case c                       => c.toString
     }
 
   def line(severity: String, message: String): String =

@@ -53,4 +53,18 @@ class TokenPackSpec extends SparkSpec {
     // stream: doc1 symbols + sep, sep (empty doc2), doc3 symbols + sep
     assert(got.head.getLong(2) === 3L) // n_seps = 3 docs
   }
+
+  test("packTokenWindows: NULL documents degrade to the empty-doc case, not a corrupted prefix sum") {
+    // pre-fix, a NULL text made size(ids) = -1 and silently shifted every
+    // downstream doc's stream offset; now NULL ≡ "" (separator only)
+    val withNull = Seq((1L, "x y"), (2L, null: String), (3L, "x")).toDF("doc_id", "text")
+    val withEmpty = Seq((1L, "x y"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val a = TokenPack
+      .packTokenWindows(withNull, "doc_id", "text", numMerges = 1, contextLen = 4)
+      .orderBy("window_id").collect().map(_.toSeq)
+    val b = TokenPack
+      .packTokenWindows(withEmpty, "doc_id", "text", numMerges = 1, contextLen = 4)
+      .orderBy("window_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
 }
