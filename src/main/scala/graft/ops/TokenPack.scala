@@ -120,11 +120,90 @@ object TokenPack {
       // parts-independent, so the oracle is unaffected)
       parts: Int = 0
   ): DataFrame = {
+    val (merges, symIds) = trainTokenizer(docs, textCol, numMerges)
+    packTokenWindowsWith(docs, idCol, textCol, merges, symIds, contextLen, parts)
+  }
+
+  /** Train the char-level BPE and derive its bounded symbol-id map — the
+    * TOKENIZER ARTIFACT pair ([[saveTokenizer]]/[[loadTokenizer]] persist
+    * and reload exactly these two values). Split out of
+    * [[packTokenWindows]] so production deployments can train once, ship
+    * the artifact, and pack many corpora without re-training.
+    */
+  def trainTokenizer(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int): (Seq[Bpe.Merge], Map[String, Long]) = {
+    val merges = Bpe.trainMergeSeq(docs, textCol, numMerges)
+    (merges, symbolIdMap(Bpe.initialSeqs(Bpe.wordVocab(docs, textCol)), merges))
+  }
+
+  /** Persist a trained tokenizer as a parquet artifact: `dir/merges`
+    * (merge_rank, sym_a, sym_b, merged, pair_count — the [[Bpe]] merge
+    * table schema) and `dir/symbols` (sym, id). Single-file writes: the
+    * artifact is bounded (|charset| + M rows), and one file per side
+    * keeps the reload a footer-cheap scan.
+    */
+  def saveTokenizer(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      merges: Seq[Bpe.Merge],
+      symIds: Map[String, Long]): Unit = {
+    import spark.implicits._
+    merges.toDF()
+      .select(
+        col("mergeRank").as("merge_rank"),
+        col("symA").as("sym_a"),
+        col("symB").as("sym_b"),
+        col("merged"),
+        col("pairCount").as("pair_count"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    symIds.toSeq.toDF("sym", "id")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/symbols")
+  }
+
+  /** Reload a [[saveTokenizer]] artifact. The collects are the sanctioned
+    * bounded-codebook pattern — the artifact is |charset| + M rows by
+    * construction, never corpus-sized.
+    */
+  def loadTokenizer(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[Bpe.Merge], Map[String, Long]) = {
+    val merges = spark.read.parquet(s"$dir/merges")
+      .select("merge_rank", "sym_a", "sym_b", "merged", "pair_count")
+      .collect()
+      .map(r => Bpe.Merge(r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_.mergeRank)
+      .toSeq
+    val symIds = spark.read.parquet(s"$dir/symbols")
+      .select("sym", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toMap
+    (merges, symIds)
+  }
+
+  /** [[packTokenWindows]] under an ALREADY-TRAINED tokenizer — the
+    * production runtime shape: the merge table + symbol-id map arrive as
+    * driver values (freshly trained or [[loadTokenizer]]-reloaded) and
+    * ship to the executors as plan literals; the corpus is tokenized in
+    * place exactly as in the train-in-job path, so the two paths are
+    * output-identical by construction.
+    */
+  def packTokenWindowsWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[Bpe.Merge],
+      symIds: Map[String, Long],
+      contextLen: Int,
+      parts: Int = 0
+  ): DataFrame = {
     require(contextLen > 0, s"contextLen must be positive: $contextLen")
     val effParts =
       if (parts > 0) parts else docs.sparkSession.sessionState.conf.numShufflePartitions
-    val merges = Bpe.trainMergeSeq(docs, textCol, numMerges)
-    val symIds = symbolIdMap(Bpe.initialSeqs(Bpe.wordVocab(docs, textCol)), merges)
     val idMapLit = typedLit(symIds)
     // tokenize-in-place: per-doc id arrays in ONE projection over the
     // scan — no explode, no vocab join, no regroup

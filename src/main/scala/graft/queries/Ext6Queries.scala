@@ -21,6 +21,12 @@ object Ext6Queries {
   /** Merge-table depth shared with the Ext5 BPE gates. */
   private val PackMerges = 8
 
+  /** Context length for the artifact round-trip gate — deliberately ≠
+    * [[ContextLen]] so its result set is distinct from
+    * `text_pack_sequences` (same tokenizer, different window boundaries).
+    */
+  private val ArtifactContextLen = 96
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- token-ID sequences + fixed-context packing: train the BPE,
@@ -39,6 +45,42 @@ object Ext6Queries {
           numMerges = PackMerges, contextLen = ContextLen),
       Some(packOracle(PackMerges, ContextLen)),
       s"BPE token-id packing into $ContextLen-token training windows with per-window content fingerprints"
+    ),
+
+    // ---- tokenizer-artifact round-trip: train the BPE ONCE, persist
+    //      the merge table + symbol-id map as a parquet artifact, reload
+    //      it (a fresh read — nothing survives from the training plan),
+    //      and pack the corpus under the RELOADED tokenizer. The oracle
+    //      replays the full in-job training path, so a green row proves
+    //      save → load → pack ≡ train → pack — the production deployment
+    //      contract: the tokenizer ships as an artifact, training never
+    //      reruns. Window length 96 ≠ text_pack_sequences' 128, so the
+    //      two gates' result sets are independent ----
+    "text_bpe_artifact_roundtrip" -> QueryDef(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = s"/tmp/graft-tokenizer/${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        try {
+          val (merges, symIds) = TokenPack.trainTokenizer(docs, "text", PackMerges)
+          TokenPack.saveTokenizer(s, dir, merges, symIds)
+          val (m2, s2) = TokenPack.loadTokenizer(s, dir)
+          // pack under the RELOADED artifact; the result materializes
+          // (eager checkpoint) inside packTokenWindowsWith, so the
+          // finally-cleanup below can never yank files from under a lazy
+          // consumer
+          TokenPack.packTokenWindowsWith(docs, "doc_id", "text", m2, s2, ArtifactContextLen)
+        } finally {
+          try fs.delete(p, true)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              graft.util.JsonLog.warning(s"tokenizer artifact cleanup failed for $dir: $e")
+          }
+        }
+      },
+      Some(packOracle(PackMerges, ArtifactContextLen)),
+      s"tokenizer artifact round-trip: persist+reload the trained BPE, pack $ArtifactContextLen-token windows under the reloaded artifact"
     ),
 
     // ---- composite IVF-PQ (the FAISS IVFADC production shape): ADC
@@ -63,6 +105,73 @@ object Ext6Queries {
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM pq""".stripMargin
       },
       "composite IVF-PQ ANN: cell-restricted ADC scan + corpus-adaptive exact re-rank"
+    ),
+
+    // ---- incremental curation funnel: the composed gopher → dedup →
+    //      decontam pipeline run as a DELTA against a prior corpus
+    //      snapshot — the shape a daily-ingest 100 TB pipeline actually
+    //      runs. The snapshot (hash buckets < 80) is touched ONLY as two
+    //      bounded indexes: its distinct content-hash set (the
+    //      q_dedup_incremental anti-join side) and the fixed benchmark
+    //      gram set (broadcast); every corpus-sized stage — token
+    //      explode, gram formation, quality aggregate — runs over the
+    //      DELTA alone. Old docs' verdicts are structurally unreachable
+    //      by the run (CurationOpsSpec pins the invariance), so a daily
+    //      delta costs O(delta), not O(corpus). One verdict row per
+    //      delta doc: held-out / quality / dup-vs-snapshot-or-delta /
+    //      contaminated / keep ----
+    "q_curation_incremental" -> QueryDef(
+      (s, d) =>
+        graft.ops.Curation.incrementalVerdicts(
+          t(s, d, "documents"), "doc_id", "text",
+          isNewCol = graft.ops.Sampling.hashBucket(col("doc_id"), "inc", 100) >= 80,
+          isBenchCol =
+            conv(substring(md5(concat(lit("bench:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 100 < 10),
+      Some("""WITH docs AS (
+             |  SELECT doc_id, text,
+             |    CAST(('0x' || substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= 80 AS is_new,
+             |    CAST(('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10 AS is_bench
+             |  FROM documents),
+             |gt AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t
+             |  FROM docs WHERE is_new),
+             |gtf AS (SELECT doc_id, t, COUNT(*) AS c FROM gt GROUP BY 1, 2),
+             |gd AS (
+             |  SELECT doc_id, SUM(c) AS n_words, SUM(c * length(t)) AS wc, MAX(c) AS top_count,
+             |    SUM(CASE WHEN t IN ('the','a','an','of','and','to','in','is','it','for') THEN c ELSE 0 END) AS n_stop
+             |  FROM gtf GROUP BY 1),
+             |q AS (
+             |  SELECT d.doc_id,
+             |    COALESCE(gd.n_words BETWEEN 50 AND 100000
+             |      AND CAST(gd.wc AS DOUBLE) / gd.n_words BETWEEN 3.0 AND 10.0
+             |      AND gd.n_stop >= 2
+             |      AND CAST(gd.top_count AS DOUBLE) / gd.n_words <= 0.1, FALSE) AS quality_pass
+             |  FROM docs d LEFT JOIN gd USING (doc_id) WHERE d.is_new),
+             |h AS (SELECT doc_id, md5(coalesce(text, '')) AS h, is_new FROM docs),
+             |dh AS (SELECT doc_id, h FROM h WHERE is_new),
+             |snap AS (SELECT DISTINCT h FROM h WHERE NOT is_new),
+             |rep AS (SELECT h, MIN(doc_id) AS rep FROM dh GROUP BY 1),
+             |dup AS (
+             |  SELECT dh.doc_id, (snap.h IS NOT NULL OR dh.doc_id <> rep.rep) AS dup
+             |  FROM dh JOIN rep USING (h) LEFT JOIN snap USING (h)),
+             |toks AS (
+             |  SELECT doc_id, is_bench,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+             |  FROM docs WHERE is_bench OR is_new),
+             |g AS (
+             |  SELECT DISTINCT doc_id, is_bench,
+             |    CAST(('0x' || substr(md5(array_to_string(ts[i:i+12], ' ')), 1, 15)) AS BIGINT) AS gh
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 12, 0))) AS i) t),
+             |bg AS (SELECT DISTINCT gh FROM g WHERE is_bench),
+             |hits AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gh) WHERE NOT g.is_bench)
+             |SELECT d.doc_id, d.is_bench, q.quality_pass, dup.dup,
+             |  (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated,
+             |  (NOT d.is_bench AND q.quality_pass AND NOT dup.dup
+             |   AND d.doc_id NOT IN (SELECT doc_id FROM hits)) AS keep
+             |FROM docs d JOIN q USING (doc_id) JOIN dup USING (doc_id)
+             |WHERE d.is_new""".stripMargin),
+      "incremental curation: gopher -> dedup-vs-snapshot -> decontam on a delta batch, O(delta) not O(corpus)"
     ),
 
     // ---- frozen-model Kneser-Ney holdout scoring: the production

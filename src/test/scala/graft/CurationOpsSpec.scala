@@ -158,6 +158,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(fn(spark, sf("sf0.001")).as[(Long, String)].collect().toSet == kept.toSet)
   }
 
+  test("incrementalVerdicts: planted delta semantics — dup vs snapshot / within delta, decontam, quality, held-out") {
+    // goodText passes every gopher rule: 60 words (>=50), mean word len
+    // 3..10, >=2 stopwords, top fraction 1/60 <= 0.1
+    val goodText = "the a an of and to in is it for " +
+      (11 to 60).map(i => s"word$i").mkString(" ")
+    val benchGram = (1 to 13).map(i => s"b$i").mkString(" ")
+    val frame = Seq(
+      // snapshot (is_new = false)
+      (1L, "snapshot alpha text body", false, false),
+      (2L, s"bench prefix $benchGram bench suffix", false, true), // the benchmark holdout
+      // delta (is_new = true)
+      (101L, "snapshot alpha text body", true, false), // dup vs snapshot
+      (102L, "fresh duplicate pair body", true, false), // within-delta rep (min id)
+      (103L, "fresh duplicate pair body", true, false), // within-delta dup
+      (104L, goodText, true, false),                    // the only keeper
+      (105L, "", true, false),                          // zero tokens -> quality false
+      (106L, s"leading tokens $benchGram trailing", true, false), // contaminated
+      (107L, "held out delta doc", true, true)          // bench AND new -> never kept
+    ).toDF("doc_id", "text", "is_new", "is_bench")
+    val got = graft.ops.Curation
+      .incrementalVerdicts(frame, "doc_id", "text", col("is_new"), col("is_bench"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    // O(delta) contract: verdict rows exist ONLY for delta docs — the
+    // snapshot's verdicts are structurally unreachable by the run
+    assert(got.keySet === Set(101L, 102L, 103L, 104L, 105L, 106L, 107L))
+    //                    (is_bench, quality, dup, contaminated, keep)
+    assert(got(101L) === ((false, false, true, false, false)))  // snapshot-hash dup
+    assert(got(102L) === ((false, false, false, false, false))) // delta rep, fails quality
+    assert(got(103L) === ((false, false, true, false, false)))  // within-delta dup
+    assert(got(104L) === ((false, true, false, false, true)))   // the keeper
+    assert(got(105L) === ((false, false, false, false, false))) // empty doc
+    assert(got(106L) === ((false, false, false, true, false)))  // 13-gram contamination
+    assert(got(107L) === ((true, false, false, false, false)))  // held out
+  }
+
   test("q_corpus_report: totals reconcile with the raw table") {
     val rep = Ext4Queries.defs.toMap.apply("q_corpus_report").fn(spark, sf("sf0.001")).collect()
     assert(rep.map(_.getAs[Long]("n_docs")).sum == docs.count())

@@ -67,4 +67,31 @@ class TokenPackSpec extends SparkSpec {
       .orderBy("window_id").collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("tokenizer artifact round-trip: save -> load preserves the tokenizer; packing parity") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new"),
+      (3L, "low new low new")).toDF("doc_id", "text")
+    val (merges, symIds) = TokenPack.trainTokenizer(docs, "text", numMerges = 3)
+    val dir = s"/tmp/graft-test-tokenizer/${spark.sparkContext.applicationId}"
+    try {
+      TokenPack.saveTokenizer(spark, dir, merges, symIds)
+      val (m2, s2) = TokenPack.loadTokenizer(spark, dir)
+      // the artifact IS the tokenizer: reload must be value-identical
+      assert(m2 === merges)
+      assert(s2 === symIds)
+      // and packing under the reloaded artifact is output-identical to
+      // packing under the freshly trained one (the production contract:
+      // ship the artifact, never re-train)
+      val a = TokenPack.packTokenWindowsWith(docs, "doc_id", "text", merges, symIds, 8)
+        .orderBy("window_id").collect().map(_.toSeq)
+      val b = TokenPack.packTokenWindowsWith(docs, "doc_id", "text", m2, s2, 8)
+        .orderBy("window_id").collect().map(_.toSeq)
+      assert(a.toSeq === b.toSeq)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
