@@ -11,7 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private val all: Seq[(String, QueryDef)] =
+  /** The single registry assembly — package-visible so SurveyDump (and
+    * any other tooling) enumerates EXACTLY what the driver sees. r18's
+    * SURVEY §8 staleness was SurveyDump holding its own copy of this
+    * concatenation and silently missing a new defs object; one list, no
+    * drift.
+    */
+  private[graft] val all: Seq[(String, QueryDef)] =
     CoreQueries.defs ++ SqlQueries.defs ++ ExtQueries.defs ++ Ext2Queries.defs ++ Ext3Queries.defs ++ Ext4Queries.defs ++ Ext5Queries.defs ++ Ext6Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

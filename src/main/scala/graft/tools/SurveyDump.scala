@@ -7,15 +7,13 @@ package graft.tools
   */
 object SurveyDump {
   def main(args: Array[String]): Unit = {
-    val all: Seq[(String, graft.queries.QueryDef)] =
-      graft.queries.CoreQueries.defs ++ graft.queries.SqlQueries.defs ++
-        graft.queries.ExtQueries.defs ++ graft.queries.Ext2Queries.defs ++
-        graft.queries.Ext3Queries.defs ++ graft.queries.Ext4Queries.defs ++
-        graft.queries.Ext5Queries.defs
-    all.foreach { case (n, qd) =>
+    // enumerate the DRIVER'S OWN assembly (SparkEntry.all), never a local
+    // copy of the defs concatenation: r18's §8 went stale because this
+    // object held its own list and silently missed a new defs object
+    graft.SparkEntry.all.foreach { case (n, qd) =>
       val d = qd.description.replace("\t", " ").replace("\n", " ")
       println(s"SURVEYROW\t$n\t${qd.oracle.isDefined}\t$d")
     }
-    println(s"SURVEYTOTAL\t${all.size}")
+    println(s"SURVEYTOTAL\t${graft.SparkEntry.all.size}")
   }
 }
