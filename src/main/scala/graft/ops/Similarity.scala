@@ -678,24 +678,53 @@ object Similarity {
       nCodes: Int,
       rerankK: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val effRerankK =
       if (rerankK == AdaptiveRerank) adaptiveRerankK(base.count()) else rerankK
-    // coarse codebook: first-k init, driver-collected (bounded) — the
-    // ivfTopKFromBase convention, untrained (training composes the same
-    // way via lloydStep if a deployment wants it)
-    val codebook = base
+    val codebook = ivfCoarseCodebook(base, nClusters)
+    val wideM = Caching.materializeAndRelease(
+      ivfPqCodes(base, codebook, subspaces, subDim, nCodes))
+    ivfPqQueryFromCodes(
+      base, wideM, centroidsDf(base, codebook),
+      k, queryPred, nProbe, subspaces, subDim, nCodes, effRerankK)
+  }
+
+  /** Coarse-quantizer codebook: first-`nClusters` base rows, driver-
+    * collected (bounded — IVF's premise is that the coarse codebook is
+    * tiny), untrained (training composes the same way via lloydStep if a
+    * deployment wants it).
+    */
+  private def ivfCoarseCodebook(
+      base: DataFrame,
+      nClusters: Int): Array[(Long, Array[Double], Double)] =
+    base
       .filter(col("cid") < nClusters)
       .select(col("cid").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
-    val centroids = base.sparkSession
+
+  private def centroidsDf(
+      base: DataFrame,
+      codebook: Array[(Long, Array[Double], Double)]): DataFrame =
+    base.sparkSession
       .createDataFrame(codebook.toSeq.map { case (cid, cv, cn) => (cid, cv.toSeq, cn) })
       .toDF("centroid_id", "cv", "cn")
-    // one projection: cell id + positional PQ code word per corpus row,
-    // pivoted behind its own exchange (the collapse barrier — see
-    // pqAdcTopKFromBase's wide/rank commentary, which this reuses)
+
+  /** The corpus-sized IVF-PQ INDEX frame — one row per vector: cell
+    * assignment + positional PQ code word per subspace (`vid,
+    * centroid_id, r0..r{S-1}`), computed in ONE projection and pivoted
+    * behind its own exchange (the collapse barrier — see
+    * pqAdcTopKFromBase's wide/rank commentary, which this reuses).
+    * Lazy: [[ivfPqTopKFromBase]] checkpoints it for the in-job path;
+    * [[buildIvfPqIndex]] streams it straight to parquet — the
+    * build-once / query-many artifact.
+    */
+  private[graft] def ivfPqCodes(
+      base: DataFrame,
+      codebook: Array[(Long, Array[Double], Double)],
+      subspaces: Int,
+      subDim: Int,
+      nCodes: Int): DataFrame = {
     val baseRaw = base.select(col("cid").as("vid"), col("v"), col("nrm"))
     val (codesCol, codebookIds) = pqCodebookColumn(baseRaw, subspaces, subDim, nCodes)
     val idsLit = typedLit(codebookIds.toSeq)
@@ -703,11 +732,93 @@ object Similarity {
       array_position(idsLit, element_at(col("__codes"), s + 1)).cast("int").as(s"r$s")
     }
     val parallelism = baseRaw.sparkSession.sparkContext.defaultParallelism
-    val wide = assignToCodebook(pqSpread(baseRaw), codebook)
+    assignToCodebook(pqSpread(baseRaw), codebook)
       .select(col("vid"), col("centroid_id"), codesCol.as("__codes"))
       .repartition(parallelism, col("vid"))
       .select(col("vid") +: col("centroid_id") +: wideCols: _*)
-    val wideM = Caching.materializeAndRelease(wide)
+  }
+
+  /** Persist the IVF-PQ index as a parquet artifact: `dir/centroids`
+    * (the bounded coarse codebook) and `dir/codes` (the corpus-sized
+    * compressed index, written DISTRIBUTED — one shard per partition,
+    * never driver-collected). Build-once / query-many: at 100 TB the
+    * assignment+encode pass over the corpus is the expensive step, and
+    * this is the artifact that amortizes it across query jobs
+    * ([[ivfPqTopKWithIndex]]).
+    */
+  def buildIvfPqIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      subspaces: Int,
+      subDim: Int,
+      nCodes: Int,
+      dir: String): Unit = {
+    val base = prepBase(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val codebook = ivfCoarseCodebook(base, nClusters)
+      centroidsDf(base, codebook)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      ivfPqCodes(base, codebook, subspaces, subDim, nCodes)
+        .write.mode("overwrite").parquet(s"$dir/codes")
+    } finally base.unpersist(false)
+  }
+
+  /** IVF-PQ top-k against a PERSISTED index ([[buildIvfPqIndex]]): the
+    * probe/LUT/ADC/re-rank pipeline runs over the RELOADED `codes` and
+    * `centroids` artifacts — cell assignment and PQ encoding never
+    * recompute. The raw corpus frame is still scanned for the query
+    * vectors, the ADC lookup tables and the exact re-rank (the artifact
+    * complements the corpus, it does not replace it) — the FAISS
+    * deployment shape: index build is an offline job, queries reuse it.
+    */
+  def ivfPqTopKWithIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      k: Int,
+      queryPred: Column,
+      nProbe: Int,
+      subspaces: Int,
+      subDim: Int,
+      nCodes: Int,
+      rerankK: Int = AdaptiveRerank
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    val base = prepBase(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val effRerankK =
+      if (rerankK == AdaptiveRerank) adaptiveRerankK(base.count()) else rerankK
+    Caching.materializeAndRelease(
+      ivfPqQueryFromCodes(
+        base,
+        spark.read.parquet(s"$indexDir/codes"),
+        spark.read.parquet(s"$indexDir/centroids"),
+        k, queryPred, nProbe, subspaces, subDim, nCodes, effRerankK),
+      base)
+  }
+
+  /** The query half of the composite: probe ranking, per-query ADC
+    * lookup tables, the cell-restricted ADC scan over an EXISTING codes
+    * frame (freshly built or artifact-reloaded), and the exact re-rank.
+    */
+  private[graft] def ivfPqQueryFromCodes(
+      base: DataFrame,
+      wideM: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      queryPred: Column,
+      nProbe: Int,
+      subspaces: Int,
+      subDim: Int,
+      nCodes: Int,
+      effRerankK: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // query side: probe ranking (ivfTopKFromBase convention) …
     val wProbe = Window.partitionBy("query_id").orderBy(col("psim").desc, col("centroid_id").asc)
     val probes = base

@@ -107,6 +107,48 @@ object Ext6Queries {
       "composite IVF-PQ ANN: cell-restricted ADC scan + corpus-adaptive exact re-rank"
     ),
 
+    // ---- persisted-index ANN (the production retrieval shape — VERDICT
+    //      r18 gap #3): build the IVF-PQ index ONCE (centroids + the
+    //      corpus-sized compressed codes, written distributed to
+    //      parquet), reload the artifact, and run probe/LUT/ADC/re-rank
+    //      against the RELOADED index — cell assignment and PQ encoding
+    //      never recompute at query time. The build is deterministic, so
+    //      the oracle replays the whole pipeline; k=3 ≠ ann_ivfpq_topk's
+    //      k=5 keeps the two gates' result sets independent ----
+    "ann_ivfpq_persisted" -> QueryDef(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dir = s"/tmp/graft-annindex/${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        try {
+          Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+            nClusters = 8, subspaces = 16, subDim = 4, nCodes = 64, dir)
+          // result materializes (eager checkpoint) inside
+          // ivfPqTopKWithIndex, so the finally-delete never races a
+          // lazy consumer of the artifact files
+          Similarity.ivfPqTopKWithIndex(emb, "vec_id", "embedding", dir,
+            k = 3, queryPred = col("cid") < 50, nProbe = 6,
+            subspaces = 16, subDim = 4, nCodes = 64)
+            .withColumn("rank", col("rank").cast("long"))
+        } finally {
+          try fs.delete(p, true)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              graft.util.JsonLog.warning(s"ann index artifact cleanup failed for $dir: $e")
+          }
+        }
+      },
+      Some {
+        s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |${ivfPqTopkCtes(
+              nClusters = 8, nProbe = 6, subspaces = 16, subDim = 4, nCodes = 64,
+              rerankSql = ExtQueries.pqAdaptiveRerankSql, k = 3, queryBound = 50)}
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM pq""".stripMargin
+      },
+      "IVF-PQ top-k against a persisted index artifact: build once, reload, query many (k=3)"
+    ),
+
     // ---- incremental curation funnel: the composed gopher → dedup →
     //      decontam pipeline run as a DELTA against a prior corpus
     //      snapshot — the shape a daily-ingest 100 TB pipeline actually

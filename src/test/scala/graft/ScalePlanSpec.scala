@@ -298,6 +298,38 @@ class ScalePlanSpec extends SparkSpec {
     } finally base.unpersist(false)
   }
 
+  test("ivfPqTopKWithIndex: the ADC scan broadcast-probes the RELOADED parquet index by cell id") {
+    val emb = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
+    val dir = s"/tmp/graft-test-annindex-plan/${spark.sparkContext.applicationId}"
+    val base = graft.ops.Similarity.prepBase(emb, "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.ops.Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+        nClusters = 8, subspaces = 4, subDim = 16, nCodes = 8, dir)
+      val plan = graft.ops.Similarity
+        .ivfPqQueryFromCodes(
+          base,
+          spark.read.parquet(s"$dir/codes"),
+          spark.read.parquet(s"$dir/centroids"),
+          k = 5, queryPred = col("cid") < 30, nProbe = 3,
+          subspaces = 4, subDim = 16, nCodes = 8, effRerankK = 0)
+        .queryExecution.executedPlan.toString
+      // query-many contract: the corpus-sized index arrives as a PARQUET
+      // SCAN (assignment/encode never recompute), and the ADC probe is
+      // still the broadcast hash join keyed by cell id — no shuffle of
+      // the codes, no product
+      assert(plan.contains("BroadcastHashJoin [centroid_id"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(
+        plan.toLowerCase.contains("parquet") && plan.contains("r0"),
+        s"expected the codes side to be a parquet scan of the artifact:\n$plan")
+    } finally {
+      base.unpersist(false)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("span decontamination: the corpus-side cap is a window on h, no product anywhere") {
     val plan = graft.ops.SpanDedup
       .spanDecontamVerdicts(

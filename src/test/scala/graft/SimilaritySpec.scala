@@ -245,4 +245,30 @@ class SimilaritySpec extends SparkSpec {
     // the survivor set must still cover every cell that had members
     assert(out.filter(_._3).map(_._2).toSet == cells.values.toSet)
   }
+
+  test("persisted IVF-PQ index: build -> reload -> query equals the in-job composite path") {
+    val emb = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
+    val dir = s"/tmp/graft-test-annindex/${spark.sparkContext.applicationId}"
+    try {
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+        nClusters = 8, subspaces = 16, subDim = 4, nCodes = 64, dir)
+      val persisted = Similarity
+        .ivfPqTopKWithIndex(emb, "vec_id", "embedding", dir,
+          k = 5, queryPred = col("cid") < 50, nProbe = 6,
+          subspaces = 16, subDim = 4, nCodes = 64)
+        .orderBy("query_id", "rank").collect().map(_.toSeq)
+      val inJob = Similarity
+        .ivfPqTopK(emb, "vec_id", "embedding",
+          k = 5, queryPred = col("cid") < 50, nClusters = 8, nProbe = 6,
+          subspaces = 16, subDim = 4, nCodes = 64)
+        .orderBy("query_id", "rank").collect().map(_.toSeq)
+      // the artifact path must be output-identical to building in-job:
+      // the index ships, the build never reruns
+      assert(persisted.toSeq === inJob.toSeq)
+      assert(persisted.nonEmpty)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
