@@ -562,19 +562,28 @@ object Dedup {
     * bucket self-join, `id_a < id_b` dedup. Shared by the plain candidate
     * path and the estimate-carrying path.
     */
-  private def bandedPairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** Per-document LSH band keys from a signature frame: `(sid, band,
+    * bh)` — the join-ready index rows. The band key is a fixed-width
+    * 60-bit md5 chunk of the r-component tuple, not the tuple itself:
+    * band joins shuffle 8-byte longs instead of ~70-byte strings (pure
+    * shuffle-byte savings on the hottest dedup exchange at 100 TB), and
+    * with a sound min-wise family a 60-bit hash collision is negligible
+    * next to the banding's own false-positive rate. Still exactly
+    * oracle-replayable: DuckDB computes
+    * md5(string_agg(min_j, ',' ORDER BY j)) per (doc, band).
+    */
+  private[graft] def bandKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
-    // the band key is a fixed-width 60-bit md5 chunk of the r-component
-    // tuple, not the tuple itself: the self-join below shuffles 8-byte
-    // longs instead of ~70-byte strings (pure shuffle-byte savings on the
-    // hottest dedup exchange at 100 TB), and with a sound min-wise family
-    // a 60-bit hash collision is negligible next to the banding's own
-    // false-positive rate. Still exactly oracle-replayable: DuckDB
-    // computes md5(string_agg(min_j, ',' ORDER BY j)) per (doc, band).
     val bandCols = (0 until bands).map { bIdx =>
       val parts = (0 until r).map(k => element_at(col("sig"), bIdx * r + k + 1))
       struct(lit(bIdx).as("band"), md5Chunk(md5(concat_ws(",", parts: _*)), 1, 15).as("bh"))
     }
+    sig
+      .select(col("sid"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("sid"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  private def bandedPairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     // Self-join exchange dedup: measured and NOT available under AQE in
     // this Spark — ReusedExchange fires only with AQE disabled (verified
     // on a trivial repartitioned self-join; AQE's stage cache never
@@ -585,15 +594,60 @@ object Dedup {
     // self-join under AQE; the alternative (collect_list per bucket +
     // in-row pair generation) carries the measured q_basket_lift
     // object-agg failure mode. Documented negative — bench/r13_notes.
-    val buckets = sig
-      .select(col("sid"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("sid"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val buckets = bandKeys(sig, numHashes, bands)
     val l = buckets.select(col("sid").as("id_a"), col("band"), col("bh"))
     val rgt = buckets.select(col("sid").as("id_b"), col("band"), col("bh"))
     l.join(rgt, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** Incremental fuzzy dedup against a PERSISTED snapshot signature
+    * index — the daily-ingest twin of the exact `q_dedup_incremental`
+    * anti-join: the snapshot's LSH band keys ([[bandKeys]]) are written
+    * once to parquet (the artifact an ingest pipeline carries day to
+    * day), RELOADED, and each delta batch bands only ITSELF and
+    * hash-joins the reloaded index — candidate (new, snapshot) pairs
+    * without re-shingling, re-hashing or re-banding the snapshot.
+    *
+    * 100 TB shape: per ingest, signature work is O(delta); the snapshot
+    * contributes a parquet scan of docs × bands 16-byte index rows (and
+    * in production that join prunes further by band-key bucketing). The
+    * index round-trips through the artifact on EVERY run so the gate
+    * exercises the reload path, not a warm in-memory copy.
+    */
+  def lshIncrementalCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isNewCol: Column,
+      indexDir: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"), isNewCol.as("__new"))
+    // snapshot side: band keys built once, persisted, dropped — queries
+    // read the ARTIFACT (build-once/query-many, the buildIvfPqIndex
+    // discipline)
+    val snapSig = signaturesFromShingles(
+      shingleRows(base.filter(!col("__new")), "__id", "__text", shingleN), numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandKeys(snapSig, numHashes, bands).write.mode("overwrite").parquet(indexDir)
+    snapSig.unpersist(false)
+    val snapKeys = df.sparkSession.read.parquet(indexDir)
+    // delta side: O(delta) signature + banding work
+    val deltaSig = signaturesFromShingles(
+      shingleRows(base.filter(col("__new")), "__id", "__text", shingleN), numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = bandKeys(deltaSig, numHashes, bands)
+      .select(col("sid").as("id_new"), col("band"), col("bh"))
+      .join(snapKeys.select(col("sid").as("id_snap"), col("band"), col("bh")), Seq("band", "bh"))
+      .select("id_new", "id_snap")
+      .distinct()
+    materializeAndRelease(out, deltaSig)
   }
 
   /** LSH candidate pairs annotated with the MinHash Jaccard ESTIMATE —
@@ -1040,5 +1094,52 @@ object Dedup {
       .select(
         col("__id").as(idCol),
         col("total_chunks"), col("kept_chunks"), col("cleaned_text"))
+  }
+
+  /** WITHIN-document repeated-chunk removal — the local pass of the
+    * CCNet/Gopher repetition family ([[chunkDedup]] is the corpus-wide
+    * twin): per document, `chunkTokens`-token chunks that repeat an
+    * earlier chunk of the SAME document are excised (first occurrence
+    * kept, in order). Same normalization, chunking and output contract
+    * as [[chunkDedup]].
+    *
+    * 100 TB shape — the best one there is: a PURE per-row projection.
+    * The chunk array, the first-occurrence filter (higher-order
+    * `filter` with index vs `array_position`) and the reassembled text
+    * all evaluate inside one codegen'd map over the scan — ZERO
+    * shuffle, zero joins, zero aggregation state at any corpus size.
+    * Per-doc cost is O(chunks²) string compares (array_position per
+    * chunk), bounded by document length, never the corpus.
+    */
+  def chunkDedupLocal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 8
+  ): DataFrame = {
+    val nChunks = floor((size(col("__ts")) + (chunkTokens - 1)) / chunkTokens).cast("int")
+    df
+      .select(col(idCol).as("__id"), TextOps.normTokens(col(textCol)).as("__ts"))
+      .select(
+        col("__id"),
+        transform(
+          // sequence(0, -1) counts DOWN (the chunkDedup guard): empty
+          // docs get an explicitly empty chunk list
+          when(nChunks > 0, sequence(lit(0), nChunks - 1))
+            .otherwise(array().cast("array<int>")),
+          ci => concat_ws(" ", slice(col("__ts"), ci * chunkTokens + 1, lit(chunkTokens)))
+        ).as("__chunks"))
+      .select(
+        col("__id").as(idCol),
+        size(col("__chunks")).cast("long").as("total_chunks"),
+        // keep chunk i iff its FIRST occurrence in this doc is i itself
+        // (array_position is 1-based; filter's index is 0-based)
+        filter(col("__chunks"), (c, i) => array_position(col("__chunks"), c) === (i + 1).cast("long"))
+          .as("__kept"))
+      .select(
+        col(idCol),
+        col("total_chunks"),
+        size(col("__kept")).cast("long").as("kept_chunks"),
+        array_join(col("__kept"), " ").as("cleaned_text"))
   }
 }

@@ -149,6 +149,78 @@ object Ext6Queries {
       "IVF-PQ top-k against a persisted index artifact: build once, reload, query many (k=3)"
     ),
 
+    // ---- fuzzy incremental dedup against a PERSISTED signature index:
+    //      the daily-ingest twin of q_dedup_incremental at near-dup
+    //      sensitivity — the snapshot's LSH band keys are written to a
+    //      parquet artifact, reloaded, and the delta batch bands only
+    //      ITSELF against the reloaded index (O(delta) signature work per
+    //      ingest; the snapshot never re-shingles). The banding is fully
+    //      deterministic, so the oracle replays both sides' lanes and the
+    //      split predicate exactly ----
+    "dedup_incremental_fuzzy" -> QueryDef(
+      (s, d) => {
+        val dir = s"/tmp/graft-lshindex/${s.sparkContext.applicationId}"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        try {
+          // result materializes (eager checkpoint) inside
+          // lshIncrementalCandidates — the finally-delete never races a
+          // lazy consumer of the index files
+          graft.ops.Dedup.lshIncrementalCandidates(
+            t(s, d, "documents"), "doc_id", "text",
+            isNewCol = graft.ops.Sampling.hashBucket(col("doc_id"), "inc", 100) >= 80,
+            indexDir = dir)
+        } finally {
+          try fs.delete(p, true)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              graft.util.JsonLog.warning(s"lsh index artifact cleanup failed for $dir: $e")
+          }
+        }
+      },
+      Some(s"""WITH ${ExtQueries.minhashCtes(64, 16)},
+              |flags AS (
+              |  SELECT doc_id,
+              |    CAST(('0x' || substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= 80 AS is_new
+              |  FROM documents)
+              |SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_snap
+              |FROM bnd n
+              |JOIN flags fn ON fn.doc_id = n.doc_id AND fn.is_new
+              |JOIN bnd o ON o.band = n.band AND o.bh = n.bh
+              |JOIN flags fo ON fo.doc_id = o.doc_id AND NOT fo.is_new""".stripMargin),
+      "fuzzy incremental dedup: delta LSH bands joined against the persisted snapshot signature index"
+    ),
+
+    // ---- WITHIN-document repetition removal: the local pass of the
+    //      CCNet/Gopher repetition family (dedup_paragraph is the
+    //      corpus-wide twin) — 8-token chunks repeating an earlier chunk
+    //      of the SAME doc are excised, first occurrence kept in order.
+    //      The 100 TB dream shape: ONE codegen'd projection over the
+    //      scan — zero shuffle, zero joins, no aggregation state ----
+    "dedup_paragraph_local" -> QueryDef(
+      (s, d) =>
+        graft.ops.Dedup.chunkDedupLocal(t(s, d, "documents"), "doc_id", "text", chunkTokens = 8),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(
+             |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |    list_transform(generate_series(1, CAST(ceil(len(ts) / 8.0) AS INT)),
+             |      i -> array_to_string(ts[(i-1)*8 + 1 : (i-1)*8 + 8], ' ')) AS chunks
+             |  FROM d),
+             |k AS (
+             |  SELECT doc_id, chunks,
+             |    list_filter(chunks, (x, i) -> list_position(chunks, x) = i) AS kept
+             |  FROM c)
+             |SELECT doc_id,
+             |  CAST(len(chunks) AS BIGINT) AS total_chunks,
+             |  CAST(len(kept) AS BIGINT) AS kept_chunks,
+             |  array_to_string(kept, ' ') AS cleaned_text
+             |FROM k""".stripMargin),
+      "within-doc repeated-chunk excision (first occurrence kept): one map-only projection, zero shuffle"
+    ),
+
     // ---- incremental curation funnel: the composed gopher → dedup →
     //      decontam pipeline run as a DELTA against a prior corpus
     //      snapshot — the shape a daily-ingest 100 TB pipeline actually

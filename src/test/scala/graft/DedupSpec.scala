@@ -222,4 +222,54 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((3L, 2L, "p q p")))        // in-doc repeat dropped once
     assert(!out.contains(5L))
   }
+
+  test("lshIncrementalCandidates: reloaded-index candidates = cross-split slice of the full banding") {
+    val docs = graft.queries.Tables.t(spark, sf("sf0.001"), "documents")
+    val isNew = graft.ops.Sampling.hashBucket(col("doc_id"), "inc", 100) >= 80
+    val dir = s"/tmp/graft-test-lshindex/${spark.sparkContext.applicationId}"
+    try {
+      val inc = Dedup.lshIncrementalCandidates(docs, "doc_id", "text", isNew, dir)
+        .as[(Long, Long)].collect().toSet
+      // ground truth: the FULL corpus banding restricted to (new, old)
+      // pairs — the persisted-index path must find exactly these (band
+      // keys are per-doc, so the split cannot change any key)
+      val newIds = docs.select(col("doc_id").cast("long")).where(isNew)
+        .as[Long].collect().toSet
+      val full = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .as[(Long, Long)].collect().toSet
+      val expected = full.collect {
+        case (a, b) if newIds(a) && !newIds(b) => (a, b)
+        case (a, b) if newIds(b) && !newIds(a) => (b, a)
+      }
+      assert(inc === expected)
+      assert(inc.nonEmpty) // the fixture plants cross-split near-dups
+      // orientation contract: left column is ALWAYS the delta doc
+      assert(inc.forall { case (n, o) => newIds(n) && !newIds(o) })
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("chunkDedupLocal: within-doc repeats excised, CROSS-doc repeats kept, map-only plan") {
+    val df = docs(
+      1L -> "a b c d",
+      2L -> "a b x y",     // "a b" repeats doc 1 — kept here (local semantics)
+      3L -> "p q p q p",   // [p q][p q][p] — in-doc repeat dropped
+      4L -> ""             // zero tokens → a 0/0/'' row (total on docs, unlike chunkDedup)
+    )
+    val q = Dedup.chunkDedupLocal(df, "doc_id", "text", chunkTokens = 2)
+    val out = q.as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d")))
+    assert(out(2L) == ((2L, 2L, "a b x y")))      // cross-doc dup is NOT local
+    assert(out(3L) == ((3L, 2L, "p q p")))
+    assert(out(4L) == ((0L, 0L, "")))
+    // the 100 TB contract: one projection over the scan — no exchange,
+    // no join, no aggregate anywhere in the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
 }
