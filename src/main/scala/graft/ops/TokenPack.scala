@@ -77,12 +77,25 @@ object TokenPack {
   }
 
   /** The tokenizer-inference column for one whitespace token: initial
-    * char symbols + end-of-word marker, then the learned merges applied
-    * in rank order — M chained codegen'd [[BpeMergeRuns]] passes, the
-    * same kernel training used, composed INSIDE the per-token lambda.
+    * symbols + end-of-word marker, then the learned merges applied in
+    * rank order — M chained codegen'd [[BpeMergeRuns]] passes, the same
+    * kernel training used, composed INSIDE the per-token lambda.
+    * `byteLevel` swaps the seq0: char-level splits UTF-16 units;
+    * byte-level hexes the token's UTF-8 bytes into 2-hex-digit symbols
+    * (the [[Bpe.initialByteSeqs]] recipe — exact on ALL text incl.
+    * non-BMP, and hex symbols sort identically under UTF-16 and binary
+    * UTF-8 collation, so the symbol-id assignment is engine-portable).
     */
-  private def mergedSymsCol(tok: Column, merges: Seq[Bpe.Merge]): Column = {
-    val seq0 = concat(split(tok, ""), array(lit(Bpe.EndOfWord)))
+  private def mergedSymsCol(tok: Column, merges: Seq[Bpe.Merge], byteLevel: Boolean): Column = {
+    val seq0 =
+      if (byteLevel) {
+        val h = hex(encode(tok, "UTF-8"))
+        concat(
+          transform(
+            sequence(lit(1), (length(h) / lit(2)).cast("int")),
+            i => h.substr(i * lit(2) - lit(1), lit(2))),
+          array(lit(Bpe.EndOfWord)))
+      } else concat(split(tok, ""), array(lit(Bpe.EndOfWord)))
     merges.sortBy(_.mergeRank).foldLeft(seq0) { (c, m) =>
       ExprBridge.column(BpeMergeRuns(ExprBridge.expression(c), m.symA, m.symB))
     }
@@ -105,9 +118,11 @@ object TokenPack {
     * surrogates, and [[symbolIdMap]] assigns alphabet ids in Scala's
     * UTF-16 code-unit order while a UTF-8-binary-collating oracle
     * (DuckDB) sorts the same symbols differently — id assignments
-    * diverge above U+FFFF. For corpora beyond the BMP use the byte-level
-    * trainer ([[Bpe.trainMergesBytes]], whose hex symbols sort
-    * identically on both engines) and encode/pack from its merge table.
+    * diverge above U+FFFF. For corpora beyond the BMP pass
+    * `byteLevel = true`: training, symbol-id assignment and the
+    * per-token inference all run on hex-coded UTF-8 byte symbols
+    * ([[Bpe.trainMergesBytes]] / [[Bpe.initialByteSeqs]]), which sort
+    * identically on both engines — exact on ALL text.
     */
   def packTokenWindows(
       docs: DataFrame,
@@ -118,24 +133,32 @@ object TokenPack {
       // prefix-sum parallelism; <= 0 resolves to the session's shuffle
       // partitions (the q_vocab_growth convention — offsets are
       // parts-independent, so the oracle is unaffected)
-      parts: Int = 0
+      parts: Int = 0,
+      // byte-level escape hatch for corpora beyond the BMP (see the
+      // contract note above): hex-coded UTF-8 byte symbols end to end
+      byteLevel: Boolean = false
   ): DataFrame = {
-    val (merges, symIds) = trainTokenizer(docs, textCol, numMerges)
-    packTokenWindowsWith(docs, idCol, textCol, merges, symIds, contextLen, parts)
+    val (merges, symIds) = trainTokenizer(docs, textCol, numMerges, byteLevel)
+    packTokenWindowsWith(docs, idCol, textCol, merges, symIds, contextLen, parts, byteLevel)
   }
 
-  /** Train the char-level BPE and derive its bounded symbol-id map — the
-    * TOKENIZER ARTIFACT pair ([[saveTokenizer]]/[[loadTokenizer]] persist
-    * and reload exactly these two values). Split out of
-    * [[packTokenWindows]] so production deployments can train once, ship
-    * the artifact, and pack many corpora without re-training.
+  /** Train the BPE and derive its bounded symbol-id map — the TOKENIZER
+    * ARTIFACT pair ([[saveTokenizer]]/[[loadTokenizer]] persist and
+    * reload exactly these two values). Split out of [[packTokenWindows]]
+    * so production deployments can train once, ship the artifact, and
+    * pack many corpora without re-training. `byteLevel` trains on
+    * hex-coded UTF-8 byte symbols ([[Bpe.trainMergesBytes]]) — exact on
+    * all text including non-BMP code points.
     */
   def trainTokenizer(
       docs: DataFrame,
       textCol: String,
-      numMerges: Int): (Seq[Bpe.Merge], Map[String, Long]) = {
-    val merges = Bpe.trainMergeSeq(docs, textCol, numMerges)
-    (merges, symbolIdMap(Bpe.initialSeqs(Bpe.wordVocab(docs, textCol)), merges))
+      numMerges: Int,
+      byteLevel: Boolean = false): (Seq[Bpe.Merge], Map[String, Long]) = {
+    val merges = Bpe.trainMergeSeq(docs, textCol, numMerges, byteLevel)
+    val vocab = Bpe.wordVocab(docs, textCol)
+    val seq0 = if (byteLevel) Bpe.initialByteSeqs(vocab) else Bpe.initialSeqs(vocab)
+    (merges, symbolIdMap(seq0, merges))
   }
 
   /** Persist a trained tokenizer as a parquet artifact: `dir/merges`
@@ -199,7 +222,8 @@ object TokenPack {
       merges: Seq[Bpe.Merge],
       symIds: Map[String, Long],
       contextLen: Int,
-      parts: Int = 0
+      parts: Int = 0,
+      byteLevel: Boolean = false
   ): DataFrame = {
     require(contextLen > 0, s"contextLen must be positive: $contextLen")
     val effParts =
@@ -221,7 +245,7 @@ object TokenPack {
         concat(
           flatten(transform(
             col("__ts"),
-            w => transform(mergedSymsCol(w, merges), s => element_at(idMapLit, s)))),
+            w => transform(mergedSymsCol(w, merges, byteLevel), s => element_at(idMapLit, s)))),
           array(lit(SepId))).as("ids"))
       .withColumn("n", size(col("ids")).cast("long"))
     var offsets: DataFrame = null

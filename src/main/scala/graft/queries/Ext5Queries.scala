@@ -45,12 +45,12 @@ object Ext5Queries {
     */
   private val MultibytePlant = " café über 日本語 😀tok"
 
-  private val MultibytePlantSql =
+  private[queries] val MultibytePlantSql =
     "CASE WHEN doc_id % 10 < 3 THEN text || ' caf' || chr(233) || ' ' || chr(252) || " +
       "'ber ' || chr(26085) || chr(26412) || chr(35486) || ' ' || chr(128512) || 'tok' " +
       "ELSE text END"
 
-  private def plantedMultibyteDocs(s: SparkSession, d: String): DataFrame =
+  private[queries] def plantedMultibyteDocs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(
       col("doc_id"),
       when(col("doc_id") % 10 < 3, concat(col("text"), lit(MultibytePlant)))
@@ -419,7 +419,7 @@ object Ext5Queries {
     * + the end-of-word marker — replays
     * [[graft.ops.Bpe.initialByteSeqs]].
     */
-  private def ByteSeq0Sql: String =
+  private[queries] def ByteSeq0Sql: String =
     "list_append(list_transform(generate_series(1, length(hex(encode(w))) // 2), " +
       "i -> substr(hex(encode(w)), i * 2 - 1, 2)), '</w>')"
 

@@ -27,6 +27,11 @@ object Ext6Queries {
     */
   private val ArtifactContextLen = 96
 
+  /** Context length for the byte-level packing gate (≠ 128/96 so all
+    * three packing gates' result sets are independent).
+    */
+  private val BytePackContextLen = 112
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- token-ID sequences + fixed-context packing: train the BPE,
@@ -45,6 +50,25 @@ object Ext6Queries {
           numMerges = PackMerges, contextLen = ContextLen),
       Some(packOracle(PackMerges, ContextLen)),
       s"BPE token-id packing into $ContextLen-token training windows with per-window content fingerprints"
+    ),
+
+    // ---- BYTE-LEVEL token packing: the packTokenWindows escape hatch
+    //      for corpora beyond the BMP — training, symbol-id assignment
+    //      and per-token inference all on hex-coded UTF-8 byte symbols,
+    //      exact on non-BMP text (the multibyte-planted corpus: é, ü,
+    //      日本語 and the surrogate-pair 😀 the char-level splitter
+    //      cannot represent). Window length 112 keeps the result set
+    //      independent of the char-level gates ----
+    "text_pack_sequences_bytes" -> QueryDef(
+      (s, d) =>
+        TokenPack.packTokenWindows(
+          Ext5Queries.plantedMultibyteDocs(s, d), "doc_id", "text",
+          numMerges = PackMerges, contextLen = BytePackContextLen, byteLevel = true),
+      Some(packOracle(
+        PackMerges, BytePackContextLen,
+        textSql = Ext5Queries.MultibytePlantSql,
+        seq0Sql = Ext5Queries.ByteSeq0Sql)),
+      s"byte-level BPE token-id packing ($BytePackContextLen-token windows) on multibyte-planted text — exact beyond the BMP"
     ),
 
     // ---- tokenizer-artifact round-trip: train the BPE ONCE, persist
@@ -577,11 +601,15 @@ object Ext6Queries {
     * (doc, token pos, symbol pos)-ordered id stream with one separator
     * row per document, and the `row_number div contextLen` window roll-up.
     */
-  private def packOracle(m: Int, contextLen: Int): String = {
+  private def packOracle(
+      m: Int,
+      contextLen: Int,
+      textSql: String = "text",
+      seq0Sql: String = Ext5Queries.CharSeq0Sql): String = {
     val msym = (1 to m)
       .map(i => s"SELECT replace(pair, ' ', '') AS sym, (SELECT COUNT(*) FROM alpha) + $i AS id FROM m$i")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH ${Ext5Queries.bpeCtes(m, "text", Ext5Queries.CharSeq0Sql)},
+    s"""WITH ${Ext5Queries.bpeCtes(m, textSql, seq0Sql)},
        |alpha AS (SELECT DISTINCT sym FROM (SELECT unnest(s) AS sym FROM seq0)),
        |aids AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id FROM alpha),
        |msym AS (
@@ -596,7 +624,7 @@ object Ext6Queries {
        |  FROM seq$m, LATERAL (SELECT unnest(generate_series(1, len(s))) AS i) g),
        |wids AS (SELECT w, spos, id FROM wsym JOIN sid USING (sym)),
        |toks AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim($textSql), '\\s+'), x -> x <> '') AS ts
        |  FROM documents),
        |dt AS (
        |  SELECT doc_id, g.i AS tpos, ts[g.i] AS w

@@ -68,6 +68,35 @@ class TokenPackSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("byteLevel packing: ASCII counts match char level; non-BMP text packs exactly") {
+    // BpeSpec proves the ASCII char<->byte 1:1 correspondence (2-hex
+    // symbols are order-preserving on bytes), so on a pure-ASCII corpus
+    // the two regimes produce identical window GEOMETRY (ids differ —
+    // different alphabets — but every count matches)
+    val ascii = Seq((1L, "low lower low"), (2L, "new newer new")).toDF("doc_id", "text")
+    val ch = TokenPack.packTokenWindows(ascii, "doc_id", "text", 2, 8)
+      .select("window_id", "n_tokens", "n_seps").orderBy("window_id").collect().map(_.toSeq)
+    val by = TokenPack.packTokenWindows(ascii, "doc_id", "text", 2, 8, byteLevel = true)
+      .select("window_id", "n_tokens", "n_seps").orderBy("window_id").collect().map(_.toSeq)
+    assert(ch.toSeq === by.toSeq)
+    // non-BMP: the surrogate-pair emoji packs deterministically at byte
+    // level (4 UTF-8 bytes -> 4 hex symbols + </w>); every doc's
+    // separator arrives (n_seps total = doc count) and repeat runs agree
+    val uni = Seq((1L, "café 😀"), (2L, "😀 x")).toDF("doc_id", "text")
+    val a = TokenPack.packTokenWindows(uni, "doc_id", "text", 2, 6, byteLevel = true)
+      .orderBy("window_id").collect().map(_.toSeq)
+    val b = TokenPack.packTokenWindows(uni, "doc_id", "text", 2, 6, byteLevel = true)
+      .orderBy("window_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_(2).asInstanceOf[Long]).sum === 2L) // one separator per doc
+    // and the byte-level alphabet is pure ASCII (hex pairs + </w>), so
+    // the symbol-id assignment is collation-portable by construction
+    val (_, symIds) = TokenPack.trainTokenizer(uni, "text", 2, byteLevel = true)
+    // alphabet = hex pairs + </w>; merged symbols concatenate those —
+    // either way, pure ASCII
+    assert(symIds.keys.forall(s => s.nonEmpty && s.matches("([0-9A-F]{2})*(</w>)?")))
+  }
+
   test("tokenizer artifact round-trip: save -> load preserves the tokenizer; packing parity") {
     val docs = Seq(
       (1L, "low lower lowest low low"),
