@@ -35,11 +35,25 @@ object Bench {
       }
       (rep, rest.toSeq)
     }
+    // Default repeat at the GATE scale (sf<=0.1) is 3, not 1 (r19 verdict
+    // #2): the driver passes no args, and its single-pass BENCH_r{N}.json
+    // kept sampling contention bursts on this intermittently-contended
+    // host — r19's driver record showed six phantom >2x entries that
+    // same-code --repeat 3 records disproved. Larger fixtures keep the
+    // single-pass default (a tripled sf10 sweep would run ~1h; those
+    // records are produced deliberately via sweep.py --repeat 3). An
+    // explicit --repeat or SPARK_GRAFT_BENCH_REPEAT always wins.
+    val defaultRepeat = {
+      val sfNum = "sf([0-9][0-9.]*)/*$".r
+        .findFirstMatchIn(sfDir)
+        .flatMap(m => scala.util.Try(m.group(1).stripSuffix(".").toDouble).toOption)
+      if (sfNum.exists(_ <= 0.1)) 3 else 1
+    }
     val repeat = math.max(
       1,
       repeatArg
         .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt))
-        .getOrElse(1))
+        .getOrElse(defaultRepeat))
     // optional positional comma-separated name filter (mirrors Verify's):
     // `runMain graft.Bench q_a,q_b` times just those queries at the
     // driver's exact session config — the isolated-re-measure path that

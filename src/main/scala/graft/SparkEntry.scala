@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, ExtQueries, QueryDef, SqlQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, ExtQueries, QueryDef, SqlQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,7 +18,7 @@ object SparkEntry {
     * drift.
     */
   private[graft] val all: Seq[(String, QueryDef)] =
-    CoreQueries.defs ++ SqlQueries.defs ++ ExtQueries.defs ++ Ext2Queries.defs ++ Ext3Queries.defs ++ Ext4Queries.defs ++ Ext5Queries.defs ++ Ext6Queries.defs
+    CoreQueries.defs ++ SqlQueries.defs ++ ExtQueries.defs ++ Ext2Queries.defs ++ Ext3Queries.defs ++ Ext4Queries.defs ++ Ext5Queries.defs ++ Ext6Queries.defs ++ Ext7Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the whole spec→extract path: config-driven brand filter,

@@ -29,17 +29,30 @@ private[graft] object Caching {
   def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(true)
     // Release BOTH block populations behind each intermediate: unpersist
-    // covers persist() caches; checkpointRdds covers localCheckpoint(true)
-    // frames, for which Dataset.unpersist is a documented no-op (it only
-    // clears cacheManager entries) — without the second sweep a
-    // checkpointed intermediate's blocks leak until the ContextCleaner
-    // GCs them, violating this object's release discipline.
+    // covers persist() caches; the root sweep covers frames that ARE a
+    // localCheckpoint(true) result (plan root = LogicalRDD), for which
+    // Dataset.unpersist is a documented no-op (it only clears cacheManager
+    // entries) — without it a checkpointed intermediate's blocks leak
+    // until the ContextCleaner GCs them. The sweep deliberately checks the
+    // plan ROOT, not every LogicalRDD leaf: a leaf sweep would
+    // destructively drop the non-recomputable blocks of any LIVE upstream
+    // checkpoint a derived `cached` frame happens to read — a silent
+    // contract sharpening (r19 advice). A frame merely DERIVED from a
+    // checkpoint gets the harmless persist-only release; callers that own
+    // a dead upstream checkpoint release it explicitly via [[release]].
     cached.foreach { c =>
       c.unpersist(false)
-      checkpointRdds(c).foreach(_.unpersist(false))
+      if (isCheckpointRoot(c)) checkpointRdds(c).foreach(_.unpersist(false))
     }
     out
   }
+
+  /** True iff `df` IS a (local)checkpoint result — its analyzed plan root
+    * is the LogicalRDD holding the checkpoint blocks — as opposed to a
+    * frame merely derived from one.
+    */
+  private def isCheckpointRoot(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.isInstanceOf[LogicalRDD]
 
   /** The persisted RDDs behind a (local)checkpointed frame: every
     * LogicalRDD leaf in its analyzed plan. Empty for frames that were

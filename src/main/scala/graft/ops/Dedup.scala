@@ -627,20 +627,109 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16
   ): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"), isNewCol.as("__new"))
     // snapshot side: band keys built once, persisted, dropped — queries
     // read the ARTIFACT (build-once/query-many, the buildIvfPqIndex
     // discipline)
-    val snapSig = signaturesFromShingles(
-      shingleRows(base.filter(!col("__new")), "__id", "__text", shingleN), numHashes)
+    lshBuildIndex(
+      base.filter(!col("__new")), "__id", "__text", indexDir, shingleN, numHashes, bands)
+    deltaCandidatesVsIndex(base.filter(col("__new")), indexDir)
+  }
+
+  /** Persist an LSH signature index: the snapshot's per-document band
+    * keys ([[bandKeys]]) at `indexDir/keys` plus the build-time banding
+    * hyperparameters at `indexDir/params` (validated on every read — a
+    * delta banded with different shingleN/numHashes/bands than the index
+    * would join keys from incompatible hash families and silently return
+    * garbage candidates; see [[graft.util.ArtifactParams]]).
+    */
+  def lshBuildIndex(
+      snapshot: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.util.ArtifactParams.write(
+      snapshot.sparkSession, s"$indexDir/params", lshParams(shingleN, numHashes, bands))
+    val sig = signaturesFromShingles(
+      shingleRows(snapshot, idCol, textCol, shingleN), numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandKeys(snapSig, numHashes, bands).write.mode("overwrite").parquet(indexDir)
-    snapSig.unpersist(false)
-    val snapKeys = df.sparkSession.read.parquet(indexDir)
-    // delta side: O(delta) signature + banding work
+    bandKeys(sig, numHashes, bands).write.mode("overwrite").parquet(s"$indexDir/keys")
+    sig.unpersist(false)
+  }
+
+  private def lshParams(shingleN: Int, numHashes: Int, bands: Int): Seq[(String, String)] =
+    Seq(
+      "kind" -> "lsh_band_index",
+      "shingle_n" -> shingleN.toString,
+      "num_hashes" -> numHashes.toString,
+      "bands" -> bands.toString)
+
+  /** Day-N ingest against a persisted LSH index ([[lshBuildIndex]]):
+    * band the DELTA batch (O(delta) signature work, hyperparameters FROM
+    * the artifact's params — nothing for the caller to mis-repeat), join
+    * it against the reloaded index for (new, indexed) candidate pairs,
+    * then APPEND the delta's band keys to the index artifact so the NEXT
+    * ingest dedups against snapshot ∪ all prior deltas — the maintenance
+    * step that completes the daily-ingest story (r19 verdict #3): the
+    * index absorbs each delta instead of being rebuilt from the full
+    * snapshot per run. Band keys are a pure per-document function of
+    * (text, hyperparameters), so index-after-append is ROW-IDENTICAL to
+    * a from-scratch rebuild over snapshot ∪ delta (the
+    * `dedup_index_append` gate replays two consecutive ingests against
+    * exactly that rebuilt-semantics oracle).
+    *
+    * The candidate result is eagerly materialized BEFORE the append
+    * write, so a delta never bands against its own keys.
+    */
+  def lshIngestAppend(
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String): DataFrame = {
+    val base = delta.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val spark = delta.sparkSession
+    val params = graft.util.ArtifactParams.read(spark, s"$indexDir/params")
+    require(
+      params.get("kind").contains("lsh_band_index"),
+      s"artifact at $indexDir is not an LSH band index (kind=${params.get("kind")})")
+    val (shingleN, numHashes, bands) =
+      (params("shingle_n").toInt, params("num_hashes").toInt, params("bands").toInt)
     val deltaSig = signaturesFromShingles(
-      shingleRows(base.filter(col("__new")), "__id", "__text", shingleN), numHashes)
+      shingleRows(base, "__id", "__text", shingleN), numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the delta's band keys feed BOTH the candidate join and the append —
+    // checkpoint once so the signature fold runs once
+    val deltaKeys = bandKeys(deltaSig, numHashes, bands).localCheckpoint(true)
+    deltaSig.unpersist(false)
+    val snapKeys = spark.read.parquet(s"$indexDir/keys")
+    val out = deltaKeys
+      .select(col("sid").as("id_new"), col("band"), col("bh"))
+      .join(snapKeys.select(col("sid").as("id_snap"), col("band"), col("bh")), Seq("band", "bh"))
+      .select("id_new", "id_snap")
+      .distinct()
+    // materialize candidates BEFORE the append so this batch never joins
+    // against its own keys, then absorb the delta into the artifact
+    val res = materializeAndRelease(out)
+    deltaKeys.write.mode("append").parquet(s"$indexDir/keys")
+    Caching.release(deltaKeys)
+    res
+  }
+
+  /** [[lshIncrementalCandidates]]' delta half, shared with the gate that
+    * does not append (build + one query).
+    */
+  private def deltaCandidatesVsIndex(delta: DataFrame, indexDir: String): DataFrame = {
+    val spark = delta.sparkSession
+    val params = graft.util.ArtifactParams.read(spark, s"$indexDir/params")
+    val (shingleN, numHashes, bands) =
+      (params("shingle_n").toInt, params("num_hashes").toInt, params("bands").toInt)
+    val snapKeys = spark.read.parquet(s"$indexDir/keys")
+    val deltaSig = signaturesFromShingles(
+      shingleRows(delta, "__id", "__text", shingleN), numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = bandKeys(deltaSig, numHashes, bands)
       .select(col("sid").as("id_new"), col("band"), col("bh"))
@@ -1119,7 +1208,14 @@ object Dedup {
   ): DataFrame = {
     val nChunks = floor((size(col("__ts")) + (chunkTokens - 1)) / chunkTokens).cast("int")
     df
-      .select(col(idCol).as("__id"), TextOps.normTokens(col(textCol)).as("__ts"))
+      // NULL text ≡ empty doc (0 chunks), matching the oracle's coalesce:
+      // without it TokenRuns null-propagates and size(null) = -1 takes the
+      // empty-array path on the Spark side while a SQL NULL list
+      // propagates to (NULL, NULL, NULL) — the packTokenWindows NULL
+      // hazard class (r19 advice)
+      .select(
+        col(idCol).as("__id"),
+        TextOps.normTokens(coalesce(col(textCol), lit(""))).as("__ts"))
       .select(
         col("__id"),
         transform(

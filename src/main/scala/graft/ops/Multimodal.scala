@@ -443,14 +443,22 @@ object Multimodal {
     * for why raising the guarantee to the verify radius (≤ 12) is a
     * scale anti-pattern (≥13 bands of ≤4 bits → O(n²/16) candidates).
     */
-  def dhashBandCandidates(hashes: DataFrame): DataFrame = {
+  def dhashBandCandidates(hashes: DataFrame): DataFrame =
+    fpBandCandidates(hashes, "dhash")
+
+  /** The Hamming-band candidate recipe over ANY ≤56-bit fingerprint
+    * column — shared by the image (dHash) and audio (energy-delta)
+    * near-dup operators; see [[dhashBandCandidates]] for the
+    * completeness bound discussion.
+    */
+  def fpBandCandidates(hashes: DataFrame, fpCol: String): DataFrame = {
     val bands = hashes.select(
       col("doc_id"),
       explode(expr(s"sequence(0, ${PhashBands - 1})")).as("band"),
-      col("dhash"))
+      col(fpCol).as("__fp"))
       .select(
         col("doc_id"), col("band"),
-        expr(s"shiftrightunsigned(dhash, band * $PhashBandBits) & ${(1 << PhashBandBits) - 1}")
+        expr(s"shiftrightunsigned(__fp, band * $PhashBandBits) & ${(1 << PhashBandBits) - 1}")
           .as("bkey"))
     bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
       .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
@@ -458,6 +466,91 @@ object Multimodal {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** Audio fingerprint geometry shared by [[synthToneWav]],
+    * [[audioFp56]] and the `mm_audio_dedup` oracle: 57 windows of 16
+    * mono 16-bit PCM frames (912-frame clips), bit w set iff window
+    * w+1's amplitude sum is strictly greater than window w's — the
+    * sign-of-delta-energy fingerprint, 56 bits (non-negative BIGINT on
+    * both engines, same band shifts as the image dHash).
+    */
+  val AudioFpWindows = 57
+  val AudioFpWinFrames = 16
+
+  /** The deterministic per-window amplitude of the planted audio
+    * fixture — the 1-D twin of [[dHashCellValue]] (same cubic-residue
+    * recipe, same bounded-integer oracle replay): `variant` 1 of an
+    * EVEN group perturbs windows {3, 22, 41} only (a NEAR duplicate —
+    * ≤ 6 fingerprint bits move, confined to bands 0–2, so band 3
+    * guarantees the candidate); `variant` 1 of an ODD group remixes the
+    * whole envelope (a far clip — never survives the ≤ 12 verify).
+    */
+  def audioWindowAmp(grp: Long, variant: Long, w: Int): Int = {
+    val k =
+      if (variant == 1 && grp % 2 == 1) (grp * 95 + w * 37 + 17) % 251
+      else (grp * 63 + w * 11) % 251
+    val v = (k * k * k % 251).toInt
+    if (variant == 1 && grp % 2 == 0 && w % 19 == 3) (v + 60) % 251 else v
+  }
+
+  /** Real WAV whose 16-frame windows hold the constant sample value
+    * [[audioWindowAmp]] — the audio counterpart of [[synthCellPng]]:
+    * the decode side reads true PCM back through `javax.sound.sampled`,
+    * and because every window is constant the decoded window sums equal
+    * 16·amp exactly, so the oracle predicts the fingerprint with pure
+    * arithmetic.
+    */
+  def synthToneWav(grp: Long, variant: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val frames = AudioFpWindows * AudioFpWinFrames
+    val fmt = new AudioFormat(8000f, 16, 1, true, false) // mono 16-bit LE
+    val data = new Array[Byte](frames * 2)
+    var w = 0
+    while (w < AudioFpWindows) {
+      val a = audioWindowAmp(grp, variant, w)
+      var i = w * AudioFpWinFrames
+      while (i < (w + 1) * AudioFpWinFrames) {
+        data(2 * i) = (a & 0xff).toByte
+        data(2 * i + 1) = ((a >> 8) & 0xff).toByte
+        i += 1
+      }
+      w += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** 56-bit sign-of-delta-energy fingerprint over a decoded WAV clip:
+    * 16-bit LE PCM samples summed per [[AudioFpWinFrames]]-frame window
+    * (integer sums — no floats), bit w set iff window w+1's sum is
+    * strictly greater than window w's. The REAL decode path: samples
+    * come back through `javax.sound.sampled`, not the generator formula.
+    * Clips shorter than the geometry leave missing windows at sum 0.
+    */
+  def audioFp56(wav: Array[Byte]): Long = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val sums = new Array[Long](AudioFpWindows)
+    val nSamples = math.min(bytes.length / 2, AudioFpWindows * AudioFpWinFrames)
+    var i = 0
+    while (i < nSamples) {
+      val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+      sums(i / AudioFpWinFrames) += s
+      i += 1
+    }
+    var h = 0L
+    var w = 0
+    while (w < AudioFpWindows - 1) {
+      if (sums(w + 1) > sums(w)) h |= 1L << w
+      w += 1
+    }
+    h
   }
 
   /** Deterministic real WAV payload with exactly `frames` frames of

@@ -371,9 +371,31 @@ object Similarity {
       subspaces: Int,
       subDim: Int,
       nCodes: Int
-  ): (Column, Array[Long]) = {
-    val cbRows = baseRaw.filter(col("vid") < nCodes).select("vid", "v").collect()
+  ): (Column, Array[Long]) =
+    pqCodebookColumnFromRows(baseRaw, collectPqCodebookRows(baseRaw, nCodes), subspaces, subDim)
+
+  /** The bounded PQ codebook rows (first-`nCodes` vectors by id) —
+    * driver-collected once at encode/build time; [[buildIvfPqIndex]]
+    * persists exactly these so the append path encodes deltas under the
+    * FROZEN book instead of deriving a fresh one from the delta.
+    */
+  private[graft] def collectPqCodebookRows(
+      baseRaw: DataFrame,
+      nCodes: Int): Array[(Long, Array[Double])] =
+    baseRaw.filter(col("vid") < nCodes).select("vid", "v").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+  /** [[pqCodebookColumn]] under ALREADY-COLLECTED codebook rows (freshly
+    * derived or artifact-reloaded) — the assignment column is a pure
+    * function of (v, codebook), so the two paths encode identically by
+    * construction.
+    */
+  private[graft] def pqCodebookColumnFromRows(
+      baseRaw: DataFrame,
+      cbRows: Array[(Long, Array[Double])],
+      subspaces: Int,
+      subDim: Int
+  ): (Column, Array[Long]) = {
     val codes = cbRows.map(_._1)
     val nc = codes.length
     val cvs = new Array[Array[Double]](subspaces * nc)
@@ -724,9 +746,15 @@ object Similarity {
       codebook: Array[(Long, Array[Double], Double)],
       subspaces: Int,
       subDim: Int,
-      nCodes: Int): DataFrame = {
+      nCodes: Int,
+      // artifact-reloaded PQ codebook rows for the delta-append path;
+      // None derives the book from `base` (the build path)
+      pqRows: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     val baseRaw = base.select(col("cid").as("vid"), col("v"), col("nrm"))
-    val (codesCol, codebookIds) = pqCodebookColumn(baseRaw, subspaces, subDim, nCodes)
+    val (codesCol, codebookIds) = pqRows match {
+      case Some(rows) => pqCodebookColumnFromRows(baseRaw, rows, subspaces, subDim)
+      case None       => pqCodebookColumn(baseRaw, subspaces, subDim, nCodes)
+    }
     val idsLit = typedLit(codebookIds.toSeq)
     val wideCols = (0 until subspaces).map { s =>
       array_position(idsLit, element_at(col("__codes"), s + 1)).cast("int").as(s"r$s")
@@ -758,13 +786,81 @@ object Similarity {
     val base = prepBase(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val spark = base.sparkSession
+      // build-time hyperparameters travel WITH the artifact and are
+      // validated on every load ([[graft.util.ArtifactParams]]): a query
+      // or append run supplying different nCodes/subDim than the codes
+      // were encoded with fails loudly instead of silently scoring
+      // against a stale codebook (r19 advice).
+      graft.util.ArtifactParams.write(spark, s"$dir/params", ivfPqParams(nClusters, subspaces, subDim, nCodes))
       val codebook = ivfCoarseCodebook(base, nClusters)
       centroidsDf(base, codebook)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/centroids")
-      ivfPqCodes(base, codebook, subspaces, subDim, nCodes)
+      // the raw PQ codebook rows (bounded: nCodes vectors) — persisted so
+      // [[appendToIvfPqIndex]] encodes deltas under the FROZEN book; the
+      // in-job build derives the identical book from these same rows
+      val baseRaw = base.select(col("cid").as("vid"), col("v"), col("nrm"))
+      val pqRows = collectPqCodebookRows(baseRaw, nCodes)
+      spark
+        .createDataFrame(pqRows.toSeq.map { case (vid, v) => (vid, v.toSeq) })
+        .toDF("vid", "v")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/pqbook")
+      ivfPqCodes(base, codebook, subspaces, subDim, nCodes, Some(pqRows))
         .write.mode("overwrite").parquet(s"$dir/codes")
     } finally base.unpersist(false)
+  }
+
+  private def ivfPqParams(
+      nClusters: Int, subspaces: Int, subDim: Int, nCodes: Int): Seq[(String, String)] =
+    Seq(
+      "kind" -> "ivfpq",
+      "n_clusters" -> nClusters.toString,
+      "subspaces" -> subspaces.toString,
+      "sub_dim" -> subDim.toString,
+      "n_codes" -> nCodes.toString)
+
+  /** Append a DELTA batch to a persisted IVF-PQ index
+    * ([[buildIvfPqIndex]]) under the artifact's FROZEN codebooks: the
+    * delta vectors are coarse-assigned against the reloaded centroids and
+    * PQ-encoded against the reloaded `pqbook`, and their code rows are
+    * parquet-APPENDED to `dir/codes` — the daily-ingest maintenance step.
+    * Nothing already in the index is touched or recomputed, so the cost
+    * is O(delta) encode work + one append write; because every code row
+    * is a pure function of (vector, frozen codebook), the appended index
+    * is ROW-IDENTICAL to a from-scratch rebuild over build ∪ delta
+    * whenever the build slice contains the codebook prefix (the
+    * `ann_ivfpq_append` gate proves exactly that equivalence).
+    *
+    * Build-time hyperparameters come FROM the artifact's params table —
+    * there is nothing for a caller to mis-repeat.
+    */
+  def appendToIvfPqIndex(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String): Unit = {
+    val spark = delta.sparkSession
+    val params = graft.util.ArtifactParams.read(spark, s"$dir/params")
+    require(
+      params.get("kind").contains("ivfpq"),
+      s"artifact at $dir is not an IVF-PQ index (kind=${params.get("kind")})")
+    val subspaces = params("subspaces").toInt
+    val subDim = params("sub_dim").toInt
+    val nCodes = params("n_codes").toInt
+    val codebook = spark.read.parquet(s"$dir/centroids")
+      .select("centroid_id", "cv", "cn").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val pqRows = spark.read.parquet(s"$dir/pqbook")
+      .select("vid", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val base = prepBase(delta, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try ivfPqCodes(base, codebook, subspaces, subDim, nCodes, Some(pqRows))
+      .write.mode("append").parquet(s"$dir/codes")
+    finally base.unpersist(false)
   }
 
   /** IVF-PQ top-k against a PERSISTED index ([[buildIvfPqIndex]]): the
@@ -789,6 +885,18 @@ object Similarity {
       rerankK: Int = AdaptiveRerank
   ): DataFrame = {
     val spark = emb.sparkSession
+    // fail loudly if the query's encode hyperparameters differ from the
+    // artifact's build-time ones — a mismatched subDim/nCodes would score
+    // the persisted codes against a freshly derived (stale) codebook and
+    // silently return wrong neighbors (r19 advice). nClusters is a
+    // build-only knob, checked implicitly through the persisted centroids.
+    graft.util.ArtifactParams.validate(
+      spark, s"$indexDir/params",
+      Seq(
+        "kind" -> "ivfpq",
+        "subspaces" -> subspaces.toString,
+        "sub_dim" -> subDim.toString,
+        "n_codes" -> nCodes.toString))
     val base = prepBase(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val effRerankK =

@@ -171,8 +171,20 @@ object TokenPack {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       merges: Seq[Bpe.Merge],
-      symIds: Map[String, Long]): Unit = {
+      symIds: Map[String, Long],
+      byteLevel: Boolean = false): Unit = {
     import spark.implicits._
+    // build-time hyperparameters travel WITH the artifact (r19 advice):
+    // packing a corpus with a byteLevel that differs from how the merges
+    // were trained would tokenize garbage silently — loadTokenizer
+    // validates, and [[packTokenWindowsWithArtifact]] takes byteLevel
+    // FROM the artifact so there is nothing to mis-repeat.
+    graft.util.ArtifactParams.write(
+      spark, s"$dir/params",
+      Seq(
+        "kind" -> "bpe_tokenizer",
+        "num_merges" -> merges.size.toString,
+        "byte_level" -> byteLevel.toString))
     merges.toDF()
       .select(
         col("mergeRank").as("merge_rank"),
@@ -194,6 +206,23 @@ object TokenPack {
   def loadTokenizer(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): (Seq[Bpe.Merge], Map[String, Long]) = {
+    val (m, s, _) = loadTokenizerChecked(spark, dir)
+    (m, s)
+  }
+
+  /** [[loadTokenizer]] plus the artifact's build-time `byteLevel` flag,
+    * with the params table validated against the loaded merge table —
+    * a truncated/mismatched artifact fails loudly here instead of
+    * tokenizing garbage downstream.
+    */
+  def loadTokenizerChecked(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[Bpe.Merge], Map[String, Long], Boolean) = {
+    val params = graft.util.ArtifactParams.read(spark, s"$dir/params")
+    require(
+      params.get("kind").contains("bpe_tokenizer"),
+      s"artifact at $dir is not a BPE tokenizer (kind=${params.get("kind")})")
+    val byteLevel = params("byte_level").toBoolean
     val merges = spark.read.parquet(s"$dir/merges")
       .select("merge_rank", "sym_a", "sym_b", "merged", "pair_count")
       .collect()
@@ -205,17 +234,79 @@ object TokenPack {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .toMap
-    (merges, symIds)
+    require(
+      merges.size == params("num_merges").toInt,
+      s"tokenizer artifact at $dir is corrupt: params say ${params("num_merges")} merges, " +
+        s"merge table has ${merges.size}")
+    (merges, symIds, byteLevel)
   }
 
-  /** [[packTokenWindows]] under an ALREADY-TRAINED tokenizer — the
-    * production runtime shape: the merge table + symbol-id map arrive as
-    * driver values (freshly trained or [[loadTokenizer]]-reloaded) and
-    * ship to the executors as plan literals; the corpus is tokenized in
-    * place exactly as in the train-in-job path, so the two paths are
-    * output-identical by construction.
+  /** [[packTokenWindowsWith]] straight off a persisted artifact: the
+    * merge table, symbol-id map AND the byte-level flag all come from
+    * the artifact (validated on load) — the deployment entry point with
+    * no caller-repeated hyperparameters.
     */
-  def packTokenWindowsWith(
+  def packTokenWindowsWithArtifact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      contextLen: Int,
+      parts: Int = 0): DataFrame = {
+    val (merges, symIds, byteLevel) = loadTokenizerChecked(docs.sparkSession, dir)
+    packTokenWindowsWith(docs, idCol, textCol, merges, symIds, contextLen, parts, byteLevel)
+  }
+
+  /** DOCUMENT-INTACT packing: [[packBinsShelf]] under a freshly trained
+    * tokenizer — the [[packTokenWindows]] twin for the fine-tuning data
+    * shape where sequences must not cross document boundaries.
+    */
+  def packBins(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numMerges: Int,
+      contextLen: Int,
+      parts: Int = 0,
+      byteLevel: Boolean = false
+  ): DataFrame = {
+    val (merges, symIds) = trainTokenizer(docs, textCol, numMerges, byteLevel)
+    packBinsShelf(docs, idCol, textCol, merges, symIds, contextLen, parts, byteLevel)
+  }
+
+  /** Shelf (harmonic-class) bin packing of whole documents into
+    * fixed-`contextLen` windows — the padding-minimizing packer for
+    * training shapes where a document must stay INTACT within one window
+    * (no cross-document attention), as opposed to [[packTokenWindows]]'s
+    * zero-padding stream cut that splits documents at window boundaries.
+    *
+    * Algorithm — the classic PARALLEL bin-packing approximation (shelf /
+    * harmonic-class first-fit; the distributed stand-in for sequential
+    * best-fit-decreasing, which is a driver-side loop at any scale):
+    *  1. tokenize each doc in place (ids + trailing separator, size n);
+    *  2. docs longer than the window split into ⌈n/L⌉ pieces of ≤ L
+    *     (a piece per window — an over-long doc cannot stay intact);
+    *  3. each piece of size m joins harmonic class k = ⌊L/m⌋: every
+    *     class-k piece has m ∈ (L/(k+1), L/k], so EXACTLY k of them are
+    *     guaranteed to fit one window;
+    *  4. within a class, pieces sort (m desc, doc_id, piece) and rank r
+    *     (0-based) lands in bin ⌊r/k⌋ — k consecutive ranked pieces per
+    *     window.
+    * Per-bin padding is < L/(k+1) by construction (k pieces each
+    * > L/(k+1) leave less than one class-k piece of headroom), and the
+    * only unbounded-waste bins are the ≤ one partial tail bin per class.
+    * Against sequential BFD this trades a bounded extra-waste factor for
+    * full parallelism: the whole assignment is one ranged sort (the
+    * [[GlobalRank]] distributed rank — no single-partition window, no
+    * driver loop, no sequential state), so it scales to any corpus.
+    *
+    * Deterministic end to end ((doc_id, piece) tie-breaks), so a SQL
+    * oracle replays classing, ranking, binning and the per-bin content
+    * fingerprint exactly. Output: one row per bin —
+    * `(bin_class, bin, n_pieces, n_tokens, padding, content_fp)` with
+    * `padding = contextLen − n_tokens`.
+    */
+  def packBinsShelf(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -228,10 +319,73 @@ object TokenPack {
     require(contextLen > 0, s"contextLen must be positive: $contextLen")
     val effParts =
       if (parts > 0) parts else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val L = contextLen
+    // pieces: whole docs of ≤ L tokens, or the L-sized slices of longer
+    // docs — m ∈ [1, L] always (every doc carries at least its separator)
+    val pieces = docIdSeqs(docs, idCol, textCol, merges, symIds, byteLevel)
+      .select(
+        col("doc_id"), col("ids"), col("n"),
+        explode(expr(s"sequence(0L, (n - 1) div ${L}L)")).as("pidx"))
+      .select(
+        col("doc_id"), col("pidx"),
+        expr(s"slice(ids, CAST(pidx * ${L}L + 1 AS INT), $L)").as("piece"))
+      .withColumn("m", size(col("piece")).cast("long"))
+      .withColumn("bin_class", expr(s"${L}L div m"))
+    // the distributed per-class rank: ONE ranged sort over
+    // (class, m desc, doc_id, piece); per-class 0-based ranks fall out by
+    // subtracting each class's first global rank (a ≤L-row broadcast)
+    val ranked = GlobalRank.globalRank(
+      pieces,
+      Seq(col("bin_class"), col("m").desc, col("doc_id"), col("pidx")),
+      "__r", effParts)
+    val classStart = ranked.groupBy("bin_class").agg(min(col("__r")).as("__start"))
+    val binned = ranked
+      .join(broadcast(classStart), "bin_class")
+      .withColumn("bin", expr("(__r - __start) div bin_class"))
+    val out = binned
+      .groupBy(col("bin_class"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_pieces"),
+        sum(col("m")).as("n_tokens"),
+        // pieces in rank order, flattened — bounded by L tokens per bin
+        flatten(transform(
+          array_sort(collect_list(struct(col("__r"), col("piece")))),
+          e => e.getField("piece"))).as("__ids"))
+      .select(
+        col("bin_class"),
+        col("bin"),
+        col("n_pieces"),
+        col("n_tokens"),
+        (lit(L.toLong) - col("n_tokens")).as("padding"),
+        conv(
+          substring(
+            md5(concat_ws(",", transform(col("__ids"), _.cast("string")))),
+            1, 15),
+          16, 10).cast("long").as("content_fp"))
+    Caching.materializeAndRelease(out, ranked)
+  }
+
+  /** [[packTokenWindows]] under an ALREADY-TRAINED tokenizer — the
+    * production runtime shape: the merge table + symbol-id map arrive as
+    * driver values (freshly trained or [[loadTokenizer]]-reloaded) and
+    * ship to the executors as plan literals; the corpus is tokenized in
+    * place exactly as in the train-in-job path, so the two paths are
+    * output-identical by construction.
+    */
+  /** Per-doc token-id sequences `(doc_id, ids, n)` — tokenize-in-place:
+    * one projection over the scan (no explode, no vocab join, no
+    * regroup), each doc's ids terminated by the separator token. Shared
+    * by the stream packer and the shelf bin-packer.
+    */
+  private def docIdSeqs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[Bpe.Merge],
+      symIds: Map[String, Long],
+      byteLevel: Boolean): DataFrame = {
     val idMapLit = typedLit(symIds)
-    // tokenize-in-place: per-doc id arrays in ONE projection over the
-    // scan — no explode, no vocab join, no regroup
-    val docSeqs = docs
+    docs
       .select(
         col(idCol).cast("long").as("doc_id"),
         // NULL text degenerates to the documented empty-doc case (its
@@ -248,6 +402,22 @@ object TokenPack {
             w => transform(mergedSymsCol(w, merges, byteLevel), s => element_at(idMapLit, s)))),
           array(lit(SepId))).as("ids"))
       .withColumn("n", size(col("ids")).cast("long"))
+  }
+
+  def packTokenWindowsWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[Bpe.Merge],
+      symIds: Map[String, Long],
+      contextLen: Int,
+      parts: Int = 0,
+      byteLevel: Boolean = false
+  ): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive: $contextLen")
+    val effParts =
+      if (parts > 0) parts else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val docSeqs = docIdSeqs(docs, idCol, textCol, merges, symIds, byteLevel)
     var offsets: DataFrame = null
     try {
       // exclusive stream offset per doc: the distributed prefix sum runs

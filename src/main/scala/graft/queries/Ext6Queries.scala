@@ -89,12 +89,13 @@ object Ext6Queries {
         try {
           val (merges, symIds) = TokenPack.trainTokenizer(docs, "text", PackMerges)
           TokenPack.saveTokenizer(s, dir, merges, symIds)
-          val (m2, s2) = TokenPack.loadTokenizer(s, dir)
-          // pack under the RELOADED artifact; the result materializes
+          // pack under the RELOADED artifact via the validated entry
+          // point (merges + symbol ids + byteLevel all come from the
+          // artifact, params checked on load); the result materializes
           // (eager checkpoint) inside packTokenWindowsWith, so the
           // finally-cleanup below can never yank files from under a lazy
           // consumer
-          TokenPack.packTokenWindowsWith(docs, "doc_id", "text", m2, s2, ArtifactContextLen)
+          TokenPack.packTokenWindowsWithArtifact(docs, "doc_id", "text", dir, ArtifactContextLen)
         } finally {
           try fs.delete(p, true)
           catch {
@@ -226,7 +227,7 @@ object Ext6Queries {
         graft.ops.Dedup.chunkDedupLocal(t(s, d, "documents"), "doc_id", "text", chunkTokens = 8),
       Some("""WITH d AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(
-             |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
+             |    trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
              |  FROM documents),
              |c AS (
              |  SELECT doc_id,
@@ -605,11 +606,32 @@ object Ext6Queries {
       m: Int,
       contextLen: Int,
       textSql: String = "text",
+      seq0Sql: String = Ext5Queries.CharSeq0Sql): String =
+    s"""WITH ${packIdCtes(m, textSql, seq0Sql)},
+       |pos AS (
+       |  SELECT id, row_number() OVER (ORDER BY doc_id, tpos, spos) - 1 AS g
+       |  FROM stream)
+       |SELECT CAST(g // $contextLen AS BIGINT) AS window_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seps,
+       |  CAST(('0x' || substr(md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY g)), 1, 15)) AS BIGINT) AS content_fp
+       |FROM pos GROUP BY 1""".stripMargin
+
+  /** The shared id-assignment CTE prefix of every packing oracle: BPE
+    * training replay ([[Ext5Queries.bpeCtes]]), symbol-id assignment
+    * (alphabet in binary order + merge ranks, min-id on collisions), and
+    * the per-document token-id `stream(doc_id, tpos, spos, id)` with one
+    * trailing separator row per document. Emitted WITHOUT the leading
+    * `WITH`, so callers append their own packing CTEs.
+    */
+  private[queries] def packIdCtes(
+      m: Int,
+      textSql: String = "text",
       seq0Sql: String = Ext5Queries.CharSeq0Sql): String = {
     val msym = (1 to m)
       .map(i => s"SELECT replace(pair, ' ', '') AS sym, (SELECT COUNT(*) FROM alpha) + $i AS id FROM m$i")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH ${Ext5Queries.bpeCtes(m, textSql, seq0Sql)},
+    s"""${Ext5Queries.bpeCtes(m, textSql, seq0Sql)},
        |alpha AS (SELECT DISTINCT sym FROM (SELECT unnest(s) AS sym FROM seq0)),
        |aids AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id FROM alpha),
        |msym AS (
@@ -632,14 +654,6 @@ object Ext6Queries {
        |stream AS (
        |  SELECT d.doc_id, d.tpos, wi.spos, wi.id FROM dt d JOIN wids wi USING (w)
        |  UNION ALL
-       |  SELECT doc_id, len(ts) + 1 AS tpos, 0 AS spos, CAST(0 AS BIGINT) AS id FROM toks),
-       |pos AS (
-       |  SELECT id, row_number() OVER (ORDER BY doc_id, tpos, spos) - 1 AS g
-       |  FROM stream)
-       |SELECT CAST(g // $contextLen AS BIGINT) AS window_id,
-       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       |  CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seps,
-       |  CAST(('0x' || substr(md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY g)), 1, 15)) AS BIGINT) AS content_fp
-       |FROM pos GROUP BY 1""".stripMargin
+       |  SELECT doc_id, len(ts) + 1 AS tpos, 0 AS spos, CAST(0 AS BIGINT) AS id FROM toks)""".stripMargin
   }
 }

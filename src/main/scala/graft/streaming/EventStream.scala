@@ -625,6 +625,127 @@ object EventStream {
       col("value").as("last_value"))
   }
 
+  /** Streaming incremental curation — [[graft.ops.Curation
+    * .incrementalVerdicts]] run as a `foreachBatch` drain (the
+    * [[upsertRunOnce]] pattern): the document corpus arrives as a file
+    * stream and EVERY MICRO-BATCH gets the full funnel — gopher quality,
+    * dedup-vs-snapshot (content hash against the prior corpus's distinct-
+    * hash index), and exact-gram decontamination against the fixed
+    * benchmark slice — so verdicts ship while the ingest is still
+    * draining, the shape a continuous 100 TB ingest pipeline runs.
+    *
+    * Scale contract, inherited from the batch form: the snapshot is read
+    * ONCE, batch-side, into two BOUNDED indexes (distinct content hashes;
+    * benchmark gram set — broadcast); per micro-batch work is O(batch).
+    *
+    * Batch-slicing independence (the property that makes the batch funnel
+    * a valid oracle): quality, contamination, the content hash and the
+    * in-snapshot flag are pure per-document values, computed inside the
+    * batch's own funnel; the only cross-delta decision — which duplicate
+    * within the DELTA is the kept representative — is min-doc-id per
+    * hash, an associative/commutative merge resolved over the accumulated
+    * verdict rows after the drain (the CDC upsert discipline: were it
+    * resolved per batch, a later batch carrying a smaller id would
+    * silently flip an emitted verdict). Each batch's rows are eagerly
+    * checkpointed and the superseded accumulation released — bounded
+    * footprint, the upsert/CC-loop discipline.
+    */
+  def curationRunOnce(
+      spark: SparkSession,
+      srcPath: String,
+      isNewCol: org.apache.spark.sql.Column,
+      isBenchCol: org.apache.spark.sql.Column,
+      gramN: Int = 13,
+      maxFilesPerTrigger: Int = 1
+  ): DataFrame = {
+    import graft.ops.{Caching, Decontam, TextOps}
+    val ss = stateScopedSession(spark, srcPath)
+    def shaped(df: DataFrame): DataFrame = df.select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("text"),
+      isNewCol.as("is_new"),
+      isBenchCol.as("is_bench"))
+    // static bounded indexes, built ONCE batch-side (never per micro-batch)
+    val all = shaped(ss.read.parquet(srcPath))
+    val snapHashes = all.filter(!col("is_new"))
+      .select(md5(coalesce(col("text"), lit(""))).as("h")).distinct()
+      .withColumn("__in_snap", lit(true))
+      .localCheckpoint(true)
+    val benchGrams = Decontam.benchmarkGrams(
+      Decontam.gramRows(all.filter(col("is_bench")), "doc_id", "text", lit(true), gramN))
+      .localCheckpoint(true)
+    val f = new java.io.File(srcPath)
+    val reader0 = ss.readStream
+      .schema(ss.read.parquet(srcPath).schema)
+      // slice the source into real micro-batches where the fixture has
+      // multiple files (the scaled fixtures are 32-file splittable)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    val reader = if (f.isDirectory) reader0 else reader0.option("pathGlobFilter", f.getName)
+    val docsStream = shaped(reader.parquet(if (f.isDirectory) srcPath else f.getParent))
+      .filter(col("is_new"))
+    var target: DataFrame = null
+    val q = docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the per-batch funnel: gopher → dedup-vs-snapshot → decontam
+        val quality = batch.select("doc_id")
+          .join(
+            TextOps.gopherQuality(batch, "doc_id", "text")
+              .select(col("doc_id"), col("keep").as("__qk")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("__qk"), lit(false)).as("quality_pass"))
+        val hashed = batch
+          .select(col("doc_id"), col("is_bench"), md5(coalesce(col("text"), lit(""))).as("h"))
+          .join(snapHashes, Seq("h"), "left")
+          .select(
+            col("doc_id"), col("is_bench"), col("h"),
+            coalesce(col("__in_snap"), lit(false)).as("in_snap"))
+        // benchmark-flagged delta docs are held out, not "contaminated"
+        // by their own grams — the batch funnel's contaminatedDocs rule
+        val hits = Decontam.gramRows(batch, "doc_id", "text", col("is_bench"), gramN)
+          .filter(!col("is_bench"))
+          .join(broadcast(benchGrams), "gh")
+          .select("doc_id").distinct()
+          .withColumn("__hit", lit(true))
+        val inc = hashed
+          .join(quality, "doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("is_bench"), col("quality_pass"),
+            coalesce(col("__hit"), lit(false)).as("contaminated"),
+            col("h"), col("in_snap"))
+          .localCheckpoint(true)
+        target =
+          if (target == null) inc
+          else {
+            val merged = target.unionByName(inc).localCheckpoint(true)
+            Caching.release(target)
+            Caching.release(inc)
+            merged
+          }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(120000)) {
+      q.stop()
+      throw new IllegalStateException(s"stream curation drain of $srcPath did not finish within 120 s")
+    }
+    require(target != null, s"stream curation drain of $srcPath produced no batches")
+    // within-delta representative resolution over the ACCUMULATED rows
+    // (associative min — slicing-independent; see the contract above)
+    val reps = target.groupBy("h").agg(min(col("doc_id")).as("__rep"))
+    val out = target
+      .join(reps, "h")
+      .select(
+        col("doc_id"), col("is_bench"), col("quality_pass"),
+        (col("in_snap") || col("doc_id") =!= col("__rep")).as("dup"),
+        col("contaminated"))
+      .withColumn(
+        "keep",
+        !col("is_bench") && col("quality_pass") && !col("dup") && !col("contaminated"))
+    Caching.materializeAndRelease(out, target, snapHashes, benchGrams)
+  }
+
   /** Stream-static enrichment: the streaming events join a BROADCAST
     * static dimension (per-type totals computed batch-side once) before a
     * tumbling-window count. The stream-static join is stateless — the

@@ -163,8 +163,14 @@ object RecallProbe {
     *    — both ends pin the documented completeness bound).
     * Deterministic (seeded per-distance RNG) so runs are comparable.
     */
-  def phashBandRecall(spark: SparkSession, nPairs: Int = 2000): Unit = {
+  def phashBandRecall(spark: SparkSession, nPairs: Int = 2000, fpCol: String = "dhash"): Unit = {
+    // fpCol routes the probe through the audio fingerprint's candidate
+    // path (`fpBandCandidates(_, "afp")`, probe line `audio_band_recall`)
+    // instead of the image one — the banding geometry is shared
+    // (Multimodal.fpBandCandidates), so the measured curve applies to
+    // whichever production column is driven
     import spark.implicits._
+    val probeName = if (fpCol == "dhash") "phash_band_recall" else "audio_band_recall"
     val mask56 = (1L << 56) - 1
     for (placement <- Seq("random", "spread"); d <- 1 to 12) {
       val rng = new scala.util.Random(42L * (d + 1) + (if (placement == "spread") 1 else 0))
@@ -190,20 +196,20 @@ object RecallProbe {
         val partner = positions.foldLeft(base)((h, p) => h ^ (1L << p))
         Seq((i.toLong, base), (i.toLong + 10000000L, partner))
       }
-      val hashes = rows.toDF("doc_id", "dhash")
+      val hashes = rows.toDF("doc_id", fpCol)
         .repartition(spark.sparkContext.defaultParallelism)
-      val found = graft.ops.Multimodal.dhashBandCandidates(hashes)
+      val found = graft.ops.Multimodal.fpBandCandidates(hashes, fpCol)
         .filter(col("id_b") - col("id_a") === 10000000L)
         .count()
       println(
-        s"""{"probe":"phash_band_recall","placement":"$placement","hamming":$d,""" +
+        s"""{"probe":"$probeName","placement":"$placement","hamming":$d,""" +
           s""""n_pairs":$nPairs,"found":$found,"recall":${found.toDouble / nPairs}}""")
     }
   }
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: RecallProbe <sfDir> [skipFull | pqSweep [k1,k2,... (-1 = adaptive)] | phashBands]")
+      "usage: RecallProbe <sfDir> [skipFull | pqSweep [k1,k2,... (-1 = adaptive)] | phashBands | audioBands]")
     val sfDir = args(0)
     val skipFull = args.length > 1 && args(1) == "skipFull"
     // `pqSweep` arg: measure PQ recall@5 across rerankK values instead of
@@ -223,6 +229,15 @@ object RecallProbe {
     // (data-free — planted hashes, not the embeddings table)
     if (args.length > 1 && args(1) == "phashBands") {
       phashBandRecall(spark)
+      spark.stop()
+      return
+    }
+
+    // `audioBands` arg: the mm_audio_dedup banding tail-recall probe —
+    // the SAME planted-pair methodology through the audio fingerprint's
+    // candidate column
+    if (args.length > 1 && args(1) == "audioBands") {
+      phashBandRecall(spark, fpCol = "afp")
       spark.stop()
       return
     }

@@ -251,6 +251,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lshIngestAppend: index absorbs each delta; appended index ≡ rebuilt; day-2 reaches snapshot ∪ day-1") {
+    val docs = graft.queries.Tables.t(spark, sf("sf0.001"), "documents")
+    val lane = graft.ops.Sampling.hashBucket(col("doc_id"), "inc2", 100)
+    val root = s"/tmp/graft-test-lshappend/${spark.sparkContext.applicationId}"
+    val (dirA, dirB, dirC) = (s"$root/a", s"$root/b", s"$root/c")
+    try {
+      Dedup.lshBuildIndex(docs.filter(lane < 60), "doc_id", "text", dirA)
+      val day1 = Dedup.lshIngestAppend(docs.filter(lane >= 60 && lane < 80), "doc_id", "text", dirA)
+        .as[(Long, Long)].collect().toSet
+      val day2 = Dedup.lshIngestAppend(docs.filter(lane >= 80), "doc_id", "text", dirA)
+        .as[(Long, Long)].collect().toSet
+      // day-1 candidates = the no-append incremental path vs the same
+      // snapshot (restricted to lanes < 80 so day-2 docs don't exist yet)
+      val exp1 = Dedup.lshIncrementalCandidates(
+        docs.filter(lane < 80), "doc_id", "text", lane >= 60, dirB)
+        .as[(Long, Long)].collect().toSet
+      assert(day1 === exp1)
+      // day-2 candidates against the APPENDED index = rebuilding the
+      // index from snapshot ∪ day-1 from scratch — the maintenance
+      // contract: the artifact absorbed the delta
+      val exp2 = Dedup.lshIncrementalCandidates(
+        docs, "doc_id", "text", lane >= 80, dirC)
+        .as[(Long, Long)].collect().toSet
+      assert(day2 === exp2)
+      assert(day2.nonEmpty) // fixture plants cross-split near-dups
+      // and the artifact's key rows after both appends (snapshot ∪ day-1
+      // ∪ day-2 = the whole corpus) are EXACTLY a from-scratch rebuild
+      // over the whole corpus (band keys are a pure per-doc function)
+      val dirD = s"$root/d"
+      Dedup.lshBuildIndex(docs, "doc_id", "text", dirD)
+      def keys(dir: String) = spark.read.parquet(s"$dir/keys")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(keys(dirA) === keys(dirD))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("chunkDedupLocal: within-doc repeats excised, CROSS-doc repeats kept, map-only plan") {
     val df = docs(
       1L -> "a b c d",

@@ -70,4 +70,40 @@ class PhashBandSpec extends SparkSpec {
       assert(bandsTouched <= 1, s"grp=$grp touched $bandsTouched bands")
     }
   }
+
+  test("audioFp56: the REAL WAV decode reproduces the generator-predicted fingerprint exactly") {
+    // the decode path reads true PCM back through javax.sound.sampled;
+    // constant-amplitude windows make the decoded sums 16·amp exactly,
+    // so the fingerprint is pure arithmetic over audioWindowAmp
+    for (grp <- 0L to 6L; v <- 0L to 1L) {
+      val decoded = Multimodal.audioFp56(Multimodal.synthToneWav(grp, v))
+      var expected = 0L
+      for (w <- 0 until Multimodal.AudioFpWindows - 1)
+        if (Multimodal.audioWindowAmp(grp, v, w + 1) > Multimodal.audioWindowAmp(grp, v, w))
+          expected |= 1L << w
+      assert(decoded === expected, s"grp=$grp v=$v")
+    }
+  }
+
+  test("planted audio near-dups: <=6 bits moved, band 3 always clean (banding recall complete for the fixture)") {
+    // even-group variant-1 perturbs windows {3, 22, 41} only → bits
+    // {2,3}, {21,22}, {40,41} — bands 0..2; band 3 (bits 42..55) is
+    // untouched, so the candidate is guaranteed
+    for (grp <- 0L to 20L by 2) {
+      val a = Multimodal.audioFp56(Multimodal.synthToneWav(grp, 0))
+      val b = Multimodal.audioFp56(Multimodal.synthToneWav(grp, 1))
+      val diff = a ^ b
+      assert(java.lang.Long.bitCount(diff) <= 6, s"grp=$grp hamming=${java.lang.Long.bitCount(diff)}")
+      val band3 = (diff >>> (3 * Multimodal.PhashBandBits)) &
+        ((1L << Multimodal.PhashBandBits) - 1)
+      assert(band3 === 0L, s"grp=$grp band 3 touched")
+    }
+    // odd-group variant-1 remixes the whole envelope — far clips that
+    // never survive the <=12 verify
+    for (grp <- 1L to 21L by 2) {
+      val a = Multimodal.audioFp56(Multimodal.synthToneWav(grp, 0))
+      val b = Multimodal.audioFp56(Multimodal.synthToneWav(grp, 1))
+      assert(java.lang.Long.bitCount(a ^ b) > 12, s"grp=$grp unexpectedly near")
+    }
+  }
 }

@@ -271,4 +271,51 @@ class SimilaritySpec extends SparkSpec {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("appendToIvfPqIndex: appended index ≡ full rebuild (codes AND query results); param mismatch fails loudly") {
+    val emb = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
+    val root = s"/tmp/graft-test-annappend/${spark.sparkContext.applicationId}"
+    val (dirA, dirB) = (s"$root/a", s"$root/b")
+    // the build slice keeps the codebook prefix (vec_id < 64), so the
+    // frozen books equal the full-corpus rebuild's
+    val isDelta = col("vec_id") >= 64 &&
+      graft.ops.Sampling.hashBucket(col("vec_id"), "annapp", 100) >= 80
+    try {
+      Similarity.buildIvfPqIndex(emb.filter(!isDelta), "vec_id", "embedding",
+        nClusters = 8, subspaces = 16, subDim = 4, nCodes = 64, dirA)
+      Similarity.appendToIvfPqIndex(emb.filter(isDelta), "vec_id", "embedding", dirA)
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+        nClusters = 8, subspaces = 16, subDim = 4, nCodes = 64, dirB)
+      // the artifact's code rows after the append are EXACTLY the
+      // rebuilt index's — each row is a pure function of (vector, book)
+      def codeRows(dir: String) = spark.read.parquet(s"$dir/codes")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(codeRows(dirA).toSeq === codeRows(dirB).toSeq)
+      assert(spark.read.parquet(s"$dirA/codes").count() === emb.count())
+      // and the query path over the two artifacts is output-identical
+      def q(dir: String) = Similarity
+        .ivfPqTopKWithIndex(emb, "vec_id", "embedding", dir,
+          k = 5, queryPred = col("cid") < 50, nProbe = 6,
+          subspaces = 16, subDim = 4, nCodes = 64)
+        .orderBy("query_id", "rank").collect().map(_.toSeq)
+      val (a, b) = (q(dirA), q(dirB))
+      assert(a.toSeq === b.toSeq && a.nonEmpty)
+      // querying with encode params the codes were NOT built with must
+      // fail loudly instead of scoring against a stale codebook
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfPqTopKWithIndex(emb, "vec_id", "embedding", dirA,
+          k = 5, queryPred = col("cid") < 50, nProbe = 6,
+          subspaces = 16, subDim = 4, nCodes = 32)
+      }
+      assert(e.getMessage.contains("n_codes"))
+      // appending through the wrong artifact kind is rejected up front
+      intercept[IllegalArgumentException] {
+        graft.ops.Dedup.lshIngestAppend(
+          Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", dirA)
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }

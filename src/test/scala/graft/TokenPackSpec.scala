@@ -123,4 +123,78 @@ class TokenPackSpec extends SparkSpec {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("tokenizer artifact params: byteLevel rides the artifact; tampered metadata fails loudly") {
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab aa ab")).toDF("doc_id", "text")
+    val (merges, symIds) = TokenPack.trainTokenizer(docs, "text", numMerges = 2, byteLevel = true)
+    val dir = s"/tmp/graft-test-tokparams/${spark.sparkContext.applicationId}"
+    try {
+      TokenPack.saveTokenizer(spark, dir, merges, symIds, byteLevel = true)
+      // the checked load returns the build-time byteLevel, and the
+      // artifact-driven pack entry point uses it — output-identical to
+      // packing with the explicitly-repeated hyperparameters
+      val (m2, s2, bl) = TokenPack.loadTokenizerChecked(spark, dir)
+      assert(bl)
+      assert(m2 === merges && s2 === symIds)
+      val a = TokenPack
+        .packTokenWindowsWithArtifact(docs, "doc_id", "text", dir, contextLen = 8)
+        .orderBy("window_id").collect().map(_.toSeq)
+      val b = TokenPack
+        .packTokenWindowsWith(docs, "doc_id", "text", merges, symIds, 8, byteLevel = true)
+        .orderBy("window_id").collect().map(_.toSeq)
+      assert(a.toSeq === b.toSeq && a.nonEmpty)
+      // tamper the params table: a merge-count mismatch must fail the
+      // load loudly, not tokenize garbage downstream
+      graft.util.ArtifactParams.write(
+        spark, s"$dir/params",
+        Seq("kind" -> "bpe_tokenizer", "num_merges" -> "999", "byte_level" -> "true"))
+      val e = intercept[IllegalArgumentException] { TokenPack.loadTokenizer(spark, dir) }
+      assert(e.getMessage.contains("999"))
+      // and a foreign-kind artifact is rejected up front
+      graft.util.ArtifactParams.write(
+        spark, s"$dir/params", Seq("kind" -> "ivfpq", "num_merges" -> "2", "byte_level" -> "true"))
+      intercept[IllegalArgumentException] { TokenPack.loadTokenizer(spark, dir) }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("packBinsShelf: docs intact, harmonic classes fill k per bin, token mass conserved, padding bounded") {
+    // char-level ids with 0 merges: token of c chars → c+1 ids (chars +
+    // end-of-word), plus 1 separator per doc. Doc token counts below:
+    //   1 → "abcdef"      = 8 (== L: class 1, a FULL bin)
+    //   2 → "abc"         = 5 (class 1)
+    //   3 → "ab"          = 4 (class 2)
+    //   4 → "a"           = 3 (class 2)
+    //   5 → "b"           = 3 (class 2)
+    //   6 → "abcdefghijk" = 13 (> L: splits into an 8-piece and a 5-piece)
+    val docs = Seq(
+      (1L, "abcdef"), (2L, "abc"), (3L, "ab"), (4L, "a"), (5L, "b"),
+      (6L, "abcdefghijk")).toDF("doc_id", "text")
+    val (merges, symIds) = TokenPack.trainTokenizer(docs, "text", numMerges = 0)
+    val L = 8
+    val out = TokenPack.packBinsShelf(docs, "doc_id", "text", merges, symIds, L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (k, bin, np, nt, pad, fp) => ((k, bin), (np, nt, pad, fp)) }.toMap
+    // token mass is conserved: Σ bin n_tokens = Σ doc (n + sep)
+    assert(out.values.map(_._2).sum === (8 + 5 + 4 + 3 + 3 + 13).toLong)
+    // every bin respects the window and the padding arithmetic
+    assert(out.values.forall { case (_, nt, pad, _) => nt <= L && pad == L - nt })
+    // class 1 (m in (4, 8]): pieces 8, 8, 5, 5 sorted desc → bins
+    // (8), (8), (5), (5) — one piece each
+    val c1 = out.filter(_._1._1 == 1L).values.map(_._2).toSeq.sorted
+    assert(c1 == Seq(5L, 5L, 8L, 8L))
+    // class 2 (m in (2, 4]): pieces 4, 3, 3 sorted desc → bin 0 = (4, 3),
+    // bin 1 = the (3) tail
+    val c2 = out.filter(_._1._1 == 2L).values.map(v => (v._1, v._2)).toSeq.sorted
+    assert(c2 == Seq((1L, 3L), (2L, 7L)))
+    // non-tail class-k bins hold exactly k pieces (the shelf contract)
+    assert(out.forall { case ((k, _), (np, _, _, _)) => np <= k })
+    // deterministic end to end
+    val again = TokenPack.packBinsShelf(docs, "doc_id", "text", merges, symIds, L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (k, bin, np, nt, pad, fp) => ((k, bin), (np, nt, pad, fp)) }.toMap
+    assert(again === out)
+  }
 }
