@@ -8,8 +8,9 @@ object Bench {
     // fix (r14 verdict #3): single sweeps on this host ride a ±20-35%
     // noise band, and medians put per-query claims on a stable footing
     // without hand-run isolated triples. Use an odd N; for even N the
-    // upper median is taken. The driver passes no args, so its gate
-    // record stays a single-pass sweep.
+    // upper median is taken. The driver passes no args and takes the
+    // sf-dependent default below (3 at gate scale, 1 on the large
+    // fixtures).
     // positional parse that consumes ONLY the token following a bare
     // `--repeat` (not every all-digit positional), and fails loudly on a
     // trailing `--repeat` with no value — a silent repeat=1 would record
@@ -267,13 +268,24 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(
+    val recordLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowJson,""" +
         s""""sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},""" +
         s""""failed":${arr(failed)},"n_guard_skipped":${skipped.size},""" +
         s""""guard_skipped":${arr(skipped)},"queries_truncated_to":"slowest20",""" +
-        s""""repeat":$repeat,"full_record":"$outPath"}""")
+        s""""repeat":$repeat,"full_record":"$outPath"}"""
+    println(recordLine)
+    // r20 harness defect: the streaming state-store maintenance pool
+    // races spark.stop() and dumps an RpcEnvStoppedException stack trace
+    // AFTER the record line, scrolling it out of the driver's bounded
+    // tail capture (BENCH_r20.json parsed null). Quiesce the maintenance
+    // pool BEFORE the session stops so the race cannot fire, then stop,
+    // then re-emit the record line so it is the process's LAST stdout
+    // output no matter what shutdown logging interleaves.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => }
     spark.stop()
+    println(recordLine)
   }
 
   /** True iff the failure chain is the nearDupPairs validation-bound

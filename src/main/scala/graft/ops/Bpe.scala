@@ -50,9 +50,16 @@ object Bpe {
     */
   val EndOfWord = "</w>"
 
-  /** (w, freq): the one corpus-wide aggregation. */
+  /** (w, freq): the one corpus-wide aggregation. The scan is spread to
+    * full parallelism first when under-split AND big enough that the
+    * one-task explode would dominate (single-row-group fixtures run the
+    * map side on ONE task otherwise; identity at real scale — see
+    * [[Caching.spreadToParallelism]]; 8 MiB floor: below it the exchange
+    * round-trip costs more than the single-task explode, measured at
+    * gate scale). Counts are placement-independent.
+    */
   def wordVocab(docs: DataFrame, textCol: String): DataFrame =
-    docs
+    Caching.spreadToParallelism(docs.select(col(textCol)), minBytes = 8L << 20)
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("freq"))
@@ -179,16 +186,150 @@ object Bpe {
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-      byteLevel: Boolean = false): Seq[Merge] = {
+      byteLevel: Boolean = false): Seq[Merge] =
+    collectedSeq0(docs, textCol, byteLevel) match {
+      // r21 (opt guide §1.2 step 1 — remove passes): under the local
+      // gate, training is a driver loop over the one collected seq0
+      // frame. The distributed loops run ~2 jobs per merge (pair
+      // aggregate + argmax collect), all scheduler latency at small
+      // corpus sizes — measured 2.3 s for M=8/sf0.1 naive vs
+      // milliseconds local, byte-identical merge tables (parity
+      // spec-pinned against the same straight-line reference).
+      case Some(rows) => trainMergeSeqLocal(rows, numMerges)
+      case None =>
+        val prunedBytes =
+          docs.select(col(textCol)).queryExecution.optimizedPlan.stats.sizeInBytes
+        if (numMerges <= NaiveLoopMaxMerges && prunedBytes <= VocabBroadcastMaxTextBytes)
+          trainMergeSeqNaive(docs, textCol, numMerges, byteLevel)
+        else {
+          val (merges, seqs) = trainMergeSeqWithSeqs(docs, textCol, numMerges, byteLevel)
+          Caching.release(seqs)
+          merges
+        }
+    }
+
+  /** Pruned-text bytes below which the (freq, symbol-sequence) vocab
+    * frame is driver-collected and BPE training runs as a LOCAL loop
+    * ([[trainMergeSeqLocal]]). A quarter of
+    * [[VocabBroadcastMaxTextBytes]]: the broadcast gate already asserts
+    * the vocab of ≤1 GiB of text is driver-safe (a broadcast IS a
+    * driver collect), and the collected seq0 rows carry the per-word
+    * SYMBOL ARRAYS (~4× the word bytes in JVM object overhead), so the
+    * local-train gate is scaled down by that factor. Above the gate the
+    * distributed loops run unchanged — nothing corpus-proportional is
+    * ever forced through the driver.
+    * (A `def`, not a `val`: [[VocabBroadcastMaxTextBytes]] is declared
+    * later in this object, and a val here would read its
+    * pre-initialization 0.)
+    */
+  private[graft] def LocalTrainMaxTextBytes: Long = VocabBroadcastMaxTextBytes / 4
+
+  /** The `(freq, initial-symbol-sequence)` vocab rows, driver-collected
+    * when the column-pruned text scan is under
+    * [[LocalTrainMaxTextBytes]]; None above the gate. The collect is over
+    * DISTINCT words (the same bounded set the broadcast-vocab join
+    * ships), and the symbol sequences come from the ENGINE's own
+    * initialSeqs/initialByteSeqs projection — the local trainer never
+    * re-implements the splitting semantics.
+    */
+  private[graft] def collectedSeq0(
+      docs: DataFrame,
+      textCol: String,
+      byteLevel: Boolean): Option[Array[(Long, Array[String])]] = {
     val prunedBytes =
       docs.select(col(textCol)).queryExecution.optimizedPlan.stats.sizeInBytes
-    if (numMerges <= NaiveLoopMaxMerges && prunedBytes <= VocabBroadcastMaxTextBytes)
-      trainMergeSeqNaive(docs, textCol, numMerges, byteLevel)
+    if (prunedBytes > BigInt(LocalTrainMaxTextBytes)) None
     else {
-      val (merges, seqs) = trainMergeSeqWithSeqs(docs, textCol, numMerges, byteLevel)
-      Caching.release(seqs)
-      merges
+      val vocab = wordVocab(docs, textCol)
+      val seq0 = if (byteLevel) initialByteSeqs(vocab) else initialSeqs(vocab)
+      Some(
+        seq0.select(col("freq"), col("s")).collect()
+          .map(r => (r.getLong(0), r.getSeq[String](1).toArray)))
     }
+  }
+
+  /** Driver-local training loop — byte-identical to the distributed
+    * loops by construction: the same per-position pair occurrences
+    * weighted by word freq, the same argmax tiebreak (count desc, then
+    * pair key ascending under UNSIGNED UTF-8 BYTE order — exactly the
+    * UTF8String comparison Spark's `orderBy(pair)` runs, via
+    * `Arrays.compareUnsigned` over `getBytes(UTF_8)`), and the same
+    * greedy-leftmost non-overlapping merge application
+    * ([[graft.functions.BpeMergeRuns]]'s kernel, transcribed). Parity
+    * with both distributed loops and the straight-line reference is
+    * spec-pinned (BpeSpec).
+    */
+  private[graft] def trainMergeSeqLocal(
+      rows: Array[(Long, Array[String])],
+      numMerges: Int): Seq[Merge] = {
+    val freqs = rows.map(_._1)
+    // fresh outer array: merge application REPLACES inner arrays, never
+    // mutates them, so callers' seq0 rows stay the initial sequences
+    val seqs: Array[Array[String]] = rows.map(_._2)
+    val merges = ArrayBuffer.empty[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      var w = 0
+      while (w < seqs.length) {
+        val s = seqs(w)
+        val f = freqs(w)
+        var i = 0
+        while (i < s.length - 1) {
+          val k = s(i) + " " + s(i + 1)
+          cnt.update(k, cnt.getOrElse(k, 0L) + f)
+          i += 1
+        }
+        w += 1
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        var bestPair: String = null
+        var bestBytes: Array[Byte] = null
+        var bestCnt = Long.MinValue
+        cnt.foreach { case (k, c) =>
+          if (c > bestCnt) { bestCnt = c; bestPair = k; bestBytes = null }
+          else if (c == bestCnt) {
+            if (bestBytes == null)
+              bestBytes = bestPair.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            if (java.util.Arrays.compareUnsigned(kb, bestBytes) < 0) {
+              bestPair = k; bestBytes = kb
+            }
+          }
+        }
+        val sep = bestPair.indexOf(' ')
+        val (a, b) = (bestPair.substring(0, sep), bestPair.substring(sep + 1))
+        merges += Merge(rank.toLong, a, b, a + b, bestCnt)
+        var w2 = 0
+        while (w2 < seqs.length) {
+          seqs(w2) = mergeRunLocal(seqs(w2), a, b)
+          w2 += 1
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[graft.functions.BpeMergeRuns]]'s greedy-leftmost non-overlapping
+    * kernel over plain strings — a merged element is never reconsidered
+    * within the same pass.
+    */
+  private def mergeRunLocal(s: Array[String], a: String, b: String): Array[String] = {
+    val out = new ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out += a + b
+        i += 2
+      } else {
+        out += s(i)
+        i += 1
+      }
+    }
+    out.toArray
   }
 
   /** The naive loop: per merge, one full freq-weighted pair aggregate

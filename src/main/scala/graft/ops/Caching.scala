@@ -70,4 +70,28 @@ private[graft] object Caching {
     */
   def release(df: DataFrame, blocking: Boolean = true): Unit =
     checkpointRdds(df).foreach(_.unpersist(blocking))
+
+  /** Spread `df` to the session's default parallelism when its scan
+    * arrives UNDER-SPLIT — fewer physical partitions than cores (r21, opt
+    * guide §2.5 input skew / §1.2): the bench fixtures are single-file,
+    * single-row-group parquet, so a CPU-heavy projection placed directly
+    * over the scan (tokenize-in-place, shingling) runs on ONE task no
+    * matter the cluster size — parquet cannot split inside a row group.
+    * The round-robin exchange moves the rows once; every downstream
+    * per-row projection and aggregate is placement-independent, so
+    * results are unchanged (the ann_recall_at_k precedent). At real
+    * scale the scan has more splits than cores and this is the identity
+    * — nothing is re-shuffled.
+    */
+  def spreadToParallelism(df: DataFrame, minBytes: Long = 0L): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // minBytes: per-call-site floor for projections cheap enough that
+    // below it the one-task scan beats the exchange round-trip (measured
+    // at gate scale — the q_basket_lift stats-gate discipline); 0 = the
+    // projection is expensive at any size, always spread when under-split
+    val bigEnough =
+      minBytes <= 0L ||
+        df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(minBytes)
+    if (bigEnough && df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

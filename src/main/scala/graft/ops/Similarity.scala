@@ -901,12 +901,23 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val effRerankK =
       if (rerankK == AdaptiveRerank) adaptiveRerankK(base.count()) else rerankK
+    // ADC lookup tables are built against the artifact's FROZEN pqbook
+    // (the same rows appendToIvfPqIndex encodes deltas under), not
+    // re-derived from the query-time corpus: if the corpus's first
+    // nCodes vectors changed since build, a re-derived book would score
+    // the persisted codes against the wrong centroids and silently
+    // degrade candidates (masked by the exact re-rank). On an unchanged
+    // corpus the two books are row-identical, so results are unchanged.
+    val pqRows = spark.read.parquet(s"$indexDir/pqbook")
+      .select("vid", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     Caching.materializeAndRelease(
       ivfPqQueryFromCodes(
         base,
         spark.read.parquet(s"$indexDir/codes"),
         spark.read.parquet(s"$indexDir/centroids"),
-        k, queryPred, nProbe, subspaces, subDim, nCodes, effRerankK),
+        k, queryPred, nProbe, subspaces, subDim, nCodes, effRerankK,
+        pqRows = Some(pqRows)),
       base)
   }
 
@@ -924,7 +935,12 @@ object Similarity {
       subspaces: Int,
       subDim: Int,
       nCodes: Int,
-      effRerankK: Int
+      effRerankK: Int,
+      // artifact-reloaded PQ codebook rows (the FROZEN book) for the
+      // persisted-index path; None derives the book from the query-time
+      // corpus (the in-job path, where the two are identical by
+      // construction)
+      pqRows: Option[Array[(Long, Array[Double])]] = None
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // query side: probe ranking (ivfTopKFromBase convention) …
@@ -943,8 +959,16 @@ object Similarity {
     val cbCols = (0 until subspaces).map { s =>
       struct(lit(s).as("s"), slice(col("v"), s * subDim + 1, subDim).as("cv"))
     }
-    val cb = base
-      .filter(col("cid") < nCodes)
+    // frozen-book rows (artifact path) or the first-nCodes corpus rows
+    // (in-job path) — row-identical on an unchanged corpus
+    val cbSource = pqRows match {
+      case Some(rows) =>
+        base.sparkSession
+          .createDataFrame(rows.toSeq.map { case (vid, v) => (vid, v.toSeq) })
+          .toDF("cid", "v")
+      case None => base.filter(col("cid") < nCodes).select(col("cid"), col("v"))
+    }
+    val cb = cbSource
       .select(col("cid").as("code"), explode(array(cbCols: _*)).as("e"))
       .select(col("code"), col("e.s").as("s"), col("e.cv").as("cv"))
     val queries = base.filter(queryPred).select(col("cid").as("query_id"), col("v").as("qv"))

@@ -70,6 +70,17 @@ object TokenPack {
       .collect()
       .map(_.getString(0))
       .sorted
+    symbolIdsFromAlphabet(alphabet, merges)
+  }
+
+  /** The id-assembly half of [[symbolIdMap]], shared with the
+    * local-training path so the two cannot drift: alphabet ids 1..A in
+    * the caller-sorted order, merged ids A + merge_rank, min-id on
+    * string collisions.
+    */
+  private def symbolIdsFromAlphabet(
+      alphabet: Array[String],
+      merges: Seq[Bpe.Merge]): Map[String, Long] = {
     val ids =
       alphabet.toSeq.zipWithIndex.map { case (s, i) => (s, (i + 1).toLong) } ++
         merges.map(m => (m.merged, alphabet.length + m.mergeRank))
@@ -154,12 +165,25 @@ object TokenPack {
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-      byteLevel: Boolean = false): (Seq[Bpe.Merge], Map[String, Long]) = {
-    val merges = Bpe.trainMergeSeq(docs, textCol, numMerges, byteLevel)
-    val vocab = Bpe.wordVocab(docs, textCol)
-    val seq0 = if (byteLevel) Bpe.initialByteSeqs(vocab) else Bpe.initialSeqs(vocab)
-    (merges, symbolIdMap(seq0, merges))
-  }
+      byteLevel: Boolean = false): (Seq[Bpe.Merge], Map[String, Long]) =
+    // r21 (opt guide §1.2 step 1): under the local-train gate the ONE
+    // collected seq0 frame feeds both training and the symbol-id map —
+    // one distributed job total where the previous shape ran ~2 jobs
+    // per merge plus a distinct-symbols job. Alphabet ids use the same
+    // Scala `.sorted` order as the distributed symbolIdMap, and the
+    // symbols come from the engine's own initialSeqs projection, so the
+    // assignment is identical by construction (spec-pinned parity).
+    Bpe.collectedSeq0(docs, textCol, byteLevel) match {
+      case Some(rows) =>
+        val merges = Bpe.trainMergeSeqLocal(rows, numMerges)
+        val alphabet = rows.iterator.flatMap(_._2).toSet.toArray.sorted
+        (merges, symbolIdsFromAlphabet(alphabet, merges))
+      case None =>
+        val merges = Bpe.trainMergeSeq(docs, textCol, numMerges, byteLevel)
+        val vocab = Bpe.wordVocab(docs, textCol)
+        val seq0 = if (byteLevel) Bpe.initialByteSeqs(vocab) else Bpe.initialSeqs(vocab)
+        (merges, symbolIdMap(seq0, merges))
+    }
 
   /** Persist a trained tokenizer as a parquet artifact: `dir/merges`
     * (merge_rank, sym_a, sym_b, merged, pair_count — the [[Bpe]] merge
@@ -321,7 +345,14 @@ object TokenPack {
       if (parts > 0) parts else docs.sparkSession.sessionState.conf.numShufflePartitions
     val L = contextLen
     // pieces: whole docs of ≤ L tokens, or the L-sized slices of longer
-    // docs — m ∈ [1, L] always (every doc carries at least its separator)
+    // docs — m ∈ [1, L] always (every doc carries at least its separator).
+    // Checkpointed (r21, opt guide §1.2): globalRank's
+    // repartitionByRange SAMPLES its child for range bounds before the
+    // exchange, so fed lazily the tokenize-in-place projection (the
+    // expensive per-doc merge inference) ran twice — once for the
+    // sampler, once for the exchange map side. The checkpoint makes
+    // tokenization run exactly once per pack; its blocks are released
+    // with the ranked layout below.
     val pieces = docIdSeqs(docs, idCol, textCol, merges, symIds, byteLevel)
       .select(
         col("doc_id"), col("ids"), col("n"),
@@ -331,6 +362,7 @@ object TokenPack {
         expr(s"slice(ids, CAST(pidx * ${L}L + 1 AS INT), $L)").as("piece"))
       .withColumn("m", size(col("piece")).cast("long"))
       .withColumn("bin_class", expr(s"${L}L div m"))
+      .localCheckpoint(true)
     // the distributed per-class rank: ONE ranged sort over
     // (class, m desc, doc_id, piece); per-class 0-based ranks fall out by
     // subtracting each class's first global rank (a ≤L-row broadcast)
@@ -338,6 +370,7 @@ object TokenPack {
       pieces,
       Seq(col("bin_class"), col("m").desc, col("doc_id"), col("pidx")),
       "__r", effParts)
+    Caching.release(pieces)
     val classStart = ranked.groupBy("bin_class").agg(min(col("__r")).as("__start"))
     val binned = ranked
       .join(broadcast(classStart), "bin_class")
@@ -365,13 +398,6 @@ object TokenPack {
     Caching.materializeAndRelease(out, ranked)
   }
 
-  /** [[packTokenWindows]] under an ALREADY-TRAINED tokenizer — the
-    * production runtime shape: the merge table + symbol-id map arrive as
-    * driver values (freshly trained or [[loadTokenizer]]-reloaded) and
-    * ship to the executors as plan literals; the corpus is tokenized in
-    * place exactly as in the train-in-job path, so the two paths are
-    * output-identical by construction.
-    */
   /** Per-doc token-id sequences `(doc_id, ids, n)` — tokenize-in-place:
     * one projection over the scan (no explode, no vocab join, no
     * regroup), each doc's ids terminated by the separator token. Shared
@@ -385,7 +411,10 @@ object TokenPack {
       symIds: Map[String, Long],
       byteLevel: Boolean): DataFrame = {
     val idMapLit = typedLit(symIds)
-    docs
+    // under-split scans would run the merge-inference projection (the
+    // pack family's dominant CPU) on one task — spread first (identity
+    // at real scale; see Caching.spreadToParallelism)
+    Caching.spreadToParallelism(docs)
       .select(
         col(idCol).cast("long").as("doc_id"),
         // NULL text degenerates to the documented empty-doc case (its
@@ -404,6 +433,13 @@ object TokenPack {
       .withColumn("n", size(col("ids")).cast("long"))
   }
 
+  /** [[packTokenWindows]] under an ALREADY-TRAINED tokenizer — the
+    * production runtime shape: the merge table + symbol-id map arrive as
+    * driver values (freshly trained or [[loadTokenizer]]-reloaded) and
+    * ship to the executors as plan literals; the corpus is tokenized in
+    * place exactly as in the train-in-job path, so the two paths are
+    * output-identical by construction.
+    */
   def packTokenWindowsWith(
       docs: DataFrame,
       idCol: String,
@@ -418,13 +454,21 @@ object TokenPack {
     val effParts =
       if (parts > 0) parts else docs.sparkSession.sessionState.conf.numShufflePartitions
     val docSeqs = docIdSeqs(docs, idCol, textCol, merges, symIds, byteLevel)
+    var counts: DataFrame = null
     var offsets: DataFrame = null
     try {
       // exclusive stream offset per doc: the distributed prefix sum runs
-      // over (doc_id, n) ONLY — 2-long rows, never the id payload
+      // over (doc_id, n) ONLY — 2-long rows, never the id payload.
+      // The counts frame is checkpointed FIRST (r21, opt guide §1.2):
+      // globalCumSum's repartitionByRange SAMPLES its child for range
+      // bounds and then exchanges it — fed lazily, the tokenize-in-place
+      // projection (the expensive per-doc merge inference) re-ran once
+      // for the sampler and once for the exchange. The checkpoint is
+      // 2 longs per doc at any scale; tokenization now runs exactly
+      // twice per pack (counts + payload) instead of 3-4×.
+      counts = docSeqs.select(col("doc_id"), col("n")).localCheckpoint(true)
       offsets = GlobalRank.globalCumSum(
-        docSeqs.select(col("doc_id"), col("n")),
-        Seq(col("doc_id")), col("n"), "cum", effParts)
+        counts, Seq(col("doc_id")), col("n"), "cum", effParts)
       val withOff = docSeqs
         .join(offsets.select(col("doc_id"), (col("cum") - col("n")).as("start")), "doc_id")
       // one row per (doc, touched window): the id sub-array destined for
@@ -463,6 +507,7 @@ object TokenPack {
       Caching.materializeAndRelease(out)
     } finally {
       if (offsets != null) Caching.release(offsets)
+      if (counts != null) Caching.release(counts)
     }
   }
 }

@@ -447,15 +447,21 @@ object Ext4Queries {
         // with the corpus (n_docs/25 rows — 100 TB of 4 KB docs is ~1B
         // buckets), so the single-partition window that sizes with the
         // DATA is replaced by per-range local sums + a |partitions|-row
-        // offset side; sums are exact integers, order-free
-        graft.ops.GlobalRank
+        // offset side; sums are exact integers, order-free.
+        // buckets is checkpointed first (r21): globalCumSum's range
+        // sampler re-ran the whole explode + two-aggregate chain a
+        // second time when fed lazily; the checkpoint is n_docs/25
+        // 2-long rows at any scale
+        val bucketsM = buckets.localCheckpoint(true)
+        val cum = graft.ops.GlobalRank
           .globalCumSum(
-            buckets, Seq(col("bucket")), col("new_tokens"), "vocab_size",
+            bucketsM, Seq(col("bucket")), col("new_tokens"), "vocab_size",
             parts = s.sessionState.conf.numShufflePartitions)
-          .select(
-            ((col("bucket") + 1) * 25).as("docs_ingested"),
-            col("new_tokens"),
-            col("vocab_size"))
+        graft.ops.Caching.release(bucketsM)
+        cum.select(
+          ((col("bucket") + 1) * 25).as("docs_ingested"),
+          col("new_tokens"),
+          col("vocab_size"))
       },
       Some("""WITH d AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS ts

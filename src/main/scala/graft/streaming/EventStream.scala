@@ -726,9 +726,25 @@ object EventStream {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(120000)) {
+    // Timeout scales with the micro-batch count: the sf10 gate default
+    // (maxFilesPerTrigger=1 over a 32-file fixture) already measures
+    // ~80 s on a host with documented 20-35% contention bands, so a flat
+    // 120 s (the cheap drains' precedent) left no headroom — a
+    // contention burst would fail an entire sweep (r20 advice). 120 s
+    // base + 15 s per expected micro-batch.
+    val srcFiles = {
+      val fl = f.isDirectory match {
+        case true  => Option(f.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(1)
+        case false => 1
+      }
+      math.max(1, fl)
+    }
+    val drainTimeoutMs =
+      120000L + 15000L * ((srcFiles + maxFilesPerTrigger - 1) / maxFilesPerTrigger)
+    if (!q.awaitTermination(drainTimeoutMs)) {
       q.stop()
-      throw new IllegalStateException(s"stream curation drain of $srcPath did not finish within 120 s")
+      throw new IllegalStateException(
+        s"stream curation drain of $srcPath did not finish within ${drainTimeoutMs / 1000} s")
     }
     require(target != null, s"stream curation drain of $srcPath produced no batches")
     // within-delta representative resolution over the ACCUMULATED rows

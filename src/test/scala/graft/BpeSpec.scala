@@ -283,4 +283,47 @@ class BpeSpec extends SparkSpec {
     assert(t.length === 1)
     assert((t(0).getString(1), t(0).getString(2)) === ("a", Bpe.EndOfWord))
   }
+
+  test("driver-local trainer: byte-identical table to both distributed loops (repeat-heavy corpus)") {
+    // the r21 local path (the shape trainMergeSeq picks under the
+    // collected-seq0 gate) against the naive loop, the incremental loop
+    // and the straight-line reference — same corpus as the update-path
+    // parity test so all four trainers are pinned to one table
+    val words = Seq(
+      "abab", "abab", "aaaa", "aaab", "banana", "banana", "bandana",
+      "xyxyxy", "xyz", "xyz", "xyz", "zzz")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val rows = Bpe.collectedSeq0(docs, "text", byteLevel = false).get
+    val viaLocal = Bpe.trainMergeSeqLocal(rows, 24).map(x => (x.symA, x.symB, x.pairCount))
+    assert(viaLocal === referenceTrain(words, 24))
+    assert(viaLocal ===
+      Bpe.trainMergeSeqNaive(docs, "text", 24).map(x => (x.symA, x.symB, x.pairCount)))
+    // the collected seq0 rows stay the INITIAL sequences (merge
+    // application replaces, never mutates) — a second run over the same
+    // rows reproduces the table
+    assert(Bpe.trainMergeSeqLocal(rows, 24).map(x => (x.symA, x.symB, x.pairCount)) === viaLocal)
+  }
+
+  test("driver-local trainer: byte-level parity on multibyte text (hex symbols)") {
+    val docs = Seq("café café naïve 日本語 😀😀 zz yy zz xy xy").toDF("text")
+    val rows = Bpe.collectedSeq0(docs, "text", byteLevel = true).get
+    val viaLocal = Bpe.trainMergeSeqLocal(rows, 12).map(x => (x.symA, x.symB, x.pairCount))
+    val viaNaive = Bpe.trainMergeSeqNaive(docs, "text", 12, byteLevel = true)
+      .map(x => (x.symA, x.symB, x.pairCount))
+    assert(viaLocal === viaNaive)
+  }
+
+  test("trainTokenizer local path: symbol-id map identical to the distributed assembly") {
+    val docs = Seq(
+      (1L, "abab banana bandana xyz"),
+      (2L, "aaab zz café lower lowest")).toDF("doc_id", "text")
+    for (byteLevel <- Seq(false, true)) {
+      val (merges, symIds) =
+        graft.ops.TokenPack.trainTokenizer(docs, "text", 6, byteLevel)
+      val vocab = Bpe.wordVocab(docs, "text")
+      val seq0 = if (byteLevel) Bpe.initialByteSeqs(vocab) else Bpe.initialSeqs(vocab)
+      assert(symIds === graft.ops.TokenPack.symbolIdMap(seq0, merges),
+        s"byteLevel=$byteLevel symbol-id maps diverge")
+    }
+  }
 }
