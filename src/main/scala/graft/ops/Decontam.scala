@@ -45,10 +45,19 @@ object Decontam {
       benchCol: Column,
       n: Int
   ): DataFrame =
-    df.select(
+    // spread an under-split scan first (r21): the gram explode + md5 is
+    // this family's heaviest projection and would otherwise run on ONE
+    // task over the single-row-group fixtures (identity at real scale;
+    // the distinct and every consumer are placement-independent)
+    Caching.spreadToParallelism(
+      df.select(
         col(idCol).as("doc_id"),
         benchCol.as("is_bench"),
-        explode(TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), n)).as("g"))
+        col(textCol).as("__t")))
+      .select(
+        col("doc_id"),
+        col("is_bench"),
+        explode(TextOps.shinglesFromTokens(TextOps.tokens(col("__t")), n)).as("g"))
       .select(
         col("doc_id"),
         col("is_bench"),

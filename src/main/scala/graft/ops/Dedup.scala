@@ -37,7 +37,13 @@ object Dedup {
     * an inline tokens() expression makes shingling quadratic).
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("sid"), TextOps.tokens(col(textCol)).as("__ts"))
+    // spread an under-split scan first (r21): tokenize+shingle+explode is
+    // the dedup family's heaviest projection, and single-row-group
+    // fixtures would run it — and any downstream partial aggregate
+    // (MinHash folds, df counts) — on ONE task. Identity at real scale;
+    // all consumers are aggregates/joins, placement-independent.
+    Caching.spreadToParallelism(df.select(col(idCol).as("sid"), col(textCol).as("__t")))
+      .select(col("sid"), TextOps.tokens(col("__t")).as("__ts"))
       .select(col("sid"), explode(TextOps.shinglesFromTokens(col("__ts"), n)).as("s"))
 
   /** Join integer intersection counts with per-doc set sizes and keep
