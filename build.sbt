@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // dozens of codegen'd queries in one JVM overflow the default 240m code
   // cache; once full the JIT shuts off and late queries run interpreted
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "512m")}",
-)
+) ++
+  // optional scratch-dir override for forked runs (A/B harness for the
+  // streaming checkpoint/state I/O lever — java.io.tmpdir is where the
+  // run-once drains put their ephemeral checkpoints); default unchanged
+  sys.env.get("SPARK_GRAFT_TMPDIR").map(d => s"-Djava.io.tmpdir=$d").toSeq

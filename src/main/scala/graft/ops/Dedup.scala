@@ -658,12 +658,15 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    graft.util.ArtifactParams.write(
-      snapshot.sparkSession, s"$indexDir/params", lshParams(shingleN, numHashes, bands))
     val sig = signaturesFromShingles(
       shingleRows(snapshot, idCol, textCol, shingleN), numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandKeys(sig, numHashes, bands).write.mode("overwrite").parquet(s"$indexDir/keys")
+    // the params table and the keys write are independent — overlap the
+    // two commit latencies (opt guide §2.6)
+    graft.util.Par.run(
+      () => graft.util.ArtifactParams.write(
+        snapshot.sparkSession, s"$indexDir/params", lshParams(shingleN, numHashes, bands)),
+      () => bandKeys(sig, numHashes, bands).write.mode("overwrite").parquet(s"$indexDir/keys"))
     sig.unpersist(false)
   }
 

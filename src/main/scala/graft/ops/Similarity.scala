@@ -787,28 +787,35 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val spark = base.sparkSession
-      // build-time hyperparameters travel WITH the artifact and are
-      // validated on every load ([[graft.util.ArtifactParams]]): a query
-      // or append run supplying different nCodes/subDim than the codes
-      // were encoded with fails loudly instead of silently scoring
-      // against a stale codebook (r19 advice).
-      graft.util.ArtifactParams.write(spark, s"$dir/params", ivfPqParams(nClusters, subspaces, subDim, nCodes))
+      // the two bounded collects run first (and serially — the first one
+      // fills the persisted base's cache, so the second reads blocks)…
       val codebook = ivfCoarseCodebook(base, nClusters)
-      centroidsDf(base, codebook)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/centroids")
       // the raw PQ codebook rows (bounded: nCodes vectors) — persisted so
       // [[appendToIvfPqIndex]] encodes deltas under the FROZEN book; the
       // in-job build derives the identical book from these same rows
       val baseRaw = base.select(col("cid").as("vid"), col("v"), col("nrm"))
       val pqRows = collectPqCodebookRows(baseRaw, nCodes)
-      spark
-        .createDataFrame(pqRows.toSeq.map { case (vid, v) => (vid, v.toSeq) })
-        .toDF("vid", "v")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/pqbook")
-      ivfPqCodes(base, codebook, subspaces, subDim, nCodes, Some(pqRows))
-        .write.mode("overwrite").parquet(s"$dir/codes")
+      // …then the four artifact writes, which depend only on those rows
+      // (codes additionally on the cached base), run as CONCURRENT jobs
+      // (opt guide §2.6) instead of four serial write+commit latencies.
+      // Build-time hyperparameters travel WITH the artifact and are
+      // validated on every load ([[graft.util.ArtifactParams]]): a query
+      // or append run supplying different nCodes/subDim than the codes
+      // were encoded with fails loudly instead of silently scoring
+      // against a stale codebook (r19 advice).
+      graft.util.Par.run(
+        () => graft.util.ArtifactParams.write(
+          spark, s"$dir/params", ivfPqParams(nClusters, subspaces, subDim, nCodes)),
+        () => centroidsDf(base, codebook)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/centroids"),
+        () => spark
+          .createDataFrame(pqRows.toSeq.map { case (vid, v) => (vid, v.toSeq) })
+          .toDF("vid", "v")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/pqbook"),
+        () => ivfPqCodes(base, codebook, subspaces, subDim, nCodes, Some(pqRows))
+          .write.mode("overwrite").parquet(s"$dir/codes"))
     } finally base.unpersist(false)
   }
 
@@ -849,13 +856,16 @@ object Similarity {
     val subspaces = params("subspaces").toInt
     val subDim = params("sub_dim").toInt
     val nCodes = params("n_codes").toInt
-    val codebook = spark.read.parquet(s"$dir/centroids")
-      .select("centroid_id", "cv", "cn").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1)
-    val pqRows = spark.read.parquet(s"$dir/pqbook")
-      .select("vid", "v").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    // the two bounded artifact collects are independent — overlap them
+    // (opt guide §2.6)
+    val (codebook, pqRows) = graft.util.Par.run2(
+      spark.read.parquet(s"$dir/centroids")
+        .select("centroid_id", "cv", "cn").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1),
+      spark.read.parquet(s"$dir/pqbook")
+        .select("vid", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1))
     val base = prepBase(delta, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try ivfPqCodes(base, codebook, subspaces, subDim, nCodes, Some(pqRows))
@@ -885,22 +895,16 @@ object Similarity {
       rerankK: Int = AdaptiveRerank
   ): DataFrame = {
     val spark = emb.sparkSession
-    // fail loudly if the query's encode hyperparameters differ from the
-    // artifact's build-time ones — a mismatched subDim/nCodes would score
-    // the persisted codes against a freshly derived (stale) codebook and
-    // silently return wrong neighbors (r19 advice). nClusters is a
-    // build-only knob, checked implicitly through the persisted centroids.
-    graft.util.ArtifactParams.validate(
-      spark, s"$indexDir/params",
-      Seq(
-        "kind" -> "ivfpq",
-        "subspaces" -> subspaces.toString,
-        "sub_dim" -> subDim.toString,
-        "n_codes" -> nCodes.toString))
     val base = prepBase(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val effRerankK =
-      if (rerankK == AdaptiveRerank) adaptiveRerankK(base.count()) else rerankK
+    // three independent bounded actions — params validation, the corpus
+    // count behind the adaptive re-rank depth, and the frozen-pqbook
+    // collect — overlap as concurrent jobs (opt guide §2.6). The params
+    // check still fails loudly BEFORE any result is produced: a
+    // mismatched subDim/nCodes would score the persisted codes against a
+    // freshly derived (stale) codebook and silently return wrong
+    // neighbors (r19 advice). nClusters is a build-only knob, checked
+    // implicitly through the persisted centroids.
     // ADC lookup tables are built against the artifact's FROZEN pqbook
     // (the same rows appendToIvfPqIndex encodes deltas under), not
     // re-derived from the query-time corpus: if the corpus's first
@@ -908,9 +912,20 @@ object Similarity {
     // the persisted codes against the wrong centroids and silently
     // degrade candidates (masked by the exact re-rank). On an unchanged
     // corpus the two books are row-identical, so results are unchanged.
-    val pqRows = spark.read.parquet(s"$indexDir/pqbook")
-      .select("vid", "v").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val (_, baseCount, pqRows) = graft.util.Par.run3(
+      graft.util.ArtifactParams.validate(
+        spark, s"$indexDir/params",
+        Seq(
+          "kind" -> "ivfpq",
+          "subspaces" -> subspaces.toString,
+          "sub_dim" -> subDim.toString,
+          "n_codes" -> nCodes.toString)),
+      base.count(),
+      spark.read.parquet(s"$indexDir/pqbook")
+        .select("vid", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1))
+    val effRerankK =
+      if (rerankK == AdaptiveRerank) adaptiveRerankK(baseCount) else rerankK
     Caching.materializeAndRelease(
       ivfPqQueryFromCodes(
         base,

@@ -203,24 +203,27 @@ object TokenPack {
     // were trained would tokenize garbage silently — loadTokenizer
     // validates, and [[packTokenWindowsWithArtifact]] takes byteLevel
     // FROM the artifact so there is nothing to mis-repeat.
-    graft.util.ArtifactParams.write(
-      spark, s"$dir/params",
-      Seq(
-        "kind" -> "bpe_tokenizer",
-        "num_merges" -> merges.size.toString,
-        "byte_level" -> byteLevel.toString))
-    merges.toDF()
-      .select(
-        col("mergeRank").as("merge_rank"),
-        col("symA").as("sym_a"),
-        col("symB").as("sym_b"),
-        col("merged"),
-        col("pairCount").as("pair_count"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/merges")
-    symIds.toSeq.toDF("sym", "id")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/symbols")
+    // the three bounded artifact writes are independent — overlap their
+    // job + commit latencies (opt guide §2.6)
+    graft.util.Par.run(
+      () => graft.util.ArtifactParams.write(
+        spark, s"$dir/params",
+        Seq(
+          "kind" -> "bpe_tokenizer",
+          "num_merges" -> merges.size.toString,
+          "byte_level" -> byteLevel.toString)),
+      () => merges.toDF()
+        .select(
+          col("mergeRank").as("merge_rank"),
+          col("symA").as("sym_a"),
+          col("symB").as("sym_b"),
+          col("merged"),
+          col("pairCount").as("pair_count"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/merges"),
+      () => symIds.toSeq.toDF("sym", "id")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/symbols"))
   }
 
   /** Reload a [[saveTokenizer]] artifact. The collects are the sanctioned
@@ -242,22 +245,25 @@ object TokenPack {
   def loadTokenizerChecked(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): (Seq[Bpe.Merge], Map[String, Long], Boolean) = {
-    val params = graft.util.ArtifactParams.read(spark, s"$dir/params")
+    // the three bounded artifact reads are independent — overlap them
+    // (opt guide §2.6); validation still runs before anything is returned
+    val (params, merges, symIds) = graft.util.Par.run3(
+      graft.util.ArtifactParams.read(spark, s"$dir/params"),
+      spark.read.parquet(s"$dir/merges")
+        .select("merge_rank", "sym_a", "sym_b", "merged", "pair_count")
+        .collect()
+        .map(r => Bpe.Merge(r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .sortBy(_.mergeRank)
+        .toSeq,
+      spark.read.parquet(s"$dir/symbols")
+        .select("sym", "id")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toMap)
     require(
       params.get("kind").contains("bpe_tokenizer"),
       s"artifact at $dir is not a BPE tokenizer (kind=${params.get("kind")})")
     val byteLevel = params("byte_level").toBoolean
-    val merges = spark.read.parquet(s"$dir/merges")
-      .select("merge_rank", "sym_a", "sym_b", "merged", "pair_count")
-      .collect()
-      .map(r => Bpe.Merge(r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
-      .sortBy(_.mergeRank)
-      .toSeq
-    val symIds = spark.read.parquet(s"$dir/symbols")
-      .select("sym", "id")
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .toMap
     require(
       merges.size == params("num_merges").toInt,
       s"tokenizer artifact at $dir is corrupt: params say ${params("num_merges")} merges, " +
