@@ -83,6 +83,25 @@ private[graft] object Caching {
     * scale the scan has more splits than cores and this is the identity
     * — nothing is re-shuffled.
     */
+  /** Stats gate for substrate materialization (r21): persisting a shared
+    * substrate so N consumers read one pass instead of N re-scans only
+    * pays once the substrate is big enough that the re-scans dominate
+    * the cache write + the serialization barrier — at gate scale the
+    * redundant scans are tiny AND run concurrently (AQE materializes
+    * independent stages in parallel), so the lazy multi-scan form is
+    * faster below this bound. 32 MiB ≈ a few task-sized inputs; every
+    * production corpus is far past it, every gate fixture (≤ sf0.1) far
+    * under, and the 100× proof fixture's document corpus (~57 MB) lands
+    * ABOVE it so the scale sweeps exercise the persisted path. Both
+    * paths are value-identical by construction (pure projections),
+    * pinned by spec.
+    */
+  val MaterializeSubstrateMinBytes: Long = 32L << 20
+
+  /** True iff `df`'s optimizer-estimated size exceeds `minBytes`. */
+  def bigEnough(df: DataFrame, minBytes: Long = MaterializeSubstrateMinBytes): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(minBytes)
+
   def spreadToParallelism(df: DataFrame, minBytes: Long = 0L): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     // minBytes: per-call-site floor for projections cheap enough that

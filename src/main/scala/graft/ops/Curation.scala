@@ -39,12 +39,28 @@ object Curation {
       textCol: String,
       isNewCol: Column,
       isBenchCol: Column,
-      gramN: Int = 13): DataFrame = {
-    val base = docs.select(
+      gramN: Int = 13,
+      // stats-gate override for specs that pin persisted-path ≡ lazy-path
+      substrateMinBytes: Long = graft.ops.Caching.MaterializeSubstrateMinBytes): DataFrame = {
+    // ONE corpus scan persisted for every stage when the corpus is big
+    // enough to matter (r21 scan audit: the lazy form executed SIX text
+    // scans of the corpus — quality tokenize, delta hash, snapshot hash,
+    // gram explode and the verdict joins each re-read the fixture; at
+    // 100 TB that is six corpus passes for one delta's verdicts). Flags
+    // and text are pure per-row values, so the persisted copy is
+    // bit-identical; the delta-sized result is eagerly materialized so
+    // the corpus blocks release before return. Below the stats gate the
+    // lazy form wins (measured +0.35 s at sf0.1 from the persist
+    // barrier) — both paths value-equal, pinned by CurationOpsSpec.
+    val projected = docs.select(
       col(idCol).cast("long").as("doc_id"),
       col(textCol).as("__text"),
       isNewCol.as("is_new"),
       isBenchCol.as("is_bench"))
+    val big = graft.ops.Caching.bigEnough(projected, substrateMinBytes)
+    val base =
+      if (big) projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else projected
     val delta = base.filter(col("is_new"))
     // stage 1 — gopher quality on the delta only; zero-token docs have
     // no quality row (tokens-exploded derivation) → keep=false via the
@@ -77,7 +93,7 @@ object Curation {
     val grams = Decontam.gramRows(gramDocs, "doc_id", "__text", col("is_bench"), gramN)
     val hits = Decontam.contaminatedDocs(grams)
       .select(col("doc_id"), lit(true).as("__hit"))
-    delta.select("doc_id", "is_bench")
+    val out = delta.select("doc_id", "is_bench")
       .join(quality, "doc_id")
       .join(dup, "doc_id")
       .join(hits, Seq("doc_id"), "left")
@@ -86,5 +102,6 @@ object Curation {
         coalesce(col("__hit"), lit(false)).as("contaminated"))
       .withColumn("keep",
         !col("is_bench") && col("quality_pass") && !col("dup") && !col("contaminated"))
+    if (big) graft.ops.Caching.materializeAndRelease(out, base) else out
   }
 }

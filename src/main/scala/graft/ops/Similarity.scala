@@ -211,8 +211,14 @@ object Similarity {
     * step that co-locates each cluster before IVF search probes only the
     * relevant clusters.
     */
-  def clusterAssign(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val base = prepBase(emb, idCol, vecCol)
+  def clusterAssign(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    clusterAssignFromBase(prepBase(emb, idCol, vecCol), k)
+
+  /** [[clusterAssign]] over an already-prepped `(cid, v, nrm)` base (the
+    * [[prepBase]] shape) — the variant a caller holding a persisted base
+    * composes without re-scanning the corpus per stage.
+    */
+  private[graft] def clusterAssignFromBase(base: DataFrame, k: Int): DataFrame = {
     val centroids = base
       .filter(col("cid") < k)
       .select(col("cid").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -261,10 +267,39 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
+      threshold: Double,
+      // stats-gate override for specs that pin persisted-path ≡ lazy-path
+      substrateMinBytes: Long = Caching.MaterializeSubstrateMinBytes
+  ): DataFrame = {
+    // ONE prepped corpus persisted for every stage when the corpus is
+    // big enough to matter (r21 scan audit: the lazy form executed FIVE
+    // parquet scans of the embedding corpus — assignment, both pair
+    // sides, the verdict join, and the centroid filter each re-read the
+    // fixture; at 100 TB that is five corpus passes for one operator).
+    // The ann_recall_at_k shared-base precedent: values are a pure
+    // deterministic projection, so the persisted copy is bit-identical
+    // and the oracle replays unchanged. Below the stats gate the lazy
+    // form wins (the tiny scans run concurrently; measured +0.4 s at
+    // sf0.1 from the persist + eager-verdict barrier), so the gate keeps
+    // the small-scale path exactly as before — both paths value-equal,
+    // pinned by SimilaritySpec.
+    val prepped = prepBase(emb, idCol, vecCol)
+    if (!Caching.bigEnough(prepped, substrateMinBytes)) semanticDedupFromBase(prepped, k, threshold)
+    else {
+      val base = prepped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Caching.materializeAndRelease(semanticDedupFromBase(base, k, threshold), base)
+    }
+  }
+
+  /** [[semanticDedup]]'s plan over an already-prepped `(cid, v, nrm)`
+    * base — package-visible so plan-shape tests pin the LAZY form.
+    */
+  private[graft] def semanticDedupFromBase(
+      base: DataFrame,
+      k: Int,
       threshold: Double
   ): DataFrame = {
-    val base = prepBase(emb, idCol, vecCol)
-    val assigned = clusterAssign(emb, idCol, vecCol, k)
+    val assigned = clusterAssignFromBase(base, k)
     val cells = assigned
       .join(base, col("vec_id") === col("cid"))
       .select(col("vec_id"), col("centroid_id"), col("v"), col("nrm"))
@@ -501,12 +536,21 @@ object Similarity {
       rerankK: Int = 0
   ): DataFrame = {
     ArrayDot.ensureRegistered(emb.sparkSession)
-    // nrm is declared here but pruned by Catalyst on every path that
-    // does not use it (the no-rerank branch), so the wrapper adds no work
+    // ONE prepped corpus persisted for every stage (r21 scan audit: the
+    // lazy form executed EIGHT parquet scans of the embedding corpus —
+    // codebook slice, LUT queries, shortlist, exact re-rank sides each
+    // re-read the fixture). nrm rides along (it feeds only the exact
+    // re-rank; the cached column is 8 bytes/row). The count inside
+    // pqAdcTopKFromBase is the cache-filling first action. Result is
+    // eagerly materialized so the base's blocks release before return —
+    // the ann_recall_at_k shared-base precedent, values unchanged.
     val baseN = emb
       .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(fastDot(col("v"), col("v"))))
-    pqAdcTopKFromBase(baseN, k, queryPred, subspaces, subDim, nCodes, rerankK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Caching.materializeAndRelease(
+      pqAdcTopKFromBase(baseN, k, queryPred, subspaces, subDim, nCodes, rerankK),
+      baseN)
   }
 
   /** [[pqAdcTopK]] over an already-prepped `(cid, v, nrm)` base (the

@@ -100,6 +100,12 @@ object TimeSeries {
     // multiplicity weight — (lid, sign, x) is then a unique bound key,
     // so the partial/cum_before terms below count once per DISTINCT
     // bound and the weight restores per-occurrence semantics
+    // checkpoint the two NARROW projections (3-4 longs per row): each
+    // feeds two consumers (bucket inventory + the partial term), and the
+    // lazy form re-ran both source scans per consumer (r21 scan audit: 5
+    // executed scans of the events fixture for one query — at 100 TB, 5
+    // corpus passes). The materialized bytes are of the order the
+    // downstream exchanges already move; scans drop to one per side.
     val bounds = left
       .select(col(idCol).as("__lid"), unix_micros(col(tsCol)).as("__lus"))
       .groupBy("__lid", "__lus").agg(count(lit(1)).as("__mult"))
@@ -109,9 +115,11 @@ object TimeSeries {
       )).as("bd"))
       .select(col("__lid"), col("__mult"), col("bd.x").as("x"), col("bd.sign").as("sign"))
       .withColumn("__b", fdiv(col("x"), bucketUs))
+      .localCheckpoint(true)
     val r = right
       .select(unix_micros(col(tsCol)).as("__rus"))
       .withColumn("__b", fdiv(col("__rus"), bucketUs))
+      .localCheckpoint(true)
 
     // bucket inventory (right counts per bucket, probe-bound buckets
     // included at weight 0) + two-level prefix sum

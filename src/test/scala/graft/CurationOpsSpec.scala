@@ -196,6 +196,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(107L) === ((true, false, false, false, false)))  // held out
   }
 
+  test("incrementalVerdicts: persisted-substrate path (stats gate forced) equals the lazy path") {
+    // r21: above the substrate stats gate the projected corpus persists
+    // and every funnel stage reads ONE corpus pass; forcing the gate
+    // with substrateMinBytes = 0 must reproduce the lazy rows exactly
+    val docs = graft.queries.Tables.t(spark, sf("sf0.001"), "documents")
+    def rows(minBytes: Long) = graft.ops.Curation
+      .incrementalVerdicts(
+        docs, "doc_id", "text",
+        isNewCol = graft.ops.Sampling.hashBucket(org.apache.spark.sql.functions.col("doc_id"), "inc", 100) >= 80,
+        isBenchCol = org.apache.spark.sql.functions
+          .conv(org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit("bench:"),
+              org.apache.spark.sql.functions.col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 100 < 10,
+        substrateMinBytes = minBytes)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+      .toSet
+    assert(rows(0L) == rows(Long.MaxValue))
+  }
+
   test("q_corpus_report: totals reconcile with the raw table") {
     val rep = Ext4Queries.defs.toMap.apply("q_corpus_report").fn(spark, sf("sf0.001")).collect()
     assert(rep.map(_.getAs[Long]("n_docs")).sum == docs.count())

@@ -43,11 +43,16 @@ class ScalePlanSpec extends SparkSpec {
   }
 
   test("pqAdcTopK broadcasts ONE query-LUT map set; corpus codes never shuffle for scoring") {
+    // pin the LAZY FromBase plan: the public entry persists the prepped
+    // base and eagerly materializes (r21 — one corpus scan instead of
+    // eight), so its own plan root is the checkpoint scan
     val plan = graft.ops.Similarity
-      .pqAdcTopK(
-        graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings"),
-        "vec_id", "embedding", k = 5, queryPred = col("cid") < 30,
-        subspaces = 4, subDim = 16, nCodes = 8)
+      .pqAdcTopKFromBase(
+        graft.ops.Similarity.prepBase(
+          graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings"),
+          "vec_id", "embedding"),
+        k = 5, queryPred = col("cid") < 30,
+        subspaces = 4, subDim = 16, nCodes = 8, rerankK = 0)
       .queryExecution.executedPlan.toString
     // the per-(query, subspace) code→position LUT ARRAYS are corpus-
     // size-independent (|queries| rows) and reach the compressed corpus
@@ -150,10 +155,15 @@ class ScalePlanSpec extends SparkSpec {
   }
 
   test("semanticDedup pairs via a hash join on the cell key, never a nested-loop cross") {
+    // pin the LAZY FromBase plan: the public entry persists the prepped
+    // base and eagerly materializes (r21 — one corpus scan instead of
+    // five), so its own plan root is the checkpoint scan
     val plan = graft.ops.Similarity
-      .semanticDedup(
-        graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings"),
-        "vec_id", "embedding", k = 8, threshold = 0.35)
+      .semanticDedupFromBase(
+        graft.ops.Similarity.prepBase(
+          graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings"),
+          "vec_id", "embedding"),
+        k = 8, threshold = 0.35)
       .queryExecution.executedPlan.toString
     // the O(m²) stage must be confined to same-cell members by an
     // equi-join on the cell key — never a corpus-wide cross. The one

@@ -246,6 +246,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(_._3).map(_._2).toSet == cells.values.toSet)
   }
 
+  test("semanticDedup: persisted-substrate path (stats gate forced) equals the lazy path") {
+    // r21: above the substrate stats gate the prepped base persists and
+    // every stage reads ONE corpus pass; forcing the gate with
+    // substrateMinBytes = 0 must reproduce the lazy plan's rows exactly
+    val df = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
+    def rows(minBytes: Long) =
+      Similarity.semanticDedup(df, "vec_id", "embedding", k = 8, threshold = 0.35,
+        substrateMinBytes = minBytes)
+        .as[(Long, Long, Boolean)].collect().toSet
+    assert(rows(0L) == rows(Long.MaxValue))
+  }
+
   test("persisted IVF-PQ index: build -> reload -> query equals the in-job composite path") {
     val emb = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
     val dir = s"/tmp/graft-test-annindex/${spark.sparkContext.applicationId}"
