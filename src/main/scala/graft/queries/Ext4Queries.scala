@@ -1258,19 +1258,19 @@ object Ext4Queries {
     "q_token_lift" -> QueryDef(
       (s, d) => {
         val docs = t(s, d, "documents")
-        // tokenize ONCE when the corpus is big enough to matter: the lazy
-        // form re-ran the tokenize+explode for the df aggregate and BOTH
-        // self-join sides (r21 scan audit: 4 executed corpus scans — the
-        // aliased join sides are not identical subtrees, so exchange
-        // reuse cannot collapse them). The checkpointed token frame is
-        // read by all three consumers; below the stats gate the lazy
-        // concurrent re-scans win (measured +0.3 s at sf0.1 from the
-        // checkpoint barrier).
-        val lazyToks = docs.select(
+        // deliberately NOT a single-pass substrate: the r21 scan audit
+        // flagged 4 executed corpus scans (the aliased self-join sides
+        // are not identical subtrees, so exchange reuse cannot collapse
+        // them), but materializing the token frame once was MEASURED
+        // 2.7× WORSE at sf10 (10.8 → 29.5 s median-of-3) — the substrate
+        // EXPANDS ~10× under the distinct-token explode, so the
+        // checkpoint write+read dwarfs the three saved re-tokenizations.
+        // The multi-scan lazy form is the right shape for an exploding
+        // substrate; contrast incrementalVerdicts/semanticDedup, whose
+        // substrates are row-preserving projections and DO persist.
+        val toks = docs.select(
           col("doc_id"),
           explode(array_distinct(TextOps.normTokens(col("text")))).as("t"))
-        val big = graft.ops.Caching.bigEnough(docs)
-        val toks = if (big) lazyToks.localCheckpoint(true) else lazyToks
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val dfq = toks.groupBy("t").agg(count(lit(1)).as("n_t"))
         val pr = toks.select(col("doc_id"), col("t").as("ta"))
@@ -1288,7 +1288,7 @@ object Ext4Queries {
               (col("n_a") * col("n_b")).cast("double")).as("lift"))
           .orderBy(col("lift").desc, col("token_a").asc, col("token_b").asc)
           .limit(20)
-        if (big) graft.ops.Caching.materializeAndRelease(out, toks) else out
+        out
       },
       Some("""WITH toks AS (
              |  SELECT DISTINCT doc_id,

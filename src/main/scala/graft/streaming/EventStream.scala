@@ -389,11 +389,15 @@ object EventStream {
     val bounds = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi")).head()
     val splitUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
 
-    // stage a slice into a fresh dir, then move its part files into the
-    // watched source dir — a file "arrival" as the file source sees it.
-    // `pred` is over the loader frame (may reference ts_us); the staged
-    // write projects it away afterwards.
-    def arrive(batchName: String, pred: org.apache.spark.sql.Column): Unit = {
+    // stage a slice into a fresh dir (stageWrite), then move its part
+    // files into the watched source dir (landFiles) — a file "arrival"
+    // as the file source sees it. The two halves are SPLIT so stage-2's
+    // write can run CONCURRENTLY with stage 1's drain (opt guide §2.6):
+    // the restart semantics depend only on WHEN files LAND in srcDir
+    // (the move), not on when their bytes were produced — the staged dir
+    // is invisible to the file source. `pred` is over the loader frame
+    // (may reference ts_us); the staged write projects it away.
+    def stageWrite(batchName: String, pred: org.apache.spark.sql.Column): java.io.File = {
       val stage = new java.io.File(tmp, s"stage-$batchName")
       ev.filter(pred)
         .select(
@@ -401,11 +405,15 @@ object EventStream {
           col("ts"),
           round(col("value") * 100).as("value"))
         .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      stage
+    }
+    def landFiles(batchName: String, stage: java.io.File): Unit =
       stage.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
         case (f, i) =>
           Files.move(f.toPath, new java.io.File(srcDir, s"$batchName-$i.parquet").toPath)
       }
-    }
+    def arrive(batchName: String, pred: org.apache.spark.sql.Column): Unit =
+      landFiles(batchName, stageWrite(batchName, pred))
 
     // one full query lifecycle: build from scratch (as a restarted job
     // would), drain whatever is newly available, stop
@@ -435,8 +443,13 @@ object EventStream {
     }
 
     arrive("a", col("ts_us") <= splitUs)
-    drainStage("1") // first invocation: prefix only, then STOP
-    arrive("b", col("ts_us") > splitUs)
+    // stage-2's parquet write overlaps stage 1's drain; its files LAND
+    // only after the drain returns (stop mid-corpus is defined by the
+    // move, which stays strictly after drainStage("1"))
+    val stagedB = graft.util.Par.run2(
+      { drainStage("1"); () }, // first invocation: prefix only, then STOP
+      stageWrite("b", col("ts_us") > splitUs))._2
+    landFiles("b", stagedB)
     drainStage("2") // restarted invocation: recovers state + offsets + watermark
     spark.read
       .parquet(outDir)
