@@ -849,6 +849,26 @@ object EventStream {
       "spark.sql.session.timeZone",
       "spark.sql.legacy.parquet.nanosAsLong"
     ).foreach(k => spark.conf.getOption(k).foreach(ss.conf.set(k, _)))
+    // Engine defaults for the drains this module owns (r22, StreamProbe
+    // decomposition: per-(store, batch) RocksDB lifecycle — open, put,
+    // commit, changelog — is the dominant micro-batch cost, not the data):
+    //  - join stateFormatVersion 3 collapses the stream-stream join's FOUR
+    //    stores per partition into ONE RocksDB store with virtual column
+    //    families (4.x, RocksDB-only) — 4× fewer store commits per
+    //    micro-batch with an identical join result; the format is pinned
+    //    per checkpoint at first start, and every drain here starts a
+    //    fresh checkpoint.
+    //  - trackTotalNumberOfRows=false drops the get-before-every-put the
+    //    provider otherwise pays just to maintain the numRowsTotal METRIC
+    //    (the documented production trade for write-heavy state).
+    // Set unconditionally: the scoped session exists for exactly one
+    // engine-owned drain against a fresh checkpoint (a conf.getOption
+    // probe cannot distinguish a caller's explicit choice from the
+    // registered default, and no restart against a foreign checkpoint
+    // happens through this path — the format version a checkpoint pins
+    // is this one's).
+    ss.conf.set("spark.sql.streaming.join.stateFormatVersion", "3")
+    ss.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
     ss.conf.set("spark.sql.shuffle.partitions", stateParallelism(ss, srcPath).toString)
     ss
   }
@@ -856,26 +876,61 @@ object EventStream {
   /** `clamp(rows/32k, 4, defaultParallelism)` — see [[stateScopedSession]].
     * Falls back to full parallelism (the pre-sizing behavior) if the
     * source cannot be counted.
+    *
+    * The row count comes from the parquet FOOTERS, read driver-side
+    * (r22): the previous `ss.read.parquet(srcPath).count()` launched a
+    * Spark job — scheduler latency on every drain's critical path — to
+    * compute exactly the number already sitting in each file's footer
+    * metadata. Footer reads are bounded per file and the loop is capped
+    * at [[FooterCountMaxFiles]] files (the gate fixtures are 1–32 files;
+    * a production tree past the cap takes the distributed count, whose
+    * job cost is amortized by the drain size that big a tree implies).
     */
+  private val FooterCountMaxFiles = 256
+
   private def stateParallelism(ss: SparkSession, srcPath: String): Int = {
     val cap = ss.sparkContext.defaultParallelism
-    // the count needs the same nanos normalization the stream read uses
-    // ([[streamEvents]] sets it for the drain itself) — but only for the
-    // count: save/restore so the session keeps whatever value was copied
-    // from the parent, instead of silently pinning `true` session-wide
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = ss.conf.getOption(key)
-    ss.conf.set(key, "true")
-    try {
-      val rows =
-        try ss.read.parquet(srcPath).count()
-        catch { case scala.util.control.NonFatal(_) => return cap }
-      math.min(cap.toLong, math.max(4L, rows / 32768L)).toInt
-    } finally prev match {
-      case Some(v) => ss.conf.set(key, v)
-      case None    => ss.conf.unset(key)
+    val rows = footerRowCount(ss, srcPath).getOrElse {
+      // fallback: the distributed count (needs the same nanos
+      // normalization the stream read uses — save/restore so the session
+      // keeps whatever value was copied from the parent)
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = ss.conf.getOption(key)
+      ss.conf.set(key, "true")
+      try ss.read.parquet(srcPath).count()
+      catch { case scala.util.control.NonFatal(_) => return cap }
+      finally prev match {
+        case Some(v) => ss.conf.set(key, v)
+        case None    => ss.conf.unset(key)
+      }
     }
+    math.min(cap.toLong, math.max(4L, rows / 32768L)).toInt
   }
+
+  /** Total row count of a parquet file or directory from footer metadata
+    * only — no Spark job, no column scan. None when the tree is bigger
+    * than the bounded driver-side loop should handle or any footer is
+    * unreadable.
+    */
+  private[graft] def footerRowCount(ss: SparkSession, srcPath: String): Option[Long] =
+    try {
+      val conf = ss.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(srcPath)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter { st =>
+            val n = st.getPath.getName
+            st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }
+        else Array(fs.getFileStatus(p))
+      if (files.isEmpty || files.length > FooterCountMaxFiles) None
+      else Some(files.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The frame must already live on a [[stateScopedSession]] — the query
     * reads shuffle/state sizing from `out.sparkSession`, and the memory

@@ -388,4 +388,19 @@ class StreamingSpec extends SparkSpec {
       assert(polls > 0, "drain finished before any concurrent batch job ran")
     } finally spark.conf.set(key, prev)
   }
+
+  test("footer row count equals the distributed count (file and directory sources)") {
+    // the state-sizing row count now comes from parquet footers read
+    // driver-side (r22) — no Spark job; it must agree exactly with the
+    // distributed count on both source shapes the drains accept
+    val file = sf("sf0.001") + "/events.parquet"
+    val sparkCount = graft.queries.Tables.t(spark, sf("sf0.001"), "events").count()
+    assert(EventStream.footerRowCount(spark, file).contains(sparkCount))
+
+    val dir = Files.createTempDirectory("footer-count").toString
+    graft.queries.Tables.t(spark, sf("sf0.001"), "events")
+      .select("user_id", "event_id").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    assert(EventStream.footerRowCount(spark, dir).contains(sparkCount))
+  }
 }
