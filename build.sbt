@@ -34,4 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // optional scratch-dir override for forked runs (A/B harness for the
   // streaming checkpoint/state I/O lever — java.io.tmpdir is where the
   // run-once drains put their ephemeral checkpoints); default unchanged
-  sys.env.get("SPARK_GRAFT_TMPDIR").map(d => s"-Djava.io.tmpdir=$d").toSeq
+  sys.env.get("SPARK_GRAFT_TMPDIR").map(d => s"-Djava.io.tmpdir=$d").toSeq ++
+  // optional spread-width tuning override (A/B harness for
+  // Caching.spreadToParallelism's size cap); default unchanged
+  sys.env.get("SPARK_GRAFT_SPREAD_SPLIT")
+    .map(v => s"-Dspark.graft.spread.targetSplitBytes=$v").toSeq

@@ -102,15 +102,67 @@ private[graft] object Caching {
   def bigEnough(df: DataFrame, minBytes: Long = MaterializeSubstrateMinBytes): Boolean =
     df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(minBytes)
 
+  /** CHECKPOINT-DURABILITY RULE (r22, VERDICT r21 #3). The engine
+    * materializes small, narrow substrate frames with
+    * `localCheckpoint(true)`: blocks live on executors, are NOT
+    * replicated, and CANNOT be recomputed after an executor loss
+    * (lineage is truncated by design) — on a real cluster a lost
+    * executor mid-query kills the job instead of recomputing. That is an
+    * accepted trade at bench scale and for genuinely tiny frames, but a
+    * deployment that wants durability sets
+    * `spark.graft.checkpoint.dir=<fault-tolerant path>` and every
+    * substrate materialized through [[eagerCheckpoint]] becomes a
+    * RELIABLE checkpoint (written to that directory, recoverable across
+    * executor loss) with identical values and plan shape (both roots are
+    * the materialized RDD). [[release]] stays correct in both modes: it
+    * unpersists whatever blocks back the frame; reliable checkpoint
+    * FILES are cleaned by the context like any checkpoint dir.
+    */
+  def eagerCheckpoint(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    ss.conf.getOption("spark.graft.checkpoint.dir") match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = ss.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(true)
+    }
+  }
+
+  /** Target bytes per task when spreading an under-split scan (r22,
+    * VERDICT r21 #3): the r21 form repartitioned to defaultParallelism
+    * unconditionally, so at 32 cores a ~600 KB fixture became a 32-way
+    * exchange + 32 tiny tasks — measured ANTI-scaling (dedup_containment
+    * 8-vs-32-core ratio 0.48). The spread exists for CPU-heavy text
+    * projections (tokenize, shingle, merge inference), so the target is
+    * deliberately far below a scan split: enough rows per task to
+    * amortize the exchange + task launch, small enough that a gate-scale
+    * corpus still fans out. Tuned by isolated A/B at sf0.1 (see
+    * OPTIMIZATION_r22.md); overridable per session for sweeps via
+    * `spark.graft.spread.targetSplitBytes`.
+    */
+  val SpreadTargetSplitBytes: Long = 64L << 10
+
   def spreadToParallelism(df: DataFrame, minBytes: Long = 0L): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     // minBytes: per-call-site floor for projections cheap enough that
     // below it the one-task scan beats the exchange round-trip (measured
     // at gate scale — the q_basket_lift stats-gate discipline); 0 = the
     // projection is expensive at any size, always spread when under-split
-    val bigEnough =
-      minBytes <= 0L ||
-        df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(minBytes)
-    if (bigEnough && df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bigEnough = minBytes <= 0L || bytes > BigInt(minBytes)
+    if (!bigEnough || df.rdd.getNumPartitions >= p) df
+    else {
+      val target = BigInt(
+        df.sparkSession.conf
+          .getOption("spark.graft.spread.targetSplitBytes")
+          .map(_.toLong)
+          .getOrElse(SpreadTargetSplitBytes)).max(1)
+      // size-capped width: small inputs take few partitions; data past
+      // p × target takes all cores (identity at real scale is preserved
+      // by the under-split guard above)
+      val width = ((bytes + target - 1) / target).min(p).max(1).toInt
+      if (width > df.rdd.getNumPartitions) df.repartition(width) else df
+    }
   }
 }

@@ -115,11 +115,13 @@ object TimeSeries {
       )).as("bd"))
       .select(col("__lid"), col("__mult"), col("bd.x").as("x"), col("bd.sign").as("sign"))
       .withColumn("__b", fdiv(col("x"), bucketUs))
-      .localCheckpoint(true)
+      // durability: local by default, reliable under
+      // spark.graft.checkpoint.dir (the r22 checkpoint rule in Caching)
+      .transform(Caching.eagerCheckpoint)
     val r = right
       .select(unix_micros(col(tsCol)).as("__rus"))
       .withColumn("__b", fdiv(col("__rus"), bucketUs))
-      .localCheckpoint(true)
+      .transform(Caching.eagerCheckpoint)
 
     // bucket inventory (right counts per bucket, probe-bound buckets
     // included at weight 0) + two-level prefix sum

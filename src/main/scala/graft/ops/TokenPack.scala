@@ -368,7 +368,9 @@ object TokenPack {
         expr(s"slice(ids, CAST(pidx * ${L}L + 1 AS INT), $L)").as("piece"))
       .withColumn("m", size(col("piece")).cast("long"))
       .withColumn("bin_class", expr(s"${L}L div m"))
-      .localCheckpoint(true)
+      // durability: Caching.eagerCheckpoint — local by default, reliable
+      // under spark.graft.checkpoint.dir (the r22 checkpoint rule)
+      .transform(Caching.eagerCheckpoint)
     // the distributed per-class rank: ONE ranged sort over
     // (class, m desc, doc_id, piece); per-class 0-based ranks fall out by
     // subtracting each class's first global rank (a ≤L-row broadcast)
@@ -472,7 +474,7 @@ object TokenPack {
       // for the sampler and once for the exchange. The checkpoint is
       // 2 longs per doc at any scale; tokenization now runs exactly
       // twice per pack (counts + payload) instead of 3-4×.
-      counts = docSeqs.select(col("doc_id"), col("n")).localCheckpoint(true)
+      counts = Caching.eagerCheckpoint(docSeqs.select(col("doc_id"), col("n")))
       offsets = GlobalRank.globalCumSum(
         counts, Seq(col("doc_id")), col("n"), "cum", effParts)
       val withOff = docSeqs

@@ -452,7 +452,9 @@ object Ext4Queries {
         // sampler re-ran the whole explode + two-aggregate chain a
         // second time when fed lazily; the checkpoint is n_docs/25
         // 2-long rows at any scale
-        val bucketsM = buckets.localCheckpoint(true)
+        // durability: local by default, reliable under
+        // spark.graft.checkpoint.dir (the r22 checkpoint rule in Caching)
+        val bucketsM = graft.ops.Caching.eagerCheckpoint(buckets)
         val cum = graft.ops.GlobalRank
           .globalCumSum(
             bucketsM, Seq(col("bucket")), col("new_tokens"), "vocab_size",
@@ -554,10 +556,19 @@ object Ext4Queries {
         // on the complete agg. (A SHUFFLE_HASH join hint instead:
         // measured negative, +37% wall.)
         val liJ = if (spillProof) li.repartition(nPart, col("l_orderkey")) else li
-        val pairs = liJ.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        val rawPairs = liJ.select(col("l_orderkey"), col("l_partkey").as("pa"))
           .join(liJ.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
           .filter(col("pa") < col("pb"))
-          .repartition(nPart * (if (spillProof) 2 else 1), col("pa"), col("pb"))
+        // The explicit pair-key repartition belongs to the SPILL-PROOF
+        // shape only (its two rationales — dropping the partial agg's
+        // per-task hash build and defeating AQE's 35-task coalesce — are
+        // both about the ~1.5B-pair sf10 state). In the classic shape it
+        // was pure overhead: an extra full-width exchange of the pair
+        // stream ahead of an aggregation AQE sizes fine at gate scale.
+        // Measured r22 (repeat-5 medians): 2.13 -> 1.65 s at 32 cores,
+        // 2.59 -> 1.69 s at 8 (bench/r22_basket_ab_*.json).
+        val pairs = (if (spillProof) rawPairs.repartition(nPart * 2, col("pa"), col("pb"))
+                     else rawPairs)
           .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
           .filter(col("n_ab") >= 3)
         pairs
