@@ -658,16 +658,17 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // sig feeds exactly ONE consumer (the keys write), so no persist:
+    // the r22 audit found the old cache write + blocking unpersist paid
+    // for a reuse that never happens (bandKeys is a single pipeline)
     val sig = signaturesFromShingles(
       shingleRows(snapshot, idCol, textCol, shingleN), numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the params table and the keys write are independent — overlap the
     // two commit latencies (opt guide §2.6)
     graft.util.Par.run(
       () => graft.util.ArtifactParams.write(
         snapshot.sparkSession, s"$indexDir/params", lshParams(shingleN, numHashes, bands)),
       () => bandKeys(sig, numHashes, bands).write.mode("overwrite").parquet(s"$indexDir/keys"))
-    sig.unpersist(false)
   }
 
   private def lshParams(shingleN: Int, numHashes: Int, bands: Int): Seq[(String, String)] =
@@ -707,23 +708,28 @@ object Dedup {
       s"artifact at $indexDir is not an LSH band index (kind=${params.get("kind")})")
     val (shingleN, numHashes, bands) =
       (params("shingle_n").toInt, params("num_hashes").toInt, params("bands").toInt)
-    val deltaSig = signaturesFromShingles(
-      shingleRows(base, "__id", "__text", shingleN), numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the delta's band keys feed BOTH the candidate join and the append —
-    // checkpoint once so the signature fold runs once
-    val deltaKeys = bandKeys(deltaSig, numHashes, bands).localCheckpoint(true)
-    deltaSig.unpersist(false)
+    // checkpoint once so the signature fold runs once (no persist on the
+    // sig itself: it has exactly this one consumer)
+    val deltaKeys = bandKeys(
+      signaturesFromShingles(shingleRows(base, "__id", "__text", shingleN), numHashes),
+      numHashes, bands).localCheckpoint(true)
     val snapKeys = spark.read.parquet(s"$indexDir/keys")
     val out = deltaKeys
       .select(col("sid").as("id_new"), col("band"), col("bh"))
       .join(snapKeys.select(col("sid").as("id_snap"), col("band"), col("bh")), Seq("band", "bh"))
       .select("id_new", "id_snap")
       .distinct()
-    // materialize candidates BEFORE the append so this batch never joins
-    // against its own keys, then absorb the delta into the artifact
-    val res = materializeAndRelease(out)
-    deltaKeys.write.mode("append").parquet(s"$indexDir/keys")
+    // the candidate materialization and the keys append are overlapped
+    // (opt guide §2.6; r22): "this batch never joins against its own
+    // keys" still holds BY CONSTRUCTION — `snapKeys`' parquet file
+    // listing was pinned above, before the append starts, and an append
+    // only adds new part files, so the candidate scan reads exactly the
+    // pre-append index whatever the interleaving. The NEXT ingest's read
+    // lists fresh after both actions drain (Par blocks on both).
+    val (res, _) = graft.util.Par.run2(
+      materializeAndRelease(out),
+      deltaKeys.write.mode("append").parquet(s"$indexDir/keys"))
     Caching.release(deltaKeys)
     res
   }
@@ -737,15 +743,16 @@ object Dedup {
     val (shingleN, numHashes, bands) =
       (params("shingle_n").toInt, params("num_hashes").toInt, params("bands").toInt)
     val snapKeys = spark.read.parquet(s"$indexDir/keys")
-    val deltaSig = signaturesFromShingles(
-      shingleRows(delta, "__id", "__text", shingleN), numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = bandKeys(deltaSig, numHashes, bands)
+    // no persist on the delta signatures: bandKeys is their single
+    // consumer (r22 audit, same as lshBuildIndex)
+    val out = bandKeys(
+      signaturesFromShingles(shingleRows(delta, "__id", "__text", shingleN), numHashes),
+      numHashes, bands)
       .select(col("sid").as("id_new"), col("band"), col("bh"))
       .join(snapKeys.select(col("sid").as("id_snap"), col("band"), col("bh")), Seq("band", "bh"))
       .select("id_new", "id_snap")
       .distinct()
-    materializeAndRelease(out, deltaSig)
+    materializeAndRelease(out)
   }
 
   /** LSH candidate pairs annotated with the MinHash Jaccard ESTIMATE —
